@@ -1,0 +1,537 @@
+package graft.ops
+
+import graft.{Canon, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface — SURVEY.md §2 Part B, Q01–Q20.
+  *
+  * Everything here is the declarative DataFrame API: Catalyst handles
+  * predicate pushdown, column pruning, join selection and AQE. Scale
+  * posture per query is noted inline; the rule set is: broadcast only
+  * dimension tables, never collect, keep every expression codegen-able
+  * (built-in functions only — no UDFs in this file).
+  *
+  * The reference (manselmi/parquet-modular-encryption) delegates all query
+  * execution to PyArrow datasets (read_encrypted_parquet.py:41-45); this
+  * module is the declared engine surface over the same "directory of
+  * parquet" data model (write_encrypted_parquet.py:18, :91).
+  */
+object Relational {
+  import Canon._
+
+  private val Dec = "decimal(38,6)"
+
+  /** Q01 — scan + filter + project. Filters and the 4-column projection
+    * must reach the parquet scan (PushedFilters / ReadSchema): at 100 TB
+    * this is the difference between reading 4 columns of a few row groups
+    * and reading everything.
+    */
+  val q01: Q = Q(
+    "q01_filter_project",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      l.filter(
+          col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") <  to_timestamp(lit("1997-01-01")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+            |FROM lineitem
+            |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+            |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+            |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** Q02 — hash aggregate (TPC-H Q1 shape). Partial aggregation happens
+    * map-side; only ~8 groups shuffle. Decimal sums keep the result
+    * order-independent (Canon).
+    */
+  val q02: Q = Q(
+    "q02_agg_hash",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          rsum(col("l_quantity")).as("sum_qty"),
+          rsum(col("l_extendedprice")).as("sum_base_price"),
+          rsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          ravg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_base_price,
+             |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_disc_price,
+             |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** Q03 — inner equi-join, orders ⋈ customer, revenue per market segment.
+    * customer is the smaller side; at sf it broadcasts, at 100 TB AQE
+    * decides (both sides shuffle on custkey otherwise). 5 result groups.
+    */
+  val q03: Q = Q(
+    "q03_join_inner",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(rsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+            |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+            |  count(*) AS n_orders
+            |FROM orders JOIN customer ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** Q04 — broadcast join: lineitem ⋈ part with an explicit broadcast hint.
+    * part is a dimension table (2k rows @ sf0.01, ~200k @ sf100) — always
+    * broadcastable, so the 100 TB fact side never shuffles.
+    */
+  val q04: Q = Q(
+    "q04_join_broadcast",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_brand") === "Brand#13")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+          rsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand", "p_type")
+    },
+    Some("""SELECT p_brand, p_type,
+            |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+            |  count(*) AS n_items
+            |FROM lineitem JOIN part ON l_partkey = p_partkey
+            |WHERE p_brand = 'Brand#13'
+            |GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin))
+
+  /** Q05 — left outer join: every customer with order count incl. zero. */
+  val q05: Q = Q(
+    "q05_join_outer",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey").as("c_custkey"))
+        .agg(
+          count(o("o_orderkey")).as("num_orders"),
+          round(coalesce(sum(o("o_totalprice").cast(Dec)).cast("double"), lit(0.0)), 4)
+            .as("total_spent"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS num_orders,
+            |  round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0), 4) AS total_spent
+            |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin))
+
+  /** Q06a — left semi join: customers having at least one high-value order. */
+  val q06a: Q = Q(
+    "q06a_join_semi",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer c
+            |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+            |ORDER BY c_custkey""".stripMargin))
+
+  /** Q06b — left anti join: customers with no high-value order. */
+  val q06b: Q = Q(
+    "q06b_join_anti",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+            |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+            |ORDER BY c_custkey""".stripMargin))
+
+  /** Q07 — interval (theta/range) join: pairs of events for the same user
+    * within one hour. The equi key (user_id) carries the shuffle; the range
+    * predicate is evaluated as a post-join filter, so this stays a
+    * sort-merge join, never a nested-loop product — essential at scale.
+    */
+  val q07: Q = Q(
+    "q07_range_join",
+    (s, d) => {
+      val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val a = e.as("a")
+      val b = e.as("b")
+      a.join(b,
+          col("a.user_id") === col("b.user_id") &&
+          col("b.ts") >= col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 1 HOUR") &&
+          col("a.event_id") < col("b.event_id"))
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT a.user_id AS user_id, count(*) AS n_pairs
+            |FROM events a JOIN events b
+            |  ON a.user_id = b.user_id AND b.ts >= a.ts
+            | AND b.ts <= a.ts + INTERVAL 1 HOUR AND a.event_id < b.event_id
+            |GROUP BY a.user_id ORDER BY user_id""".stripMargin))
+
+  /** Q08 — as-of join: for every click, the most recent error at-or-before
+    * it for the same user. Implemented the scalable way — one shuffle on
+    * user_id, a single ordered window pass carrying the last error ts
+    * forward — rather than the O(n²) inequality join the oracle uses.
+    * Errors sort before clicks at equal ts so `error.ts <= click.ts` ties
+    * are included, matching the oracle's `<=`.
+    */
+  val q08: Q = Q(
+    "q08_asof_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .select("event_id", "user_id", "ts", "event_type")
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(
+          col("ts").asc,
+          when(col("event_type") === "error", 0).otherwise(1).asc,
+          col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_err_ts",
+          last(when(col("event_type") === "error", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(
+          col("event_id").as("click_id"),
+          fmtTs(col("last_err_ts")).as("last_error_ts"))
+        .orderBy("click_id")
+    },
+    Some("""SELECT c.event_id AS click_id, strftime(max(e.ts), '%Y-%m-%d %H:%M:%S') AS last_error_ts
+            |FROM events c LEFT JOIN events e
+            |  ON e.user_id = c.user_id AND e.event_type = 'error' AND e.ts <= c.ts
+            |WHERE c.event_type = 'click'
+            |GROUP BY c.event_id ORDER BY click_id""".stripMargin))
+
+  /** Q09a — rollup over (priority, status). */
+  val q09a: Q = Q(
+    "q09a_rollup",
+    (s, d) => {
+      Tables.orders(s, d)
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), rsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+        .orderBy("pri", "status")
+    },
+    Some("""SELECT coalesce(o_orderpriority, 'ALL') AS pri, coalesce(o_orderstatus, 'ALL') AS status,
+            |  count(*) AS n,
+            |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS total
+            |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            |ORDER BY pri, status""".stripMargin))
+
+  /** Q09b — cube over (priority, status). */
+  val q09b: Q = Q(
+    "q09b_cube",
+    (s, d) => {
+      Tables.orders(s, d)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"))
+        .orderBy("pri", "status")
+    },
+    Some("""SELECT coalesce(o_orderpriority, 'ALL') AS pri, coalesce(o_orderstatus, 'ALL') AS status,
+            |  count(*) AS n
+            |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+            |ORDER BY pri, status""".stripMargin))
+
+  /** Q10 — exact distinct aggregates. Spark expands multiple COUNT(DISTINCT)
+    * into an Expand + two-phase aggregate — no driver-side distinct.
+    */
+  val q10: Q = Q(
+    "q10_distinct_agg",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+            |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Q10b — approximate distinct (HLL++). Implementation-defined counts, so
+    * no DuckDB oracle — the driver records a rows-only check; the ScalaTest
+    * spec asserts the estimate is within 5% of exact.
+    */
+  val q10b: Q = Q(
+    "q10b_approx_distinct",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+    None)
+
+  /** Q11 — ranking window: top-3 orders per customer. Deterministic via the
+    * (o_totalprice DESC, o_orderkey) tiebreak.
+    */
+  val q11: Q = Q(
+    "q11_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+            |  SELECT o_custkey, o_orderkey, o_totalprice,
+            |    row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+            |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+            |) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+
+  /** Q12 — analytic window with frame: running revenue per customer plus
+    * lag/lead. Running sum in decimal so the prefix sums are exact.
+    */
+  val q12: Q = Q(
+    "q12_window_frame",
+    (s, d) => {
+      val order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice").cast(Dec)).over(running).cast("double"), 4)
+            .as("running_total"),
+          lag(col("o_totalprice"), 1).over(order).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(order).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+            |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_total,
+            |  lag(o_totalprice, 1) OVER w AS prev_price,
+            |  lead(o_totalprice, 1) OVER w AS next_price
+            |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** Q13 — global top-k with deterministic tiebreak. Spark plans this as
+    * TakeOrderedAndProject: per-partition top-10 then a tiny driver merge —
+    * no global sort, which is what you want at 100 TB.
+    */
+  val q13: Q = Q(
+    "q13_topk",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin))
+
+  /** Q14 — set operations over two customer-key sets. */
+  val q14: Q = Q(
+    "q14_setops",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val a = c.filter(col("c_acctbal") > 5000.0).select("c_custkey")
+      val b = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val spark = s
+      import spark.implicits._
+      def tag(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("cnt")).select(lit(name).as("op"), col("cnt"))
+      tag("1_union_all", a.union(b))
+        .union(tag("2_union_distinct", a.union(b).distinct()))
+        .union(tag("3_intersect", a.intersect(b)))
+        .union(tag("4_except", a.except(b)))
+        .orderBy("op")
+    },
+    Some("""WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0),
+            |     b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+            |SELECT * FROM (
+            |  SELECT '1_union_all' AS op, count(*) AS cnt FROM (SELECT * FROM a UNION ALL SELECT * FROM b) t1
+            |  UNION ALL SELECT '2_union_distinct', count(*) FROM (SELECT * FROM a UNION SELECT * FROM b) t2
+            |  UNION ALL SELECT '3_intersect', count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b) t3
+            |  UNION ALL SELECT '4_except', count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b) t4
+            |) u ORDER BY op""".stripMargin))
+
+  /** Q15 — string functions over part. */
+  val q15: Q = Q(
+    "q15_strings",
+    (s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_type")).as("type_u"),
+          substring(col("p_name"), 1, 8).as("name_pfx"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          col("p_type").like("%AND%").as("has_and"),
+          size(split(col("p_name"), " ")).cast("long").as("n_words"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, upper(p_type) AS type_u, substr(p_name, 1, 8) AS name_pfx,
+            |  concat_ws('|', p_brand, p_type) AS brand_type,
+            |  CAST(length(p_name) AS BIGINT) AS name_len,
+            |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+            |  (p_type LIKE '%AND%') AS has_and,
+            |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+            |FROM part ORDER BY p_partkey""".stripMargin))
+
+  /** Q16 — date/time functions over orders (UTC session, second precision). */
+  val q16: Q = Q(
+    "q16_dates",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          fmtDate(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long")
+            .as("days_since"),
+          fmtDate(date_add(col("o_orderdate"), 30)).as("plus30"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+            |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+            |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+            |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+            |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+            |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+            |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** Q17 — math functions over a lineitem slice. */
+  val q17: Q = Q(
+    "q17_math",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 0.8, 2).as("disc80"),
+          round(abs(col("l_discount") - 0.05), 4).as("absdev"),
+          ceil(col("l_quantity")).as("qceil"),
+          floor(col("l_quantity")).as("qfloor"),
+          round(sqrt(col("l_extendedprice")), 4).as("price_sqrt"),
+          round(log(col("l_extendedprice")), 4).as("price_ln"),
+          round(pow(col("l_quantity"), 2), 4).as("qty_sq"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+            |  round(l_extendedprice * 0.8, 2) AS disc80,
+            |  round(abs(l_discount - 0.05), 4) AS absdev,
+            |  CAST(ceil(l_quantity) AS BIGINT) AS qceil,
+            |  CAST(floor(l_quantity) AS BIGINT) AS qfloor,
+            |  round(sqrt(l_extendedprice), 4) AS price_sqrt,
+            |  round(ln(l_extendedprice), 4) AS price_ln,
+            |  round(pow(l_quantity, 2), 4) AS qty_sq
+            |FROM lineitem WHERE l_orderkey < 200
+            |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** Q18 — array / higher-order functions over embeddings. The fold in
+    * `aggregate` runs left-to-right, matching DuckDB's list_sum order, and
+    * all arithmetic is in double.
+    */
+  val q18: Q = Q(
+    "q18_arrays",
+    (s, d) => {
+      val embD = transform(col("embedding"), x => x.cast("double"))
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+          round(sqrt(aggregate(embD, lit(0.0), (acc, x) => acc + x * x)), 4).as("l2_norm"),
+          round(aggregate(embD, lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 4)
+            .as("mean_val"))
+        .orderBy("vec_id")
+    },
+    Some("""SELECT vec_id,
+            |  CAST(len(embedding) AS BIGINT) AS dim,
+            |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+            |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,
+            |  round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 4) AS mean_val
+            |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  /** Q19 — JSON extraction from the events.props string column. */
+  val q19: Q = Q(
+    "q19_json",
+    (s, d) => {
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+            |  json_extract_string(props, '$.k') AS k_str,
+            |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+            |FROM events ORDER BY event_id""".stripMargin))
+
+  /** Q20 — correlated-subquery semantics (orders above their segment's
+    * average) decorrelated into a join against a 5-row aggregate that
+    * broadcasts. The comparison `price * seg_cnt > seg_sum` uses an exact
+    * decimal sum cast to double — no engine-dependent division.
+    */
+  val q20: Q = Q(
+    "q20_subquery",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val l = Tables.lineitem(s, d)
+      val oc = o.join(c, o("o_custkey") === c("c_custkey"))
+      val seg = oc.groupBy(col("c_mktsegment").as("seg"))
+        .agg(
+          sum(col("o_totalprice").cast(Dec)).cast("double").as("seg_sum"),
+          count(lit(1)).as("seg_cnt"))
+      oc.join(broadcast(seg), col("c_mktsegment") === col("seg"))
+        .filter(col("o_totalprice") * col("seg_cnt") > col("seg_sum"))
+        .join(l.select("l_orderkey").distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH seg AS (
+            |  SELECT c_mktsegment AS seg,
+            |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS seg_sum,
+            |    count(*) AS seg_cnt
+            |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+            |SELECT o_orderkey, o_custkey
+            |FROM orders JOIN customer ON o_custkey = c_custkey
+            |  JOIN seg ON c_mktsegment = seg
+            |WHERE o_totalprice * seg_cnt > seg_sum
+            |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            |ORDER BY o_orderkey""".stripMargin))
+
+  val queries: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
+    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+}
