@@ -1,10 +1,162 @@
 package graft.ops
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Similarity search over embeddings (brute-force cosine top-k, LSH-bucketed
-  * scale path) — filled in after the relational surface.
+/** Similarity search over the embeddings table (Array[Float], dim 64).
+  *
+  * Brute-force cosine top-k is the correctness baseline (and the oracle
+  * query); the random-hyperplane LSH variant is the scale path — bucket
+  * the corpus once, then probe joins touch only matching buckets instead
+  * of the full corpus. All arithmetic is double, folded left-to-right with
+  * `aggregate`, matching DuckDB's list_dot_product evaluation order.
   */
 object Similarity {
-  val queries: Seq[Q] = Seq.empty
+
+  /** embedding column cast to array<double>. */
+  private def dbl(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Left-to-right dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Deterministic random hyperplanes: `planes(h)(i)` in [-1, 1), seeded —
+    * no runtime randomness, so plans and buckets are stable across runs
+    * and executors.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Sign-bit bucket id of a vector under the given hyperplanes. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      val proj = aggregate(
+        zip_with(vec, typedLit(p.toSeq), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** Q23 — brute-force cosine top-5 for 10 probe vectors. The probe side
+    * broadcasts; the corpus is scanned once, partition-parallel, and each
+    * partition keeps only its local top-k before the final window —
+    * at 100 TB this is a broadcast-join + TakeOrdered-per-probe shape,
+    * no corpus shuffle.
+    */
+  val q23: Q = Q(
+    "q23_cosine_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+        .withColumn("nrm", l2norm(col("e")))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pn"))
+      val scored = emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", dot(col("e"), col("pe")) / (col("nrm") * col("pn")))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+      scored
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy("probe_id", "rnk")
+    },
+    Some("""WITH n AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+            |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            |  FROM embeddings),
+            |p AS (
+            |  SELECT a.vec_id AS probe_id, b.vec_id AS nbr_id,
+            |         list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+            |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+            |  WHERE a.vec_id < 10),
+            |r AS (
+            |  SELECT probe_id, nbr_id, cos,
+            |         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rnk
+            |  FROM p)
+            |SELECT probe_id, nbr_id, rnk, round(cos, 4) AS cosine
+            |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin))
+
+  /** Q23b — embedding near-duplicate pairs: all pairs with cosine ≥ 0.4.
+    * The exact quadratic baseline (oracle-checked); q23c is the bucketed
+    * scale path for the same semantics.
+    */
+  val q23b: Q = Q(
+    "q23b_embed_neardup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+        .withColumn("nrm", l2norm(col("e")))
+      val a = emb.as("a")
+      val b = emb.as("b")
+      a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+        .filter(round(col("cos"), 4) >= 0.4)
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy("va", "vb")
+    },
+    Some("""WITH n AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+            |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            |  FROM embeddings)
+            |SELECT a.vec_id AS va, b.vec_id AS vb,
+            |       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
+            |FROM n a JOIN n b ON a.vec_id < b.vec_id
+            |WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.4
+            |ORDER BY va, vb""".stripMargin))
+
+  /** Q23c — multi-table LSH ANN: L=4 independent tables of k=4 hyperplane
+    * sign bits each. A vector lands in one bucket per table; candidates
+    * are the union over tables of same-bucket vectors, scored exactly and
+    * top-k'd. Recall 1-(1-p^k)^L per neighbor vs a single bucket-equality
+    * shuffle join of size O(L·corpus) — this is the 100 TB ANN shape
+    * (bucket the corpus once, probe via equi-join; never all-pairs).
+    * Approximate by construction → rows-only driver check; ScalaTest
+    * measures recall against q23's exact top-k.
+    */
+  val q23c: Q = Q(
+    "q23c_cosine_lsh",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val L = 4 // tables
+      val k = 4 // bits per table: 16 buckets ≈ corpus/30 at test scale
+      val planes = hyperplanes(numPlanes = L * k, dim = 64)
+      val tables = (0 until L).map { t =>
+        val tablePlanes = planes.slice(t * k, t * k + k)
+        (c: Column) => struct(lit(t).as("tbl"), lshBucket(c, tablePlanes).as("bkt"))
+      }
+      def withBuckets(df: DataFrame, vecCol: String): DataFrame =
+        df.withColumn("b", explode(array(tables.map(f => f(col(vecCol))): _*)))
+          .withColumn("tbl", col("b.tbl")).withColumn("bkt", col("b.bkt")).drop("b")
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+        .withColumn("nrm", l2norm(col("e")))
+      val corpus = withBuckets(emb, "e")
+      val probes = withBuckets(emb.filter(col("vec_id") < 10), "e")
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+          col("nrm").as("pn"), col("tbl"), col("bkt"))
+      val candidates = corpus.join(broadcast(probes),
+          Seq("tbl", "bkt"), "inner")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select("probe_id", "vec_id", "e", "nrm", "pe", "pn")
+        .dropDuplicates("probe_id", "vec_id") // union across tables
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+      candidates
+        .withColumn("cos", dot(col("e"), col("pe")) / (col("nrm") * col("pn")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy("probe_id", "rnk")
+    },
+    None)
+
+  val queries: Seq[Q] = Seq(q23, q23b, q23c)
 }

@@ -1,10 +1,155 @@
 package graft.ops
 
-import graft.Q
+import graft.{Canon, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Text analysis: language-ID heuristic, quality scoring, token counting,
-  * document fingerprinting — filled in after the relational surface.
+/** Text analysis over the documents table: token/char statistics, quality
+  * scoring, BPE-ish token counting, language identification, and document
+  * fingerprinting. Everything is a per-row expression or a single
+  * aggregation — embarrassingly parallel, no cross-doc shuffle except the
+  * final groupBy where one exists.
   */
 object TextOps {
-  val queries: Seq[Q] = Seq.empty
+  import Canon._
+
+  def toks(c: Column): Column = split(Dedup.normText(c), " ")
+
+  /** Stopword list used for quality scoring and language-ID profiles. */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+
+  /** Language-ID heuristic: score each candidate language by the fraction
+    * of tokens that hit its stopword profile; predict the argmax, falling
+    * back to "und" when nothing scores. Profiles are tiny and broadcast
+    * as literals into the expression — no join, no UDF.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "den", "mit", "ein", "zu"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "人"))
+
+  def langScore(tokenCol: Column, profile: Seq[String]): Column =
+    size(filter(tokenCol, t => t.isInCollection(profile))) / size(tokenCol)
+
+  def langId(tokenCol: Column): Column = {
+    val scored = langProfiles.toSeq.map { case (lang, prof) =>
+      struct(langScore(tokenCol, prof).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit order-sensitive document fingerprint: xxhash64 over the
+    * per-token hash sequence. Equal iff the normalized token sequence is
+    * equal (up to hash collision). A plain `acc*31+h` polynomial fold
+    * would overflow Spark 4's ANSI long arithmetic; hashing the token-hash
+    * array gives the same structure-sensitivity without overflow.
+    */
+  def fingerprint(tokenCol: Column): Column =
+    xxhash64(transform(tokenCol, t => xxhash64(t)))
+
+  /** Per-language corpus statistics (SURVEY.md Q22 "stats per lang"). */
+  val q22d: Q = Q(
+    "q22d_text_stats",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"), size(toks(col("text"))).as("n_toks"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(sum(col("n_toks").cast("decimal(38,6)")).cast("double") / count(lit(1)), 4)
+            .as("avg_tokens"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+            |  round(CAST(sum(CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_tokens
+            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Per-document quality scoring: token count, mean token length,
+    * stopword ratio, digit ratio — the standard cheap pre-filters of a
+    * training-data pipeline.
+    */
+  val q30: Q = Q(
+    "q30_text_quality",
+    (s, d) => {
+      val t = toks(col("text"))
+      val nTok = size(t)
+      val stopRatio = size(filter(t, x => x.isInCollection(enStopwords))) /
+        nTok.cast("double")
+      val digits = length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          round(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 4)
+            .as("avg_token_len"),
+          round(stopRatio, 4).as("stopword_ratio"),
+          round(digits / length(col("text")).cast("double"), 4).as("digit_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+            |  SELECT doc_id, text,
+            |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+            |  FROM documents)
+            |SELECT doc_id,
+            |  CAST(len(tk) AS BIGINT) AS n_tokens,
+            |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(tk), 4) AS avg_token_len,
+            |  round(CAST(len(list_filter(tk, x -> list_contains(['the','a','of','to','and','in','is','for','on','with'], x))) AS DOUBLE) / len(tk), 4) AS stopword_ratio,
+            |  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS digit_ratio
+            |FROM t ORDER BY doc_id""".stripMargin))
+
+  /** BPE-ish token counting: words and standalone punctuation both count,
+    * per source corpus. `\w+|[^\w\s]` is the classic pre-tokenizer split.
+    */
+  val q31: Q = Q(
+    "q31_token_count",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"),
+          regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).as("n"))
+        .groupBy("source")
+        .agg(sum(col("n")).as("total_tokens"), count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    },
+    Some("""SELECT source,
+            |  sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS total_tokens,
+            |  count(*) AS n_docs
+            |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  /** Language-ID over the corpus: predicted language counts vs the labeled
+    * lang column (confusion pairs). Heuristic ⇒ rows-only driver check;
+    * the ScalaTest spec pins behavior on crafted sentences.
+    */
+  val q32: Q = Q(
+    "q32_langid",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang").as("labeled"), langId(toks(col("text"))).as("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("labeled", "predicted")
+    },
+    None)
+
+  /** Document fingerprints: rolling hash per doc + duplicate-fingerprint
+    * groups (fingerprint equality ⇔ normalized token-sequence equality).
+    */
+  val q33: Q = Q(
+    "q33_fingerprint",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(toks(col("text"))).as("fp"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
+        .select("keeper_id", "n_docs")
+        .orderBy("keeper_id")
+    },
+    None)
+
+  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33)
 }

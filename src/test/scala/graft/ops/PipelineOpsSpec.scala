@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Specs for the LLM-pipeline operators that have no SQL oracle:
+  * MinHash/LSH recall against the exact ground truth, SimHash behavior on
+  * crafted near-duplicates, LSH-ANN recall vs brute force, language-ID on
+  * known sentences, fingerprint laws.
+  */
+class PipelineOpsSpec extends SparkTestBase {
+
+  test("minhash candidates recover every exact-Jaccard>=0.5 pair (sf0.001)") {
+    val exact = Dedup.q22a.fn(spark, sfDir).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.q22b.fn(spark, sfDir).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain near-dup pairs")
+    // 8 bands × 4 rows at j>=0.5 : P[miss] = (1-j^4)^8 <= 2.7% per pair at
+    // j=0.5 and ~0 at j>=0.8; the sf0.001 ground-truth pairs are all
+    // high-jaccard, so full recall is expected deterministically.
+    assert(exact.subsetOf(lsh), s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("minhash output equals exact output on verified pairs") {
+    val exact = Dedup.q22a.fn(spark, sfDir).collect().map(_.toSeq).toSet
+    val lsh = Dedup.q22b.fn(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(lsh.subsetOf(exact), "LSH must not invent pairs beyond threshold")
+  }
+
+  test("simhash: identical docs share fingerprints, near-dups are close") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely different text about spark query engines at scale")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        Dedup.simhash64(Dedup.tokens(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L), "identical text must hash identically")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fps(1L), fps(3L)) < hamming(fps(1L), fps(4L)),
+      "one-token change must be closer than unrelated text")
+  }
+
+  test("cosine LSH top-k has usable recall against brute force (sf0.001)") {
+    val exact = Similarity.q23.fn(spark, sfDir).select("probe_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.q23c.fn(spark, sfDir).select("probe_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // Single-probe 4-bit LSH on random 64-dim data: recall is modest by
+    // design; the spec pins it above a floor so regressions surface.
+    assert(recall >= 0.2, s"recall $recall too low ($approx vs $exact)")
+    assert(approx.subsetOf(
+      approx ++ exact), "sanity")
+  }
+
+  test("language-ID identifies stopword-bearing sentences") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat is on the mat and it is happy"),
+      (2L, "el gato que esta en la casa por la noche"),
+      (3L, "le chat est sur le tapis et les oiseaux du jardin"),
+      (4L, "der hund ist von den bergen und das haus mit einem garten"),
+      (5L, "qqq www eee rrr ttt")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.langId(TextOps.toks(col("text"))).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "fr")
+    assert(got(4L) == "de")
+    assert(got(5L) == "und")
+  }
+
+  test("fingerprint: equality iff normalized token sequence equality") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Alpha  Beta   Gamma"),
+      (2L, "alpha beta gamma"),   // same after normalization
+      (3L, "gamma beta alpha"),   // same tokens, different order
+      (4L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+        TextOps.fingerprint(TextOps.toks(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L), "normalization-invariant")
+    assert(fp(2L) != fp(3L), "order-sensitive")
+    assert(fp(2L) != fp(4L))
+  }
+
+  test("approx_count_distinct within 5% of exact (q10b)") {
+    val r = Relational.q10b.fn(spark, sfDir).collect()(0)
+    val approx = r.getAs[Long]("approx_parts").toDouble
+    val exact = r.getAs[Long]("exact_parts").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+}
