@@ -1,27 +1,37 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embeddings table (Array[Float], dim 64).
   *
   * Brute-force cosine top-k is the correctness baseline (and the oracle
-  * query); the random-hyperplane LSH variant is the scale path — bucket
-  * the corpus once, then probe joins touch only matching buckets instead
-  * of the full corpus. All arithmetic is double, folded left-to-right with
-  * `aggregate`, matching DuckDB's list_dot_product evaluation order.
+  * query); the multi-table random-hyperplane LSH variant is the scale
+  * path — bucket the corpus once, then probe joins touch only matching
+  * buckets instead of the full corpus.
+  *
+  * The inner loop uses the codegen'd `cosine_sim` Catalyst expression
+  * (graft.functions.CosineSimilarity): one fused pass for dot product and
+  * both norms, numerically identical (left-to-right IEEE doubles) to the
+  * `aggregate`/`zip_with` formulation and to DuckDB's list_dot_product
+  * oracle arithmetic.
   */
 object Similarity {
 
   /** embedding column cast to array<double>. */
   private def dbl(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Left-to-right dot product of two array<double> columns. */
+  /** Left-to-right dot product via built-in HOFs — the reference
+    * formulation the custom expression is spec-checked against.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = GraftFunctions.cosineSim(a, b)
 
   /** Deterministic random hyperplanes: `planes(h)(i)` in [-1, 1), seeded —
     * no runtime randomness, so plans and buckets are stable across runs
@@ -42,24 +52,22 @@ object Similarity {
     }.reduce(_ bitwiseOR _)
 
   /** Q23 — brute-force cosine top-5 for 10 probe vectors. The probe side
-    * broadcasts; the corpus is scanned once, partition-parallel, and each
-    * partition keeps only its local top-k before the final window —
-    * at 100 TB this is a broadcast-join + TakeOrdered-per-probe shape,
-    * no corpus shuffle.
+    * broadcasts; the corpus is scanned once, partition-parallel — at
+    * 100 TB this is a broadcast-join + per-probe top-k shape, no corpus
+    * shuffle.
     */
   val q23: Q = Q(
     "q23_cosine_topk",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), dbl(col("embedding")).as("e"))
-        .withColumn("nrm", l2norm(col("e")))
-      val probes = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pn"))
-      val scored = emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-        .withColumn("cos", dot(col("e"), col("pe")) / (col("nrm") * col("pn")))
+      val probes = emb.select(col("vec_id").as("probe_id"), col("e").as("pe"))
+        .filter(col("probe_id") < 10)
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
-      scored
+      emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", cosine(col("e"), col("pe")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
@@ -89,14 +97,13 @@ object Similarity {
   val q23b: Q = Q(
     "q23b_embed_neardup",
     (s, d) => {
+      GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), dbl(col("embedding")).as("e"))
-        .withColumn("nrm", l2norm(col("e")))
       val a = emb.as("a")
       val b = emb.as("b")
       a.join(b, col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos",
-          dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")))
+        .withColumn("cos", cosine(col("a.e"), col("b.e")))
         .filter(round(col("cos"), 4) >= 0.4)
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
           round(col("cos"), 4).as("cosine"))
@@ -115,16 +122,17 @@ object Similarity {
   /** Q23c — multi-table LSH ANN: L=4 independent tables of k=4 hyperplane
     * sign bits each. A vector lands in one bucket per table; candidates
     * are the union over tables of same-bucket vectors, scored exactly and
-    * top-k'd. Recall 1-(1-p^k)^L per neighbor vs a single bucket-equality
-    * shuffle join of size O(L·corpus) — this is the 100 TB ANN shape
-    * (bucket the corpus once, probe via equi-join; never all-pairs).
-    * Approximate by construction → rows-only driver check; ScalaTest
-    * measures recall against q23's exact top-k.
+    * top-k'd. Per-neighbor recall 1-(1-p^k)^L from a bucket-equality
+    * shuffle join of size O(L·corpus) — the 100 TB ANN shape (bucket the
+    * corpus once, probe via equi-join; never all-pairs). Approximate by
+    * construction → rows-only driver check; ScalaTest measures recall
+    * against q23's exact top-k.
     */
   val q23c: Q = Q(
     "q23c_cosine_lsh",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
       val L = 4 // tables
       val k = 4 // bits per table: 16 buckets ≈ corpus/30 at test scale
       val planes = hyperplanes(numPlanes = L * k, dim = 64)
@@ -137,19 +145,17 @@ object Similarity {
           .withColumn("tbl", col("b.tbl")).withColumn("bkt", col("b.bkt")).drop("b")
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), dbl(col("embedding")).as("e"))
-        .withColumn("nrm", l2norm(col("e")))
       val corpus = withBuckets(emb, "e")
       val probes = withBuckets(emb.filter(col("vec_id") < 10), "e")
         .select(col("vec_id").as("probe_id"), col("e").as("pe"),
-          col("nrm").as("pn"), col("tbl"), col("bkt"))
-      val candidates = corpus.join(broadcast(probes),
-          Seq("tbl", "bkt"), "inner")
+          col("tbl"), col("bkt"))
+      val candidates = corpus.join(broadcast(probes), Seq("tbl", "bkt"), "inner")
         .filter(col("vec_id") =!= col("probe_id"))
-        .select("probe_id", "vec_id", "e", "nrm", "pe", "pn")
+        .select("probe_id", "vec_id", "e", "pe")
         .dropDuplicates("probe_id", "vec_id") // union across tables
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
       candidates
-        .withColumn("cos", dot(col("e"), col("pe")) / (col("nrm") * col("pn")))
+        .withColumn("cos", cosine(col("e"), col("pe")))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
