@@ -15,8 +15,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // JVM case mappings instead of ICU: identical on this (ASCII) corpus,
+    // but ICU's CollationAwareUTF8String static init costs tens of seconds
+    // of single-threaded class-init the first time lower()/upper() runs in
+    // a JVM, with every task thread serialized on the class lock.
+    spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

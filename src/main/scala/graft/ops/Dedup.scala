@@ -56,7 +56,18 @@ object Dedup {
     */
   def shingleDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      // A single-row-group parquet file scans as ONE partition; spreading
+      // raw (id, text) rows first makes tokenization partition-parallel
+      // instead of single-threaded in the scan stage.
+      .repartition(col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("tk"))
+      // >= 3 tokens ⇔ non-empty shingle set. Filtering HERE (on tk, before
+      // the shingle projection) matters: a later filter(size(sh)>0) gets
+      // pushed below the exchanges with the whole shingle expression
+      // re-inlined into the scan predicate — the monster this function
+      // exists to avoid.
+      .filter(size(col("tk")) >= 3)
       .repartition(col("doc_id"))
       .select(col("doc_id"), shinglesFromTokens(col("tk")).as("sh"))
       .repartition(col("doc_id"))
@@ -108,28 +119,49 @@ object Dedup {
             |GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
             |ORDER BY keeper_id""".stripMargin))
 
-  /** Q22a — exact n-gram Jaccard near-dup pairs (threshold 0.5): the
-    * quadratic ground truth. Shingle-explode, equi-join on shingle,
-    * count intersections, Jaccard from exact integer counts (double
-    * division of ints is engine-identical).
+  /** Q22a — exact n-gram Jaccard near-dup pairs (threshold 0.5) via
+    * PPJoin-style prefix filtering — exact semantics, sub-quadratic work.
+    *
+    * A naive shingle equi-join fans out quadratically on hot shingles
+    * (small synthetic vocabulary ⇒ some shingles hit hundreds of docs;
+    * 265 s at sf0.1). Prefix filtering keeps exactness: order each doc's
+    * shingles by (global doc-frequency asc, shingle), keep the first
+    * n - ceil(t·n) + 1 as the prefix; any pair with Jaccard ≥ t MUST
+    * share a prefix shingle (else their overlap fits in the suffix,
+    * contradicting overlap ≥ t·max(|A|,|B|)). Joining prefixes — which
+    * hold the RARE shingles — collapses the fanout. A length filter
+    * (max ≤ 2·min at t=0.5) prunes further. Candidates are then verified
+    * exactly with array_intersect on the full shingle sets.
     */
   val q22a: Q = Q(
     "q22a_jaccard_pairs",
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = 0.5
       val docs = shingleDocs(s, d)
-      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      val cnt = docs.select(col("doc_id"), size(col("sh")).as("n"))
-      val a = ex.as("a")
-      val b = ex.as("b")
-      val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(cnt.as("ca"), col("da") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("db") === col("cb.doc_id"))
-        .withColumn("jaccard",
-          col("i") / (col("ca.n") + col("cb.n") - col("i")))
-        .filter(col("jaccard") >= 0.5)
+      val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("s"))
+      val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy("df", "s")
+      val prefixes = ex.join(df, "s")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= col("n") - ceil(col("n") * t) + 1)
+        .select("doc_id", "n", "s")
+      val a = prefixes.as("a")
+      val b = prefixes.as("b")
+      val candidates = a.join(b,
+          col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) <= lit(2) * least(col("a.n"), col("b.n")))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      candidates
+        .join(docs.select(col("doc_id"), col("sh").as("sa")), col("da") === col("doc_id"))
+        .drop("doc_id")
+        .join(docs.select(col("doc_id"), col("sh").as("sb")), col("db") === col("doc_id"))
+        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard", col("i") / (size(col("sa")) + size(col("sb")) - col("i")))
+        .filter(col("jaccard") >= t)
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("da", "db")
     },
@@ -163,7 +195,7 @@ object Dedup {
       val numHashes = 32
       val bands = 8
       val rows = numHashes / bands
-      val docs = shingleDocs(s, d).filter(size(col("sh")) > 0)
+      val docs = shingleDocs(s, d)
       // Signature computed once per row, materialized behind a second
       // barrier so the 8 band-hash slices read a plain attribute instead
       // of re-inlining the 32-hash expression.
