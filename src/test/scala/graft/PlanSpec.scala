@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-quality assertions (SURVEY.md §4): the optimizations the engine
+  * relies on at 100 TB must be visible in the physical plan, not assumed —
+  * filter pushdown, column pruning, broadcast joins, top-k via
+  * TakeOrderedAndProject.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def planString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filters and projection reach the parquet scan") {
+    val p = planString("q01_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+    // Column pruning: scan must read only the needed columns, not all 11.
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length <= 6, s"scan reads too many columns: $read")
+    assert(!read.contains("l_tax"), s"unprojected column read: $read")
+  }
+
+  test("q04: dimension side is a broadcast hash join") {
+    val p = planString("q04_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q13: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = planString("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q02: aggregation is two-phase (partial before shuffle)") {
+    val p = planString("q02_agg_hash")
+    // partial_ prefix on map-side aggregate functions
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("column pruning survives encryption (encrypted scan reads 1 column)") {
+    import java.nio.file.Files
+    import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}
+    import graft.io.EncryptedParquet
+    import graft.kms.TestKmsServer
+    val kms = new TestKmsServer().start()
+    try {
+      val dir = Files.createTempDirectory("graft-prune-").toString
+      val policy = EncryptionPolicy(columnKeys = Map(
+        PrivilegeLevel.Confidential -> Seq("n_name")))
+      EncryptedParquet.write(Tables.nation(spark, sfDir), dir, policy, kms.url)
+      val df = EncryptedParquet.read(spark, dir, kms.url, Some("RESTRICTED"))
+        .select("n_nationkey")
+      try {
+        val p = df.queryExecution.executedPlan.toString
+        val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+          .map(_.group(1)).getOrElse("")
+        assert(read == "n_nationkey:int", s"encrypted scan not pruned: $read")
+        // and the projection actually executes without touching n_name's KEK
+        assert(df.count() == 25)
+      } finally EncryptedParquet.endRead(spark)
+    } finally kms.stop()
+  }
+}

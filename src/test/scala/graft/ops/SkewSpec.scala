@@ -1,0 +1,28 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkTestBase {
+
+  test("salted join equals plain join and spreads the hot key") {
+    import spark.implicits._
+    // 10k rows, 90% on one hot key — the shape AQE alone can't fix when a
+    // single key exceeds one reducer.
+    val large = spark.range(10000)
+      .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val small = Seq((1L, "hot"), (2L, "b"), (42L, "c")).toDF("k", "name")
+    val plain = large.join(small, Seq("k"), "inner")
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(large, small, "k", salts = 8)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    // the salt must actually split the hot key across buckets
+    val buckets = large.withColumn("__salt",
+        pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .filter(col("k") === 1L)
+      .groupBy("__salt").count().collect()
+    assert(buckets.length == 8, s"hot key not spread: ${buckets.mkString(",")}")
+  }
+}
