@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftFacadeSpec extends SparkTestBase {
+
+  test("init registers views queryable via plain Spark SQL + custom functions") {
+    Graft.init(spark, sfDir)
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+    // custom function callable from SQL
+    val c = spark.sql(
+      """SELECT round(cosine_sim(CAST(embedding AS array<double>),
+        |                        CAST(embedding AS array<double>)), 6) AS c
+        |FROM embeddings LIMIT 1""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(c == 1.0)
+  }
+
+  test("query lookup: known name resolves, unknown name lists options") {
+    assert(Graft.query("q01_filter_project")(spark, sfDir).count() > 0)
+    val e = intercept[NoSuchElementException](Graft.query("nope"))
+    assert(e.getMessage.contains("q01_filter_project"))
+  }
+}
