@@ -12,9 +12,8 @@ import org.apache.spark.sql.SparkSession
   * query's own projections).
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,40 +22,57 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    // Warmup: touch every table once (file listing, footer reads, codec
-    // init) so per-query timings measure the query, not session startup.
-    // events needs its dedicated loader (TIMESTAMP(NANOS) handling).
-    Tables.all.foreach { t =>
-      try {
-        val df = if (t == "events") Tables.events(spark, sfDir)
-                 else Tables.load(spark, sfDir, t)
-        df.count()
-      } catch { case _: Throwable => () }
-    }
-
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Optional comma-separated filter for local bisection (driver unset).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
+
+    // Measurement isolation: a fresh SparkContext every few queries.
+    // Running all 42 queries in one context shows progressive 10-40x
+    // degradation in the later queries (accumulated broadcast blocks,
+    // codegen classes, shuffle state — run-dependent), which measures the
+    // harness, not the query. Context restart bounds the contamination;
+    // each group gets a small scan warmup so per-query timings still
+    // exclude session startup.
+    val groupSize = 4
+    val results = names.grouped(groupSize).flatMap { group =>
+      SparkSession.getActiveSession.foreach(_.stop())
+      val spark = newSession(cpus)
+      Tables.all.foreach { t =>
         try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
-    }
+          val df = if (t == "events") Tables.events(spark, sfDir)
+                   else Tables.load(spark, sfDir, t)
+          df.count()
+        } catch { case _: Throwable => () }
+      }
+      group.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Drop persisted tables between queries — a leftover cache from a
+        // dedup query measurably contaminates its successors.
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        name -> (if (ok) dt else -1.0)
+      }
+    }.toSeq
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    SparkSession.getActiveSession.foreach(_.stop())
   }
 }

