@@ -33,14 +33,19 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read it as a long (legacy conf) and convert to a
-    * microsecond TimestampType — every generated value is µs-aligned
-    * (verified against the corpus), so the conversion is lossless and
-    * matches DuckDB's nanosecond view of the same data.
+    * microsecond TimestampType with exact integer division (`DIV`, i.e.
+    * floor for these positive epoch values). The raw values carry full
+    * nanosecond precision, so the sub-µs remainder is truncated — that
+    * truncation is inherent to Spark's µs TimestampType and must be kept
+    * out of oracle-visible comparisons (oracles compare at second
+    * precision). NOTE: `col("ts") / 1000L` would be double division;
+    * epoch nanos (~1.7e18) exceed double's 2^53 integer range (256 ns
+    * ulp), which put ~12% of rows off by 1 µs.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -303,9 +303,9 @@ object Relational {
       Tables.orders(s, d)
         .select(
           col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          row_number().over(w).as("rn"),
-          rank().over(w).as("rk"),
-          dense_rank().over(w).as("drk"))
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"))
         .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
     },

@@ -68,7 +68,7 @@ object Similarity {
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
       emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
         .withColumn("cos", cosine(col("e"), col("pe")))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
           round(col("cos"), 4).as("cosine"))
@@ -156,7 +156,7 @@ object Similarity {
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
       candidates
         .withColumn("cos", cosine(col("e"), col("pe")))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
           round(col("cos"), 4).as("cosine"))

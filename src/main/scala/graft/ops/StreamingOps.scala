@@ -87,7 +87,7 @@ object StreamingOps {
             |         WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
             |         ELSE 0 END AS brk
             |  FROM events)
-            |SELECT user_id, sum(brk) AS n_sessions, count(*) AS n_events
+            |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   val queries: Seq[Q] = Seq(q25, q26, q27)

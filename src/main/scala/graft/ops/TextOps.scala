@@ -72,7 +72,7 @@ object TextOps {
             .as("avg_tokens"))
         .orderBy("lang")
     },
-    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    Some("""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
             |  round(CAST(sum(CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_tokens
             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
@@ -124,7 +124,7 @@ object TextOps {
         .orderBy("source")
     },
     Some("""SELECT source,
-            |  sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS total_tokens,
+            |  CAST(sum(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT) AS total_tokens,
             |  count(*) AS n_docs
             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 

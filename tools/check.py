@@ -27,10 +27,38 @@ def canon(rows, colnames):
         for i in order:
             v = row[i]
             if isinstance(v, float):
-                v = f"{v:.6g}"
+                v = repr(v)  # full precision: the driver compares exactly
             vals.append(str(v))
         out.append("\x01".join(vals))
     return sorted(out)
+
+
+def type_class(t):
+    """Coarse Arrow type class. The driver's hash is TYPE-sensitive
+    (round-1 lesson: DuckDB sum(int) -> HUGEINT, arrow decimal128, hash-
+    mismatches Spark's int64 even with equal values). Normalize only
+    representational differences (string vs large_string, tz presence),
+    never width/kind differences."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    return str(t)
 
 
 def main():
@@ -55,16 +83,22 @@ def main():
             print(f"ROWS-ONLY {name}: {len(s_rows)} rows")
             continue
         try:
-            res = con.execute(oracle[name])
-            d_cols = [c[0] for c in res.description]
-            d_rows = res.fetchall()
+            dt = con.execute(oracle[name]).arrow()
+            d_cols = dt.column_names
+            d_rows = [tuple(r.values()) for r in dt.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        s_types = {f.name: type_class(f.type) for f in st.schema}
+        d_types = {f.name: type_class(f.type) for f in dt.schema}
         ok = True
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL {name}: cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            ok = False
+        elif s_types != d_types:
+            diffs = {c: (s_types[c], d_types[c]) for c in s_types if s_types[c] != d_types.get(c)}
+            print(f"FAIL {name}: TYPE mismatch (spark, duck): {diffs}")
             ok = False
         elif len(s_rows) != len(d_rows):
             print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
