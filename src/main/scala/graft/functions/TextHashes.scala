@@ -1,0 +1,259 @@
+package graft.functions
+
+import java.util.LinkedHashSet
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass JVM kernels behind graft's text/vector fingerprint
+  * expressions. Each kernel is one static, monomorphic method call from
+  * generated code — the whole point: the higher-order-function
+  * formulations they replace are evaluated on Catalyst's interpreted
+  * `Expression.eval` path, whose megamorphic call sites degrade 10-40×
+  * run-dependently once a long-lived JVM has executed many different
+  * expression trees (measured in round 1: the 64 per-bit `filter` HOFs of
+  * SimHash went from 8 s to 104 s under the driver's bench). A static
+  * kernel inside whole-stage codegen is immune: the JIT sees one hot
+  * receiver and compiles a tight loop.
+  *
+  * Hash arithmetic is bit-identical to the built-ins they replace
+  * (`xxhash64(x)` = XXH64(seed 42); `xxhash64(x, h)` folds the first hash
+  * as the seed of the second), so the Dedup specs can assert equality
+  * against the original HOF formulations.
+  */
+object HashKernels {
+
+  private final val Seed = 42L
+
+  /** xxhash64(token) with Spark's default seed. */
+  @inline private def h1(s: UTF8String): Long = XXH64.hashUTF8String(s, Seed)
+
+  /** 64-bit SimHash over the token array: bit b set iff the majority of
+    * token hashes have bit b set. One pass, int[64] counters.
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = h1(tokens.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > n) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  /** MinHash signature: element h = min over shingles of
+    * xxhash64(shingle, h) — the string hash folded as the seed of an INT
+    * hash, exactly Spark's two-argument xxhash64 over (string, int):
+    * `sequence()` lambda variables are IntegerType, so the built-in folds
+    * with hashInt. One string hash per shingle, k int-folds per shingle —
+    * O(n·k) longs, no allocation but the result.
+    */
+  def minhashSignature(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val sh = h1(shingles.getUTF8String(i))
+      var h = 0
+      while (h < k) {
+        val v = XXH64.hashInt(h, sh)
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    if (n == 0) java.util.Arrays.fill(mins, 0L) // empty set → zero signature
+    new GenericArrayData(mins)
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct word n-gram shingles in first-occurrence order (the same
+    * order/content as `array_distinct(transform(sequence(...),
+    * array_join(slice(...))))`). Fewer than n tokens → empty set.
+    */
+  def ngramShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(new Array[AnyRef](0))
+    val seen = new LinkedHashSet[UTF8String]()
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i + n <= len) {
+      var j = 0
+      while (j < n) { window(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space, window: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** |A ∩ B| for two string arrays (set semantics: duplicates in either
+    * input count once; graft shingle arrays are already distinct).
+    * Replaces `size(array_intersect(a,b))`, whose interpreted OpenHashSet
+    * build per candidate pair was a round-1 hot spot.
+    */
+  def intersectCount(a: ArrayData, b: ArrayData): Long = {
+    val (small, large) =
+      if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var i = 0
+    val ns = small.numElements()
+    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    var cnt = 0L
+    var j = 0
+    val nl = large.numElements()
+    while (j < nl) {
+      if (set.remove(large.getUTF8String(j))) cnt += 1L
+      j += 1
+    }
+    cnt
+  }
+
+  /** Left-to-right IEEE dot product — same accumulation order as the
+    * `aggregate(zip_with(a,b,*),0.0,+)` HOF formulation.
+    */
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+private object TextHashes {
+  def requireStringArray(name: String, e: Expression): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<string>, got ${other.simpleString}")
+    }
+}
+
+/** simhash64(tokens: array<string>) → long. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireStringArray(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** minhash_signature(shingles: array<string>, k) → array<long> (k-element). */
+case class MinHashSignatureExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"minhash_signature needs k > 0, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireStringArray(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSignature(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashSignature($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ngram_shingles(tokens: array<string>, n) → array<string>, distinct,
+  * first-occurrence order.
+  */
+case class NgramShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"ngram_shingles needs n > 0, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_shingles"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireStringArray(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.ngramShingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.ngramShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** intersect_count(a: array<string>, b: array<string>) → long. */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_count requires array<string> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.intersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot_product(a: array<double>, b: array<double>) → double. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires array<double> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.dotProduct($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -18,6 +18,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * from silently inheriting the policy. Physical layout matches the
   * reference: zstd compression (write_encrypted_parquet.py:23-24; level
   * via parquet.compression.codec.zstd.level) and v2 data pages.
+  *
+  * CONCURRENCY: because the conf is shared by every job on the session,
+  * encrypted reads/writes must not run concurrently with other jobs on
+  * the same session — a parallel plaintext write started inside the
+  * bracket would inherit (or lose) the crypto conf mid-job. Sequential
+  * use (one action at a time, the driver/bench/verify pattern) is safe;
+  * concurrent pipelines should use separate SparkSessions
+  * (`spark.newSession()` still shares the Hadoop conf — use distinct
+  * SparkContexts, or serialize crypto jobs).
   */
 object EncryptedParquet {
 
@@ -29,11 +38,22 @@ object EncryptedParquet {
       zstdLevel: Int = 19, pageV2: Boolean = true): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
+    // Save/restore the physical-layout keys too: they're not crypto
+    // properties, but leaving them set would make every later plaintext
+    // write on this session silently inherit zstd-19 + v2 pages.
+    val layoutKeys = Seq("parquet.compression.codec.zstd.level", "parquet.writer.version")
+    val saved = layoutKeys.map(k => k -> Option(conf.get(k)))
     EncryptionPolicy.applyWriteConf(conf, policy, kmsUrl, accessToken = None)
     conf.setInt("parquet.compression.codec.zstd.level", zstdLevel)
     if (pageV2) conf.set("parquet.writer.version", "v2")
     try df.write.mode(mode).option("compression", "zstd").parquet(path)
-    finally EncryptionPolicy.clear(conf)
+    finally {
+      EncryptionPolicy.clear(conf)
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None)    => conf.unset(k)
+      }
+    }
   }
 
   /** Read an encrypted dataset with the given privilege token. Column

@@ -39,8 +39,26 @@ final class TestKmsServer(port: Int = 0) {
   @volatile private var unwrapCalls = 0
 
   server.createContext("/api/v1/", handle _)
+  // Daemon worker pool: a running KMS must never block JVM exit (Bench and
+  // Verify run in forked JVMs that exit when main returns; the shared
+  // instance below is started once and deliberately never stopped).
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+    val t = new Thread(r, "test-kms-worker")
+    t.setDaemon(true)
+    t
+  }))
 
-  def start(): TestKmsServer = { server.start(); this }
+  /** Starts the server from an ephemeral daemon thread so the JDK's
+    * HTTP-Dispatcher thread (which inherits daemon status from its
+    * creator) is daemon too.
+    */
+  def start(): TestKmsServer = {
+    val t = new Thread(() => server.start(), "test-kms-starter")
+    t.setDaemon(true)
+    t.start()
+    t.join()
+    this
+  }
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort
   def url: String = s"http://127.0.0.1:$boundPort"
@@ -134,6 +152,13 @@ final class TestKmsServer(port: Int = 0) {
   * kms_server.py:166).
   */
 object TestKmsServer {
+  /** One JVM-wide KMS for library queries (CryptoParity): starting a
+    * fresh server + re-establishing client connections per query was pure
+    * fixed overhead in round 1's bench (the q24 trio spent ~200 s on it
+    * under the driver). Daemon threads, so it never blocks JVM exit.
+    */
+  lazy val shared: TestKmsServer = new TestKmsServer().start()
+
   def main(args: Array[String]): Unit = {
     val port = if (args.nonEmpty) args(0).toInt else 8001
     val s = new TestKmsServer(port).start()

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,10 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: exact dedup and MinHash/SimHash are one-or-two-shuffle
   * pipelines (explode → groupBy → band-join) whose intermediate volume is
-  * O(docs × shingles); the exact-Jaccard all-pairs join is the quadratic
-  * baseline used as the correctness oracle and the verification stage on
-  * LSH candidates, never the 100 TB path. All expressions are built-in
-  * (codegen'd) higher-order functions — no UDFs.
+  * O(docs × shingles); the exact-Jaccard join is bounded by a
+  * document-frequency cap on hot shingles. Every per-row fingerprint
+  * (shingling, MinHash, SimHash, intersection counting) is a codegen'd
+  * custom expression (graft.functions.HashKernels) — round 1 measured the
+  * equivalent higher-order-function formulations degrading 10-40×
+  * run-dependently on Catalyst's interpreted eval path, and all candidate
+  * joins carry explicit SHUFFLE_HASH hints so AQE cannot flip them onto a
+  * broadcast/nested-loop strategy when size estimates are off.
   */
 object Dedup {
 
@@ -25,9 +30,9 @@ object Dedup {
 
   def tokens(c: Column): Column = split(normText(c), " ")
 
-  /** Token 3-gram shingles, distinct, as strings, from a *materialized*
-    * token-array attribute. Documents shorter than 3 tokens produce an
-    * empty set.
+  /** Token 3-gram shingles, distinct — reference HOF formulation, kept as
+    * the spec ground truth for the codegen'd `ngram_shingles` kernel.
+    * Documents shorter than 3 tokens produce an empty set.
     */
   def shinglesFromTokens(tk: Column): Column =
     array_distinct(
@@ -36,67 +41,44 @@ object Dedup {
           sequence(lit(0), size(tk) - 3),
           i => array_join(slice(tk, i + 1, lit(3)), " "))))
 
-  /** One-expression convenience for small/test inputs (see shingleDocs for
-    * why the hot path materializes tokens first).
-    */
+  /** One-expression convenience (HOF path) for small/test inputs. */
   def shingles(c: Column): Column = shinglesFromTokens(tokens(c))
 
-  /** Docs with their shingle sets, materialized behind shuffle barriers.
+  /** Docs with their shingle sets: one codegen'd kernel per row, spread
+    * across partitions (the single-row-group parquet file otherwise scans
+    * as ONE partition), materialized behind persist().
     *
-    * The barriers matter a lot: Catalyst inlines a column's defining
-    * expression into downstream uses, and higher-order-function lambdas
-    * re-evaluate inlined subexpressions per element — nested lambdas make
-    * that multiplicative (32 hash functions × 50 shingles × regex
-    * tokenize ≈ 10⁵ regex evals per row when fully inlined; observed as
-    * minutes of CPU per task). Materializing (1) the token array and then
-    * (2) the shingle array behind repartition exchanges makes every
-    * downstream reference a plain attribute read, restoring the intended
-    * once-per-row cost. The doc_id partitioning is also what co-locates
-    * docs for the candidate-verification joins at scale.
+    * The persist matters beyond reuse: InferFiltersFromGenerate
+    * synthesizes `size(sh) > 0` under every explode(sh), and predicate
+    * pushdown re-substitutes the column's full defining expression
+    * through exchanges down to the scan — an InMemoryRelation is the one
+    * true optimizer wall, and the cached table is shared by candidate
+    * generation and verification instead of recomputed per plan subtree.
+    * Caching doc shingles is the standard materialization step of a dedup
+    * pipeline at any scale (disk-backed at 100 TB).
     */
-  def shingleDocs(s: SparkSession, d: String): DataFrame =
+  def shingleDocs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
-      // A single-row-group parquet file scans as ONE partition; spreading
-      // raw (id, text) rows first makes tokenization partition-parallel
-      // instead of single-threaded in the scan stage.
       .repartition(col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      // >= 3 tokens ⇔ non-empty shingle set. Filtering HERE (on tk, before
-      // the shingle projection) matters: a later filter(size(sh)>0) gets
-      // pushed below the exchanges with the whole shingle expression
-      // re-inlined into the scan predicate — the monster this function
-      // exists to avoid.
-      .filter(size(col("tk")) >= 3)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), shinglesFromTokens(col("tk")).as("sh"))
-      // cache(): the InMemoryRelation is the one true optimizer wall.
-      // Without it, InferFiltersFromGenerate synthesizes size(sh)>0 under
-      // every explode(sh) and predicate pushdown re-substitutes the whole
-      // tokenize+shingle expression through the exchanges into the
-      // single-partition scan (≈100 interpreted regex-splits per row,
-      // re-executed per subtree copy — observed 26s-vs-285s bimodal runs
-      // depending on AQE stage reuse). The cached shingle table is also
-      // shared by all downstream uses (explode, counts, verification
-      // joins) instead of recomputed per copy. Caching doc shingles is
-      // the standard materialization step of a dedup pipeline at any
-      // scale (disk-backed at 100 TB).
+      .select(col("doc_id"),
+        GraftFunctions.ngramShingles(tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min of xxhash64(shingle, seed) over the doc's shingle set.
-    * One pass, no explode — stays inside whole-stage codegen.
+  /** MinHash signature, HOF formulation — spec ground truth for the
+    * codegen'd `minhash_signature` kernel: element h is the min of
+    * xxhash64(shingle, h) over the doc's shingle set.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       h => array_min(transform(shingleCol, s => xxhash64(s, h))))
 
-  /** 64-bit SimHash over the token multiset: bit b is set iff the majority
-    * of token hashes have bit b set. `hashCol` must be a *materialized*
-    * array<long> attribute (see shingleDocs for why): the 64 bit-majority
-    * expressions each scan it, so an inlined defining expression would
-    * re-execute 64×.
+  /** 64-bit SimHash over materialized token hashes, HOF formulation —
+    * spec ground truth for the codegen'd `simhash64` kernel.
     */
   def simhashFromHashes(hashCol: Column): Column = {
     val n = size(hashCol)
@@ -107,10 +89,8 @@ object Dedup {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Convenience for small/test inputs: tokenize + hash + simhash in one
-    * expression tree (fine when evaluated once per row).
-    */
-  def simhash64(tokenCol: Column): Column =
+  /** HOF-path simhash from a token column (spec use). */
+  def simhash64Hof(tokenCol: Column): Column =
     simhashFromHashes(transform(tokenCol, t => xxhash64(t)))
 
   /** Q21 — exact dedup by normalized text: deterministic keeper = min
@@ -130,33 +110,55 @@ object Dedup {
             |GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
             |ORDER BY keeper_id""".stripMargin))
 
+  /** Hot-shingle document-frequency cap: shingles occurring in more than
+    * max(1000, 0.5% of shingled docs) documents ("the the the"-style
+    * stopword n-grams) are dropped before candidate generation. Without
+    * the cap one hot shingle contributes O(df²) join rows — the scale
+    * killer at 100 TB. Jaccard is computed over the CAPPED shingle sets
+    * (both set sizes and intersections), so the semantic is
+    * self-consistent and mirrored exactly in the oracle SQL. At bench
+    * scale the cap never binds (max df: 7 at sf0.01, 25 at sf0.1), so
+    * capped and exact Jaccard coincide.
+    */
+  val DfCapMin = 1000L
+  val DfCapFraction = 0.005
+
   /** Q22a — exact n-gram Jaccard near-dup pairs (threshold 0.5): the
     * count-based exact set-similarity join. Explode the cached shingle
-    * table, equi-join on shingle with a size-ratio pruning predicate
-    * (Jaccard ≥ 0.5 ⇒ max(|A|,|B|) ≤ 2·min — drops mismatched-size pairs
-    * before the aggregate), count intersections per pair, Jaccard from
-    * exact integer counts.
+    * table, df-cap hot shingles, equi-join on shingle with a size-ratio
+    * pruning predicate (Jaccard ≥ 0.5 ⇒ max(|A|,|B|) ≤ 2·min — drops
+    * mismatched-size pairs before the aggregate), count intersections per
+    * pair, Jaccard from exact integer counts.
     *
-    * Everything in the hot path is codegen'd (hash join + hash aggregate
-    * over longs/strings). Intersections are COUNTED, never materialized:
-    * an array_intersect-per-candidate formulation was measured 5-10×
-    * slower here — interpreted OpenHashSet builds with per-element boxing,
-    * re-evaluated for each of ~10⁵ candidates (see git history for the
-    * abandoned PPJoin variant). At 100 TB the same shape holds: the
-    * shuffle key is the shingle, hot-shingle fanout is bounded by a
-    * document-frequency cap upstream (drop shingles with df > corpus%,
-    * standard practice) — not needed at bench scale.
+    * Everything in the hot path is codegen'd (hash joins + hash
+    * aggregates over longs/strings). Intersections are COUNTED, never
+    * materialized. All joins are pinned SHUFFLE_HASH: round 1's driver
+    * bench caught AQE flipping this plan onto a broadcast of the exploded
+    * side (230 s vs 24 s for the same query).
     */
   val q22a: Q = Q(
     "q22a_jaccard_pairs",
     (s, d) => {
       val t = 0.5
       val docs = shingleDocs(s, d)
-      val ex = docs.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("s"))
-      val a = ex.as("a")
-      val b = ex.as("b")
-      val inter = a.join(b,
+      val nDocs = docs.select(count(lit(1)).as("nd"))
+      val ex0 = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val keep = ex0.groupBy("s").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") <=
+          greatest(lit(DfCapMin), (col("nd") * DfCapFraction).cast("long")))
+        .select("s")
+      val ex = ex0.join(keep.hint("shuffle_hash"), Seq("s"))
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // persist: the pair self-join reads this table twice, and without a
+      // materialization barrier Catalyst duplicates the whole
+      // explode→df-cap→size pipeline (incl. its broadcast job) into both
+      // sides — measured 95 s vs 17 s at sf0.1.
+      val exn = ex.join(sizes.hint("shuffle_hash"), Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = exn.as("a")
+      val b = exn.as("b")
+      val inter = a.join(b.hint("shuffle_hash"),
           col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.n"), col("b.n")) <= lit(2) * least(col("a.n"), col("b.n")))
@@ -176,10 +178,15 @@ object Dedup {
             |  SELECT DISTINCT doc_id, t[i.i] || ' ' || t[i.i+1] || ' ' || t[i.i+2] AS s
             |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) i
             |  WHERE len(t) >= 3),
-            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM sh),
+            |keep AS (
+            |  SELECT s FROM sh GROUP BY s
+            |  HAVING count(*) <= greatest(1000, CAST(0.005 * (SELECT nd FROM nd) AS BIGINT))),
+            |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
             |inter AS (
             |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-            |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
             |  GROUP BY 1, 2)
             |SELECT da, db, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
             |FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
@@ -188,10 +195,11 @@ object Dedup {
 
   /** Q22b — MinHash + LSH near-dup pairs: the 100 TB path. 32 hashes in
     * 8 bands × 4 rows; candidate pairs from band-bucket equality joins;
-    * candidates verified with exact Jaccard via array_intersect (cheap —
-    * only on candidates). Same 0.5 threshold as q22a; ScalaTest asserts
-    * candidate recall over q22a's ground truth. No SQL oracle: band
-    * hashing isn't portable to DuckDB (rows-only driver check).
+    * candidates verified with exact Jaccard via the codegen'd
+    * intersect-count kernel (cheap — only on candidates). Same 0.5
+    * threshold as q22a; ScalaTest asserts candidate recall over q22a's
+    * ground truth. No SQL oracle: band hashing isn't portable to DuckDB
+    * (rows-only driver check).
     */
   val q22b: Q = Q(
     "q22b_minhash_pairs",
@@ -200,34 +208,35 @@ object Dedup {
       val bands = 8
       val rows = numHashes / bands
       val docs = shingleDocs(s, d)
-      // Signature computed once per row, materialized behind a second
-      // barrier so the 8 band-hash slices read a plain attribute instead
-      // of re-inlining the 32-hash expression.
+      // Signature computed once per row by the codegen'd kernel; the
+      // repartition barrier keeps the 8 band-hash slices reading a plain
+      // attribute instead of re-running the kernel 8x after projection
+      // collapse.
+      val bandStructs = (0 until bands).map { b =>
+        struct(lit(b).as("band_idx"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)).as("band_hash"))
+      }
       val banded = docs
-        .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+        .select(col("doc_id"),
+          GraftFunctions.minhashSignature(col("sh"), numHashes).as("sig"))
         .repartition(col("doc_id"))
-        .select(
-          col("doc_id"),
-          explode(transform(
-            sequence(lit(0), lit(bands - 1)),
-            b => struct(
-              b.as("band_idx"),
-              xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b).as("band_hash"))))
-            .as("band"))
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
         .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
       val a = banded.as("a")
       val b = banded.as("b")
-      val candidates = a.join(b,
+      val candidates = a.join(b.hint("shuffle_hash"),
           col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
       candidates
-        .join(docs.select(col("doc_id"), col("sh").as("sa")), col("da") === col("doc_id"))
+        .join(docs.select(col("doc_id"), col("sh").as("sa")).hint("shuffle_hash"),
+          col("da") === col("doc_id"))
         .drop("doc_id")
-        .join(docs.select(col("doc_id"), col("sh").as("sb")), col("db") === col("doc_id"))
-        .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+        .join(docs.select(col("doc_id"), col("sh").as("sb")).hint("shuffle_hash"),
+          col("db") === col("doc_id"))
+        .withColumn("i", GraftFunctions.intersectCount(col("sa"), col("sb")))
         .withColumn("jaccard", col("i") / (size(col("sa")) + size(col("sb")) - col("i")))
         .filter(col("jaccard") >= 0.5)
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
@@ -237,22 +246,19 @@ object Dedup {
 
   /** Q22c — SimHash fingerprints + near-dup pairs at Hamming distance ≤ 3,
     * banded on 4×16-bit chunks so at least one band matches any pair
-    * within distance 3 (pigeonhole). Rows-only driver check; ScalaTest
-    * covers fingerprint determinism and known-dup recall.
+    * within distance 3 (pigeonhole). The fingerprint is one codegen'd
+    * kernel pass per row. Rows-only driver check; ScalaTest covers
+    * fingerprint determinism and known-dup recall.
     */
   val q22c: Q = Q(
     "q22c_simhash_pairs",
     (s, d) => {
-      // Token hashes materialized behind a barrier: the 64 per-bit
-      // majority counts then scan an in-memory array instead of
-      // re-tokenizing 64× (see shingleDocs).
+      GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
         .repartition(col("doc_id"))
         .select(col("doc_id"),
-          transform(tokens(col("text")), t => xxhash64(t)).as("th"))
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), simhashFromHashes(col("th")).as("fp"))
+          GraftFunctions.simhash64(tokens(col("text"))).as("fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // shiftrightunsigned needs a literal shift; build 4 bands explicitly.
       val bandCols = (0 until 4).map(b =>
@@ -263,7 +269,7 @@ object Dedup {
         .select(col("doc_id"), col("fp"), col("band.band_idx"), col("band.band_val"))
       val a = withBands.as("a")
       val b = withBands.as("b")
-      a.join(b,
+      a.join(b.hint("shuffle_hash"),
           col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))

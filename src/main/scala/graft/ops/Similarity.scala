@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** embedding column cast to array<double>. */
-  private def dbl(c: Column): Column = transform(c, _.cast("double"))
+  /** embedding column cast to array<double>. A plain Cast (codegen'd, and
+    * prunable into the scan) — NOT `transform(c, _.cast("double"))`: the
+    * HOF form is interpreted, and inlined into a nested-loop join output
+    * it re-ran per candidate PAIR (measured 128 s vs 2 s on q23b at
+    * sf0.1).
+    */
+  private def dbl(c: Column): Column = c.cast("array<double>")
 
   /** Left-to-right dot product via built-in HOFs — the reference
     * formulation the custom expression is spec-checked against.
@@ -42,12 +47,15 @@ object Similarity {
     Array.fill(numPlanes, dim)(rnd.nextDouble() * 2 - 1)
   }
 
-  /** Sign-bit bucket id of a vector under the given hyperplanes. */
+  /** Sign-bit bucket id of a vector under the given hyperplanes. The
+    * projections use the codegen'd dot-product kernel (same left-to-right
+    * IEEE arithmetic as the HOF formulation, see HashKernelsSpec) — the
+    * HOF `aggregate`/`zip_with` path is interpreted and was a round-1
+    * JIT-pollution source.
+    */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, b) =>
-      val proj = aggregate(
-        zip_with(vec, typedLit(p.toSeq), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = GraftFunctions.dotProduct(vec, typedLit(p.toSeq))
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
@@ -98,8 +106,12 @@ object Similarity {
     "q23b_embed_neardup",
     (s, d) => {
       GraftFunctions.register(s)
+      // repartition: the single-row-group parquet file scans as ONE
+      // partition, which would stream the whole O(n²) nested-loop join
+      // through a single thread.
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), dbl(col("embedding")).as("e"))
+        .repartition(col("vec_id"))
       val a = emb.as("a")
       val b = emb.as("b")
       a.join(b, col("a.vec_id") < col("b.vec_id"))

@@ -1,0 +1,102 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Bit-equality of the codegen'd hash kernels against the built-in
+  * higher-order-function formulations they replace. Run over the real
+  * sf0.001 documents corpus so tokenization edge cases (punctuation,
+  * short docs, repeated shingles) are exercised, plus crafted edge rows.
+  */
+class HashKernelsSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
+  }
+
+  test("ngram_shingles == array_distinct(transform(...)) on the corpus") {
+    val mismatch = docs
+      .select(
+        GraftFunctions.ngramShingles(col("tk"), 3).as("fast"),
+        Dedup.shinglesFromTokens(col("tk")).as("ref"))
+      .where(not(col("fast") === col("ref")))
+      .count()
+    assert(mismatch === 0L)
+  }
+
+  test("simhash64 kernel == 64-HOF bit-majority formulation") {
+    val mismatch = docs
+      .select(
+        GraftFunctions.simhash64(col("tk")).as("fast"),
+        Dedup.simhash64Hof(col("tk")).as("ref"))
+      .where(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatch === 0L)
+  }
+
+  test("minhash_signature kernel == HOF min-of-xxhash64 formulation") {
+    val sh = docs.select(GraftFunctions.ngramShingles(col("tk"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val mismatch = sh
+      .select(
+        GraftFunctions.minhashSignature(col("sh"), 32).as("fast"),
+        Dedup.minhashSignature(col("sh"), 32).as("ref"))
+      .where(not(col("fast") === col("ref")))
+      .count()
+    assert(mismatch === 0L)
+  }
+
+  test("intersect_count == size(array_intersect) on shingle-set pairs") {
+    val sh = docs.select(col("doc_id"),
+        GraftFunctions.ngramShingles(col("tk"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+      .limit(60)
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val mismatch = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(
+        GraftFunctions.intersectCount(col("a.sh"), col("b.sh")).as("fast"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("ref"))
+      .where(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatch === 0L)
+  }
+
+  test("dot_product kernel == aggregate/zip_with HOF, bit-exact") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val probe = emb.limit(1).select(col("e").as("pe"))
+    val mismatch = emb.crossJoin(broadcast(probe))
+      .select(
+        GraftFunctions.dotProduct(col("e"), col("pe")).as("fast"),
+        graft.ops.Similarity.dot(col("e"), col("pe")).as("ref"))
+      .where(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatch === 0L)
+  }
+
+  test("kernels handle empty and short inputs") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq[String]()),
+      (2L, Seq("one")),
+      (3L, Seq("one", "two")),
+      (4L, Seq("a", "b", "c"))
+    ).toDF("id", "tk")
+    val got = df.select(col("id"),
+        GraftFunctions.ngramShingles(col("tk"), 3).as("sh"),
+        GraftFunctions.simhash64(col("tk")).as("fp"))
+      .withColumn("sig", GraftFunctions.minhashSignature(col("sh"), 4))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[String](1), r.getLong(2), r.getSeq[Long](3)))
+      .toMap
+    assert(got(1L)._1.isEmpty && got(2L)._1.isEmpty && got(3L)._1.isEmpty)
+    assert(got(4L)._1 === Seq("a b c"))
+    assert(got(1L)._2 === 0L, "simhash of empty token set is 0")
+    assert(got(1L)._3 === Seq(0L, 0L, 0L, 0L), "minhash of empty set is zero signature")
+  }
+}

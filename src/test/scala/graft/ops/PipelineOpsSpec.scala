@@ -37,8 +37,9 @@ class PipelineOpsSpec extends SparkTestBase {
       (3L, "the quick brown fox jumps over the lazy cat again and again"),
       (4L, "completely different text about spark query engines at scale")
     ).toDF("doc_id", "text")
+    graft.functions.GraftFunctions.register(spark)
     val fps = df.select(col("doc_id"),
-        Dedup.simhash64(Dedup.tokens(col("text"))).as("fp"))
+        graft.functions.GraftFunctions.simhash64(Dedup.tokens(col("text"))).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(1L) == fps(2L), "identical text must hash identically")
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
