@@ -1,9 +1,14 @@
 package graft.crypto
 
+import java.io.FileInputStream
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.security.KeyStore
+import java.security.cert.CertificateFactory
 import java.time.Duration
 import java.util.Base64
+
+import javax.net.ssl.{SSLContext, TrustManagerFactory}
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
@@ -11,11 +16,17 @@ import org.apache.parquet.crypto.KeyAccessDeniedException
 import org.apache.parquet.crypto.ParquetCryptoRuntimeException
 import org.apache.parquet.crypto.keytools.KmsClient
 
-/** HTTP KMS client for parquet-mr's key tools, speaking the reference's
+/** HTTP(S) KMS client for parquet-mr's key tools, speaking the reference's
   * wire protocol (kms_client.py:20-54): base URL + /api/v1/,
   * POST wrap/{kekId} and unwrap/{kekId} with {"key": "<base64>"},
   * x-api-key header iff an access token is set, 5 s timeout
   * (kms_client.py:35).
+  *
+  * TLS: an https KMS URL is verified against, in order, the PEM CA bundle
+  * named by the `parquet.encryption.kms.ssl.cert.file` Hadoop property,
+  * the `SSL_CERT_FILE` environment variable (the reference's client honors
+  * exactly this variable, kms_client.py:30-37), or the JVM's default
+  * truststore.
   *
   * parquet-mr instantiates this class by reflection from
   * `parquet.encryption.kms.client.class` inside executor tasks, so all
@@ -28,10 +39,8 @@ final class HttpKmsClient extends KmsClient {
 
   private var baseUrl: String = _
   private var token: Option[String] = None
+  private var http: HttpClient = _
   private val mapper = new ObjectMapper()
-  private val http = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofSeconds(5))
-    .build()
 
   override def initialize(
       configuration: Configuration,
@@ -45,6 +54,10 @@ final class HttpKmsClient extends KmsClient {
     // KEY_ACCESS_TOKEN_DEFAULT ("DEFAULT") means "no token" — mirrors the
     // reference's KMS_ACCESS_TOKEN = None (read_encrypted_parquet.py:14).
     token = Option(accessToken).filter(_ != KmsClient.KEY_ACCESS_TOKEN_DEFAULT)
+    http = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(5))
+      .sslContext(HttpKmsClient.resolveSslContext(configuration))
+      .build()
   }
 
   override def wrapKey(keyBytes: Array[Byte], masterKeyIdentifier: String): String =
@@ -83,5 +96,48 @@ final class HttpKmsClient extends KmsClient {
         throw new ParquetCryptoRuntimeException(
           s"KMS $op/$kekId: HTTP $code ${resp.body()}")
     }
+  }
+}
+
+object HttpKmsClient {
+
+  /** PEM CA bundle trusted for https KMS endpoints; falls back to the
+    * SSL_CERT_FILE env var, then the JVM default truststore.
+    */
+  val SslCertFileProperty = "parquet.encryption.kms.ssl.cert.file"
+
+  private[crypto] def resolveSslContext(conf: Configuration): SSLContext = {
+    val pem = Option(conf).flatMap(c => Option(c.get(SslCertFileProperty)))
+      .orElse(sys.env.get("SSL_CERT_FILE"))
+      .filter(_.nonEmpty)
+    pem match {
+      case None       => SSLContext.getDefault
+      case Some(path) => sslContextFromPem(path)
+    }
+  }
+
+  /** Trust-only SSLContext from a PEM file of one or more CA certs —
+    * the JVM analogue of the reference's
+    * `ssl.create_default_context(cafile=SSL_CERT_FILE)`.
+    */
+  def sslContextFromPem(path: String): SSLContext = {
+    val cf = CertificateFactory.getInstance("X.509")
+    val in = new FileInputStream(path)
+    val certs =
+      try cf.generateCertificates(in)
+      finally in.close()
+    val ks = KeyStore.getInstance(KeyStore.getDefaultType)
+    ks.load(null, null)
+    val it = certs.iterator()
+    var i = 0
+    while (it.hasNext) {
+      ks.setCertificateEntry(s"kms-ca-$i", it.next())
+      i += 1
+    }
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, null)
+    ctx
   }
 }

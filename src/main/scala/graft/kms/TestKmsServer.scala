@@ -6,10 +6,11 @@ import java.util.Base64
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsServer}
 import graft.crypto.PrivilegeLevel
 import javax.crypto.Cipher
 import javax.crypto.spec.SecretKeySpec
+import javax.net.ssl.SSLContext
 
 /** In-process KMS, wire-compatible with the reference server
   * (kms_server.py): POST /api/v1/wrap/{kekId} and /api/v1/unwrap/{kekId}
@@ -23,7 +24,7 @@ import javax.crypto.spec.SecretKeySpec
   * encrypted-roundtrip query are self-contained. The reference's own
   * server is a drop-in replacement.
   */
-final class TestKmsServer(port: Int = 0) {
+final class TestKmsServer(port: Int = 0, ssl: Option[SSLContext] = None) {
 
   /** Hardcoded demo KEKs — same values as kms_server.py:29-32. */
   private val keks: Map[String, Array[Byte]] = Map(
@@ -34,7 +35,16 @@ final class TestKmsServer(port: Int = 0) {
   ).map { case (k, v) => k -> hexToBytes(v) }
 
   private val mapper = new ObjectMapper()
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // With an SSLContext the server speaks HTTPS — the reference runs plain
+  // HTTP (kms_server.py:166); TLS here exists to exercise the client's
+  // trust path (HttpKmsClient SSL_CERT_FILE support).
+  private val server = ssl match {
+    case Some(ctx) =>
+      val s = HttpsServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+      s.setHttpsConfigurator(new HttpsConfigurator(ctx))
+      s
+    case None => HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  }
   @volatile private var wrapCalls = 0
   @volatile private var unwrapCalls = 0
 
@@ -61,7 +71,8 @@ final class TestKmsServer(port: Int = 0) {
   }
   def stop(): Unit = server.stop(0)
   def boundPort: Int = server.getAddress.getPort
-  def url: String = s"http://127.0.0.1:$boundPort"
+  def url: String =
+    s"${if (ssl.isDefined) "https" else "http"}://127.0.0.1:$boundPort"
   def counts: (Int, Int) = (wrapCalls, unwrapCalls)
 
   private def handle(ex: HttpExchange): Unit =

@@ -176,5 +176,56 @@ object Similarity {
     },
     None)
 
-  val queries: Seq[Q] = Seq(q23, q23b, q23c)
+  /** Q23d — banded LSH threshold-pairs: the 100 TB path for q23b's
+    * semantic (all pairs with cosine ≥ 0.4). L independent hyperplane
+    * tables bucket the corpus; candidate pairs come from same-bucket
+    * equi-joins (O(Σ bucket²) per table, never all-pairs), are deduped
+    * across tables, then exactly verified with the codegen'd cosine
+    * kernel — so the output is always a subset of q23b's exact result,
+    * short only of pairs whose bucket collision was missed in all L
+    * tables (recall 1-(1-p^k)^L; tune k up for bucket size, L up for
+    * recall). Approximate by construction → rows-only driver check;
+    * ScalaTest pins recall against q23b's exact ground truth.
+    */
+  val q23d: Q = Q(
+    "q23d_neardup_lsh",
+    (s, d) => {
+      GraftFunctions.register(s)
+      val L = 8 // tables
+      val k = 4 // sign bits per table
+      val planes = hyperplanes(numPlanes = L * k, dim = 64, seed = 7L)
+      val tables = (0 until L).map { t =>
+        val tablePlanes = planes.slice(t * k, t * k + k)
+        (c: Column) => struct(lit(t).as("tbl"), lshBucket(c, tablePlanes).as("bkt"))
+      }
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+        .repartition(col("vec_id"))
+      val buckets = emb
+        .withColumn("b", explode(array(tables.map(f => f(col("e"))): _*)))
+        .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bkt").as("bkt"))
+      val a = buckets.as("a")
+      val b = buckets.as("b")
+      // Candidate pairs: ids only (vectors re-joined after dedup — at
+      // scale, carrying embeddings through the bucket join would blow up
+      // shuffle volume by the duplication factor L).
+      val cands = a.join(b.hint("shuffle_hash"),
+          col("a.tbl") === col("b.tbl") &&
+          col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+        .distinct()
+      cands
+        .join(emb.select(col("vec_id"), col("e").as("ea")).hint("shuffle_hash"),
+          col("va") === col("vec_id")).drop("vec_id")
+        .join(emb.select(col("vec_id"), col("e").as("eb")).hint("shuffle_hash"),
+          col("vb") === col("vec_id")).drop("vec_id")
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(round(col("cos"), 4) >= 0.4)
+        .select(col("va"), col("vb"), round(col("cos"), 4).as("cosine"))
+        .orderBy("va", "vb")
+    },
+    None)
+
+  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d)
 }

@@ -60,6 +60,17 @@ class PipelineOpsSpec extends SparkTestBase {
       approx ++ exact), "sanity")
   }
 
+  test("LSH threshold-pairs: subset of exact q23b, recall above floor (sf0.001)") {
+    val exact = Similarity.q23b.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.q23d.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain near-dup embedding pairs")
+    assert(lsh.subsetOf(exact), "candidates are exactly verified — no false positives")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall below floor (${lsh.size}/${exact.size})")
+  }
+
   test("language-ID identifies stopword-bearing sentences") {
     import spark.implicits._
     val df = Seq(
