@@ -29,4 +29,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: at sf0.1 with 32 threads, an 8g heap showed 10x query-time
   // degradation from GC pressure partway through the bench suite.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // A 44-query suite generates hundreds of janino classes; the default
+  // 240m code cache saturates partway through, and the resulting
+  // flush/recompile churn randomly inflated individual queries 10-50x
+  // (measured full-suite totals swung 87s..281s run-to-run with the
+  // slow queries different each run, C1/C2 compiler threads dominating
+  // the process during the stalls). A roomy cache + more compiler
+  // threads keeps compilation off the critical path.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:CICompilerCount=12",
 )

@@ -13,10 +13,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  private object Diag {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.ManagementFactory
+    def compileMs: Long = ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+    def gcMs: Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+  }
+
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Parallelism floor under AQE: coalescing is byte-based and the
+      // dedup/similarity joins EXPAND rows 10-1000x after the exchange, so
+      // coalescing their tiny inputs to 1-2 partitions serializes the
+      // heavy join on one thread (measured: identical plans swinging
+      // 5s..110s run-to-run). On a real cluster the same floor is
+      // spark.default.parallelism-sized; data volume alone cannot reveal
+      // generator/join fanout.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -54,6 +70,8 @@ object Bench {
       }
       group.map { case (name, fn) =>
         val t0 = System.nanoTime()
+        val comp0 = Diag.compileMs
+        val gc0 = Diag.gcMs
         val ok =
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -63,6 +81,10 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        // Where did the wall time go? JIT-compile and GC deltas expose the
+        // run-dependent JVM-level stalls that plan inspection can't.
+        System.err.println(f"[bench-diag] $name wall=$dt%.1fs " +
+          f"jit=${(Diag.compileMs - comp0) / 1000.0}%.1fs gc=${(Diag.gcMs - gc0) / 1000.0}%.1fs")
         // Drop persisted tables between queries — a leftover cache from a
         // dedup query measurably contaminates its successors.
         try spark.catalog.clearCache() catch { case _: Throwable => () }

@@ -17,7 +17,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Graft {
 
   /** Register every corpus table as a temp view plus graft's custom
-    * functions (cosine_sim). Idempotent.
+    * functions (cosine_sim, dot_product, simhash64, minhash_signature,
+    * ngram_shingles, intersect_count). Idempotent.
     */
   def init(spark: SparkSession, sfDir: String): Unit = {
     GraftFunctions.register(spark)

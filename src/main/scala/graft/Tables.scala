@@ -49,4 +49,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Hash-repartition with an EXPLICIT partition count (the cluster's
+    * default parallelism). `repartition(col)` without a count is advisory
+    * and AQE's byte-based coalescing will happily fold a tiny-input
+    * exchange back to ONE partition — catastrophic when the next operator
+    * explodes rows (caught live in round 2: a nested-loop join's 2M pairs
+    * streaming through a single task, 340 s of single-thread CPU). An
+    * explicit count is user-specified and AQE never coalesces it.
+    */
+  def spread(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, c)
 }

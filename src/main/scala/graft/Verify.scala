@@ -11,6 +11,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Parallelism floor: AQE's byte-based partition coalescing sees the
+      // tiny shuffle INPUTS of the dedup/similarity joins and collapses
+      // them to 1-2 partitions, then the join-side row explosion runs
+      // nearly single-threaded (measured 5s..110s run-to-run swings on
+      // identical plans). Data volume can't tell you the fanout.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -59,9 +59,9 @@ object Dedup {
     */
   def shingleDocs(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+    Tables.spread(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"),
         GraftFunctions.ngramShingles(tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -216,10 +216,10 @@ object Dedup {
         struct(lit(b).as("band_idx"),
           xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)).as("band_hash"))
       }
-      val banded = docs
-        .select(col("doc_id"),
-          GraftFunctions.minhashSignature(col("sh"), numHashes).as("sig"))
-        .repartition(col("doc_id"))
+      val banded = Tables.spread(docs
+          .select(col("doc_id"),
+            GraftFunctions.minhashSignature(col("sh"), numHashes).as("sig")),
+          col("doc_id"))
         .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
         .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
       val a = banded.as("a")
@@ -254,9 +254,9 @@ object Dedup {
     "q22c_simhash_pairs",
     (s, d) => {
       GraftFunctions.register(s)
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
-        .repartition(col("doc_id"))
+      val docs = Tables.spread(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"),
           GraftFunctions.simhash64(tokens(col("text"))).as("fp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

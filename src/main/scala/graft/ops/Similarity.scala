@@ -69,8 +69,10 @@ object Similarity {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       GraftFunctions.register(s)
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+      // repartition: the single-row-group file scans as ONE partition;
+      // spreading the corpus keeps the probe-broadcast scan parallel.
+      val emb = Tables.spread(Tables.embeddings(s, d)
+        .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
       val probes = emb.select(col("vec_id").as("probe_id"), col("e").as("pe"))
         .filter(col("probe_id") < 10)
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
@@ -109,14 +111,19 @@ object Similarity {
       // repartition: the single-row-group parquet file scans as ONE
       // partition, which would stream the whole O(n²) nested-loop join
       // through a single thread.
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), dbl(col("embedding")).as("e"))
-        .repartition(col("vec_id"))
+      val emb = Tables.spread(Tables.embeddings(s, d)
+        .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
       val a = emb.as("a")
       val b = emb.as("b")
       a.join(b, col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos", cosine(col("a.e"), col("b.e")))
-        .filter(round(col("cos"), 4) >= 0.4)
+        // Raw-double threshold, NOT round(cos,4) >= 0.4: for HALF_UP at 4
+        // decimals the two are equivalent (round(x,4) >= 0.4 ⟺
+        // x >= 0.39995), and Spark's double round() goes through
+        // BigDecimal.valueOf → Double.toString PER PAIR — caught live
+        // burning 300+ s of single-thread CPU on this join's 2M pairs.
+        // round() stays in the projection, where only result rows pay it.
+        .filter(col("cos") >= 0.39995)
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
           round(col("cos"), 4).as("cosine"))
         .orderBy("va", "vb")
@@ -198,9 +205,8 @@ object Similarity {
         val tablePlanes = planes.slice(t * k, t * k + k)
         (c: Column) => struct(lit(t).as("tbl"), lshBucket(c, tablePlanes).as("bkt"))
       }
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), dbl(col("embedding")).as("e"))
-        .repartition(col("vec_id"))
+      val emb = Tables.spread(Tables.embeddings(s, d)
+        .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
       val buckets = emb
         .withColumn("b", explode(array(tables.map(f => f(col("e"))): _*)))
         .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bkt").as("bkt"))
@@ -221,11 +227,81 @@ object Similarity {
         .join(emb.select(col("vec_id"), col("e").as("eb")).hint("shuffle_hash"),
           col("vb") === col("vec_id")).drop("vec_id")
         .withColumn("cos", cosine(col("ea"), col("eb")))
-        .filter(round(col("cos"), 4) >= 0.4)
+        // Equivalent to round(cos,4) >= 0.4 without per-candidate
+        // BigDecimal round (see q23b).
+        .filter(col("cos") >= 0.39995)
         .select(col("va"), col("vb"), round(col("cos"), 4).as("cosine"))
         .orderBy("va", "vb")
     },
     None)
 
-  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d)
+  /** Q23e — IVF (inverted-file) ANN: the other classic scale path next
+    * to LSH. Deterministic seeding (k smallest xxhash64(vec_id)), one
+    * Lloyd refinement step expressed declaratively (posexplode →
+    * per-dimension mean → re-assemble), corpus assigned to its nearest
+    * centroid, probes search only the `nprobe` nearest inverted lists.
+    *
+    * Scale shape: centroids are tiny and broadcast; the corpus is
+    * scanned/assigned once (candidate volume ≈ nprobe/k of the corpus
+    * per probe, never all-pairs); the whole clustering is DataFrame-only
+    * so it runs identically on a 1000-executor cluster. Approximate →
+    * rows-only driver check; ScalaTest pins recall vs q23's exact top-k.
+    */
+  val q23e: Q = Q(
+    "q23e_cosine_ivf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val k = 16
+      val nprobe = 4
+      val emb = Tables.spread(Tables.embeddings(s, d)
+        .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Deterministic seeds: the k corpus vectors with the smallest
+      // vec_id hash (a seeded pseudo-random sample, stable across runs
+      // and executors). 16 rows — the single-partition window is fine.
+      val seeds = emb
+        .withColumn("h", xxhash64(col("vec_id")))
+        .orderBy("h").limit(k)
+        .withColumn("cid", row_number().over(Window.orderBy("h")))
+        .select(col("cid"), col("e").as("ce"))
+      def assign(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)
+        emb.crossJoin(broadcast(cents))
+          .withColumn("sim", cosine(col("e"), col("ce")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cid"), col("vec_id"), col("e"))
+      }
+      // One Lloyd step: element-wise mean per cluster, dimensions
+      // re-assembled in order (array_sort on (pos, mean) structs).
+      val centroids = assign(seeds)
+        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("ce"))
+      val assigned = assign(centroids)
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      val wP = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cid").asc)
+      val probeClusters = probes.crossJoin(broadcast(centroids))
+        .withColumn("sim", cosine(col("pe"), col("ce")))
+        .withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= nprobe)
+        .select(col("probe_id"), col("pe"), col("cid"))
+      val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+      assigned.join(broadcast(probeClusters), Seq("cid"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", cosine(col("e"), col("pe")))
+        .withColumn("rnk", row_number().over(wT).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy("probe_id", "rnk")
+    },
+    None)
+
+  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e)
 }

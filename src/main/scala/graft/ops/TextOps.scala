@@ -20,7 +20,7 @@ object TextOps {
     * partition and every regex/HOF below runs single-threaded.
     */
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).repartition(col("doc_id"))
+    Tables.spread(Tables.documents(s, d), col("doc_id"))
 
   /** Stopword list used for quality scoring and language-ID profiles. */
   val enStopwords: Seq[String] =

@@ -71,6 +71,17 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(recall >= 0.6, s"recall $recall below floor (${lsh.size}/${exact.size})")
   }
 
+  test("IVF top-k has usable recall against brute force (sf0.001)") {
+    val exact = Similarity.q23.fn(spark, sfDir).select("probe_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.q23e.fn(spark, sfDir).select("probe_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // nprobe/k = 4/16 of the corpus searched per probe; random 64-dim
+    // data is a worst case for cluster locality, so the floor is modest.
+    assert(recall >= 0.3, s"recall $recall too low (${ivf.size}/${exact.size})")
+  }
+
   test("language-ID identifies stopword-bearing sentences") {
     import spark.implicits._
     val df = Seq(
