@@ -38,4 +38,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // threads keeps compilation off the critical path.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:CICompilerCount=12",
+  // Spark's generated-class cache (CodeGenerator.cache) holds only 100
+  // entries by default — a static conf, shared JVM-wide. A 44-query suite
+  // produces far more distinct generated sources; once the cache starts
+  // evicting, operators that compile projections inside tasks
+  // (ObjectHashAggregate children, BroadcastNestedLoopJoin, per-partition
+  // UnsafeProjection.create) re-run Janino PER TASK behind the cache's
+  // per-key load lock: thread dumps during the slow runs show 31 task
+  // threads parked on the Guava cache while one compiles, load avg ~1.5
+  // on 32 cores, wall 45-100 s for 1-2 s queries, with JVM JIT and GC
+  // both idle. System property (not session conf) because static confs
+  // bind at the first SparkSession and the cache is JVM-global.
+  "-Dspark.sql.codegen.cache.maxEntries=10000",
 )

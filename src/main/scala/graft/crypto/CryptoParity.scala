@@ -16,10 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * dataset written ONCE, then read at three privilege levels through the
   * ordinary distributed scan path (`EncryptedParquet.read` — no
   * collect()): privilege enforcement happens per projected column inside
-  * each scan task, which is exactly the 1000-executor behavior. The
-  * decryption conf lives on the session's Hadoop conf until the next
-  * crypto read replaces it; crypto reads are not concurrency-safe against
-  * other crypto jobs on the same session (see EncryptedParquet docs).
+  * each scan task, which is exactly the 1000-executor behavior. Each
+  * relation carries its own KMS endpoint + token as datasource options,
+  * so the three privilege-tiered reads are independent plans — build and
+  * run them in any order, concurrently with plaintext jobs.
   *
   * DuckDB cannot read PME files, so the oracle compares against the same
   * rows read from the plaintext source table (SURVEY.md §2 Q24).

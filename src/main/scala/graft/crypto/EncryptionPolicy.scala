@@ -44,38 +44,52 @@ object EncryptionPolicy {
 
   val CryptoFactoryClassProperty = "parquet.crypto.factory.class"
 
-  /** Writer+reader crypto conf (encryption side needs the policy). */
+  /** Reader-side crypto conf as a plain map: factory + KMS endpoint +
+    * token only — the column policy is discovered from the file's key
+    * metadata. Returned as a map so it can travel as per-relation
+    * DataFrame reader/writer OPTIONS (Spark merges datasource options
+    * into each scan's/job's Hadoop conf via newHadoopConfWithOptions),
+    * which keeps every encrypted relation carrying its own token instead
+    * of mutating the session-global Hadoop conf.
+    */
+  def readConfMap(kmsUrl: String, accessToken: Option[String]): Map[String, String] =
+    Map(
+      CryptoFactoryClassProperty -> classOf[PDCF].getName,
+      KeyToolkit.KMS_CLIENT_CLASS_PROPERTY_NAME -> classOf[HttpKmsClient].getName,
+      KeyToolkit.KMS_INSTANCE_URL_PROPERTY_NAME -> kmsUrl,
+      // KeyToolkit caches KmsClient instances by (instance id, token);
+      // using the URL as the id keeps a restarted/relocated KMS from being
+      // served by a stale cached client pointing at the old endpoint.
+      KeyToolkit.KMS_INSTANCE_ID_PROPERTY_NAME -> kmsUrl) ++
+      accessToken.map(KeyToolkit.KEY_ACCESS_TOKEN_PROPERTY_NAME -> _)
+
+  /** Writer-side crypto conf map (encryption side needs the policy). */
+  def writeConfMap(policy: EncryptionPolicy, kmsUrl: String,
+      accessToken: Option[String]): Map[String, String] =
+    readConfMap(kmsUrl, accessToken) ++ Map(
+      PDCF.COLUMN_KEYS_PROPERTY_NAME -> policy.columnKeysProperty,
+      PDCF.FOOTER_KEY_PROPERTY_NAME -> policy.footerKey.name,
+      PDCF.PLAINTEXT_FOOTER_PROPERTY_NAME -> policy.plaintextFooter.toString,
+      PDCF.ENCRYPTION_ALGORITHM_PROPERTY_NAME -> policy.algorithm,
+      KeyToolkit.DATA_KEY_LENGTH_PROPERTY_NAME -> policy.dataKeyLengthBits.toString,
+      KeyToolkit.DOUBLE_WRAPPING_PROPERTY_NAME -> policy.doubleWrapping.toString,
+      KeyToolkit.KEY_MATERIAL_INTERNAL_PROPERTY_NAME -> policy.internalKeyMaterial.toString,
+      KeyToolkit.CACHE_LIFETIME_PROPERTY_NAME -> policy.cacheLifetimeSeconds.toString)
+
+  /** Writer+reader crypto conf applied to a Hadoop Configuration (for
+    * direct parquet-mr use, e.g. footer-inspection tests).
+    */
   def applyWriteConf(conf: Configuration, policy: EncryptionPolicy,
       kmsUrl: String, accessToken: Option[String]): Unit = {
     applyReadConf(conf, kmsUrl, accessToken)
-    conf.set(PDCF.COLUMN_KEYS_PROPERTY_NAME, policy.columnKeysProperty)
-    conf.set(PDCF.FOOTER_KEY_PROPERTY_NAME, policy.footerKey.name)
-    conf.setBoolean(PDCF.PLAINTEXT_FOOTER_PROPERTY_NAME, policy.plaintextFooter)
-    conf.set(PDCF.ENCRYPTION_ALGORITHM_PROPERTY_NAME, policy.algorithm)
-    conf.setInt(KeyToolkit.DATA_KEY_LENGTH_PROPERTY_NAME, policy.dataKeyLengthBits)
-    conf.setBoolean(KeyToolkit.DOUBLE_WRAPPING_PROPERTY_NAME, policy.doubleWrapping)
-    conf.setBoolean(KeyToolkit.KEY_MATERIAL_INTERNAL_PROPERTY_NAME,
-      policy.internalKeyMaterial)
-    conf.setLong(KeyToolkit.CACHE_LIFETIME_PROPERTY_NAME, policy.cacheLifetimeSeconds)
+    writeConfMap(policy, kmsUrl, accessToken).foreach { case (k, v) => conf.set(k, v) }
   }
 
-  /** Reader-side crypto conf: factory + KMS endpoint + token only — the
-    * column policy is discovered from the file's key metadata.
-    */
+  /** Reader-side crypto conf applied to a Hadoop Configuration. */
   def applyReadConf(conf: Configuration, kmsUrl: String,
       accessToken: Option[String]): Unit = {
-    conf.set(CryptoFactoryClassProperty, classOf[PDCF].getName)
-    conf.set(KeyToolkit.KMS_CLIENT_CLASS_PROPERTY_NAME,
-      classOf[HttpKmsClient].getName)
-    conf.set(KeyToolkit.KMS_INSTANCE_URL_PROPERTY_NAME, kmsUrl)
-    // KeyToolkit caches KmsClient instances by (instance id, token); using
-    // the URL as the id keeps a restarted/relocated KMS from being served
-    // by a stale cached client pointing at the old endpoint.
-    conf.set(KeyToolkit.KMS_INSTANCE_ID_PROPERTY_NAME, kmsUrl)
-    accessToken match {
-      case Some(t) => conf.set(KeyToolkit.KEY_ACCESS_TOKEN_PROPERTY_NAME, t)
-      case None    => conf.unset(KeyToolkit.KEY_ACCESS_TOKEN_PROPERTY_NAME)
-    }
+    readConfMap(kmsUrl, accessToken).foreach { case (k, v) => conf.set(k, v) }
+    if (accessToken.isEmpty) conf.unset(KeyToolkit.KEY_ACCESS_TOKEN_PROPERTY_NAME)
   }
 
   /** Every crypto-related property, for cleanup after an encrypted job so

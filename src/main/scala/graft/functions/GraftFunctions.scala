@@ -23,18 +23,28 @@ object GraftFunctions {
       s"$fn expects a literal integer argument, got $other")
   }
 
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
-    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "simhash64" -> (exprs => SimHash64Expr(exprs(0))),
-    "minhash_signature" -> (exprs =>
-      MinHashSignatureExpr(exprs(0), intArg(exprs(1), "minhash_signature"))),
-    "ngram_shingles" -> (exprs =>
-      NgramShinglesExpr(exprs(0), intArg(exprs(1), "ngram_shingles"))),
-    "intersect_count" -> (exprs => IntersectCount(exprs(0), exprs(1))))
+  /** (name, expression class, builder) — single source of truth for both
+    * registration paths, so the extension cannot drift out of sync with
+    * the imperative registry (an advisor-flagged round-2 bug: the
+    * extension exposed only 3 of the 6 functions).
+    */
+  private[functions] val builders
+      : Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity],
+      exprs => CosineSimilarity(exprs(0), exprs(1))),
+    ("dot_product", classOf[DotProduct],
+      exprs => DotProduct(exprs(0), exprs(1))),
+    ("simhash64", classOf[SimHash64Expr],
+      exprs => SimHash64Expr(exprs(0))),
+    ("minhash_signature", classOf[MinHashSignatureExpr],
+      exprs => MinHashSignatureExpr(exprs(0), intArg(exprs(1), "minhash_signature"))),
+    ("ngram_shingles", classOf[NgramShinglesExpr],
+      exprs => NgramShinglesExpr(exprs(0), intArg(exprs(1), "ngram_shingles"))),
+    ("intersect_count", classOf[IntersectCount],
+      exprs => IntersectCount(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
-    builders.foreach { case (name, builder) =>
+    builders.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
@@ -61,19 +71,13 @@ object GraftFunctions {
     call_function("intersect_count", a, b)
 }
 
+/** Injects every graft function (the full `builders` surface) into
+  * sessions built with `spark.sql.extensions=graft.functions.GraftSparkExtensions`.
+  */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64Expr(exprs(0))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, cls, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
+    }
 }

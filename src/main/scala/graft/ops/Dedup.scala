@@ -111,53 +111,71 @@ object Dedup {
             |ORDER BY keeper_id""".stripMargin))
 
   /** Hot-shingle document-frequency cap: shingles occurring in more than
-    * max(1000, 0.5% of shingled docs) documents ("the the the"-style
+    * max(1000, floor(0.5% of shingled docs)) documents ("the the the"-style
     * stopword n-grams) are dropped before candidate generation. Without
     * the cap one hot shingle contributes O(df²) join rows — the scale
-    * killer at 100 TB. Jaccard is computed over the CAPPED shingle sets
-    * (both set sizes and intersections), so the semantic is
-    * self-consistent and mirrored exactly in the oracle SQL. At bench
-    * scale the cap never binds (max df: 7 at sf0.01, 25 at sf0.1), so
-    * capped and exact Jaccard coincide.
+    * killer at 100 TB. At bench scale the cap never binds (max df: 7 at
+    * sf0.01, 25 at sf0.1), so capped and exact Jaccard coincide.
     */
   val DfCapMin = 1000L
   val DfCapFraction = 0.005
 
+  /** Per-doc df-CAPPED shingle sets — THE canonical shingle table: q22a's
+    * exact join, q22b's MinHash signatures AND its candidate verification
+    * all read it, so every dedup op implements the same capped-Jaccard
+    * semantic even when the cap binds (an advisor-flagged round-2 bug:
+    * q22b used to verify against UNCAPPED sets, silently diverging from
+    * q22a exactly in the hot-shingle scenario the cap exists for).
+    *
+    * Hot shingles are few by construction (each appears in > max(1000,
+    * 0.5% of docs) docs, so their count is bounded by corpus/cap), so the
+    * hot set broadcasts as a single collected array; `array_except` (a
+    * codegen'd set op) strips them from each doc. Docs left with no
+    * shingles leave the pipeline entirely, as in the exact formulation.
+    * floor() on the cap matches the oracle's CAST(floor(...) AS BIGINT) —
+    * double-truncation direction must agree on both sides or boundary
+    * shingles flip at scale.
+    */
+  def cappedShingleDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = shingleDocs(s, d)
+    val nDocs = docs.select(count(lit(1)).as("nd"))
+    val hot = docs.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > greatest(lit(DfCapMin), floor(col("nd") * DfCapFraction)))
+      .agg(collect_list(col("s")).as("hot"))
+    docs.crossJoin(broadcast(hot))
+      .select(col("doc_id"), array_except(col("sh"), col("hot")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Q22a — exact n-gram Jaccard near-dup pairs (threshold 0.5): the
-    * count-based exact set-similarity join. Explode the cached shingle
-    * table, df-cap hot shingles, equi-join on shingle with a size-ratio
-    * pruning predicate (Jaccard ≥ 0.5 ⇒ max(|A|,|B|) ≤ 2·min — drops
+    * count-based exact set-similarity join. Explode the cached capped
+    * shingle table, equi-join on shingle with a size-ratio pruning
+    * predicate (Jaccard ≥ 0.5 ⇒ max(|A|,|B|) ≤ 2·min — drops
     * mismatched-size pairs before the aggregate), count intersections per
-    * pair, Jaccard from exact integer counts.
+    * pair, Jaccard from exact integer counts. Set sizes come straight off
+    * the capped arrays (`size(sh)`) — no per-doc counting aggregate.
     *
     * Everything in the hot path is codegen'd (hash joins + hash
     * aggregates over longs/strings). Intersections are COUNTED, never
-    * materialized. All joins are pinned SHUFFLE_HASH: round 1's driver
+    * materialized. The self-join is pinned SHUFFLE_HASH: round 1's driver
     * bench caught AQE flipping this plan onto a broadcast of the exploded
-    * side (230 s vs 24 s for the same query).
+    * side (230 s vs 24 s for the same query). Both join inputs explode
+    * out of the same InMemoryRelation, so Catalyst cannot duplicate the
+    * shingle/cap pipeline into the two sides (round 2 measured 95 s vs
+    * 17 s without such a barrier).
     */
   val q22a: Q = Q(
     "q22a_jaccard_pairs",
     (s, d) => {
       val t = 0.5
-      val docs = shingleDocs(s, d)
-      val nDocs = docs.select(count(lit(1)).as("nd"))
-      val ex0 = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      val keep = ex0.groupBy("s").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(nDocs))
-        .filter(col("df") <=
-          greatest(lit(DfCapMin), (col("nd") * DfCapFraction).cast("long")))
-        .select("s")
-      val ex = ex0.join(keep.hint("shuffle_hash"), Seq("s"))
-      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // persist: the pair self-join reads this table twice, and without a
-      // materialization barrier Catalyst duplicates the whole
-      // explode→df-cap→size pipeline (incl. its broadcast job) into both
-      // sides — measured 95 s vs 17 s at sf0.1.
-      val exn = ex.join(sizes.hint("shuffle_hash"), Seq("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = exn.as("a")
-      val b = exn.as("b")
+      val ex = cappedShingleDocs(s, d)
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+          explode(col("sh")).as("s"))
+      val a = ex.as("a")
+      val b = ex.as("b")
       val inter = a.join(b.hint("shuffle_hash"),
           col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -181,7 +199,7 @@ object Dedup {
             |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM sh),
             |keep AS (
             |  SELECT s FROM sh GROUP BY s
-            |  HAVING count(*) <= greatest(1000, CAST(0.005 * (SELECT nd FROM nd) AS BIGINT))),
+            |  HAVING count(*) <= greatest(1000, CAST(floor(0.005 * (SELECT nd FROM nd)) AS BIGINT))),
             |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
             |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
             |inter AS (
@@ -197,9 +215,12 @@ object Dedup {
     * 8 bands × 4 rows; candidate pairs from band-bucket equality joins;
     * candidates verified with exact Jaccard via the codegen'd
     * intersect-count kernel (cheap — only on candidates). Same 0.5
-    * threshold as q22a; ScalaTest asserts candidate recall over q22a's
-    * ground truth. No SQL oracle: band hashing isn't portable to DuckDB
-    * (rows-only driver check).
+    * threshold as q22a, and both signatures and verification read the
+    * SAME df-capped shingle table q22a joins on, so the "subset of q22a /
+    * full recall over q22a" contracts hold even when the cap binds.
+    * ScalaTest asserts candidate recall over q22a's ground truth. No SQL
+    * oracle: band hashing isn't portable to DuckDB (rows-only driver
+    * check).
     */
   val q22b: Q = Q(
     "q22b_minhash_pairs",
@@ -207,7 +228,7 @@ object Dedup {
       val numHashes = 32
       val bands = 8
       val rows = numHashes / bands
-      val docs = shingleDocs(s, d)
+      val docs = cappedShingleDocs(s, d)
       // Signature computed once per row by the codegen'd kernel; the
       // repartition barrier keeps the 8 band-hash slices reading a plain
       // attribute instead of re-running the kernel 8x after projection

@@ -534,11 +534,18 @@ object Relational {
   /** Q28 — exact percentiles (median / p95) per group. Spark `percentile`
     * and DuckDB `quantile_cont` both use linear interpolation over the
     * sorted values — identical for exact inputs.
+    *
+    * `percentile` is a TypedImperativeAggregate (ObjectHashAggregate):
+    * its partial phase runs on the scan's partitioning, and the lineitem
+    * parquet is one row group = ONE partition, so without the spread the
+    * whole 600k-row partial aggregation is one task on one thread.
+    * Spreading by a high-cardinality key gives 32-way partials; the final
+    * merge is 3 groups' counts-maps.
     */
   val q28: Q = Q(
     "q28_percentiles",
     (s, d) => {
-      Tables.lineitem(s, d)
+      Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
         .groupBy("l_returnflag")
         .agg(
           round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),

@@ -162,8 +162,9 @@ object Similarity {
       def withBuckets(df: DataFrame, vecCol: String): DataFrame =
         df.withColumn("b", explode(array(tables.map(f => f(col(vecCol))): _*)))
           .withColumn("tbl", col("b.tbl")).withColumn("bkt", col("b.bkt")).drop("b")
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), dbl(col("embedding")).as("e"))
+      // spread: the single-row-group scan is ONE partition (see q23b).
+      val emb = Tables.spread(Tables.embeddings(s, d)
+        .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
       val corpus = withBuckets(emb, "e")
       val probes = withBuckets(emb.filter(col("vec_id") < 10), "e")
         .select(col("vec_id").as("probe_id"), col("e").as("pe"),

@@ -51,10 +51,21 @@ object StreamingOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
 
+  /** The events parquet is a single row group, so the scan is ONE
+    * partition and every partial aggregate downstream would run as one
+    * task on one thread. Spreading by a high-cardinality key restores
+    * 32-way partial aggregation — the standard move after any
+    * non-splittable source (single-row-group parquet, gzip). On a real
+    * cluster the source arrives as many splits and this repartition
+    * would be dropped.
+    */
+  private def spreadEvents(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.events(s, d), col("event_id"))
+
   /** Q25 — tumbling-window aggregation (oracle: date_trunc buckets). */
   val q25: Q = Q(
     "q25_tumbling_window",
-    (s, d) => tumblingCounts(Tables.events(s, d)).orderBy("bucket"),
+    (s, d) => tumblingCounts(spreadEvents(s, d)).orderBy("bucket"),
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
             |  count(*) AS n_events,
             |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS total_value
@@ -66,7 +77,7 @@ object StreamingOps {
     */
   val q26: Q = Q(
     "q26_sliding_window",
-    (s, d) => slidingCounts(Tables.events(s, d)).orderBy("bucket"),
+    (s, d) => slidingCounts(spreadEvents(s, d)).orderBy("bucket"),
     Some("""SELECT strftime(to_timestamp((epoch_ms(ts) // 900000) * 900 - g.g * 900) AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS bucket,
             |  count(*) AS n_events
             |FROM events, LATERAL (SELECT unnest(range(0, 4)) AS g) g
@@ -79,7 +90,10 @@ object StreamingOps {
     */
   val q27: Q = Q(
     "q27_session_window",
-    (s, d) => sessionStats(sessionCounts(Tables.events(s, d))).orderBy("user_id"),
+    // Spread by user_id: parallelizes the scan AND satisfies the session
+    // aggregation's required distribution, so no second shuffle.
+    (s, d) => sessionStats(sessionCounts(
+      Tables.spread(Tables.events(s, d), col("user_id")))).orderBy("user_id"),
     Some("""WITH g AS (
             |  SELECT user_id,
             |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
