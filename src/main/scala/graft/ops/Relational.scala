@@ -285,7 +285,9 @@ object Relational {
   val q10b: Q = Q(
     "q10b_approx_distinct",
     (s, d) => {
-      Tables.lineitem(s, d)
+      // spread: single-row-group scan = one partition; the HLL++ partial
+      // (rsd 0.01 → large register arrays) would otherwise run one task.
+      Tables.spread(Tables.lineitem(s, d), col("l_partkey"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))

@@ -19,6 +19,19 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(c == 1.0)
   }
 
+  test("every registered function is SQL-callable and injected by the extension") {
+    graft.functions.GraftFunctions.register(spark)
+    // one smoke call per function through the SQL surface
+    val sqls = Seq(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d))",
+      "SELECT dot_product(array(2.0d, 3.0d), array(4.0d, 5.0d))",
+      "SELECT simhash64(array('a', 'b'))",
+      "SELECT minhash_signature(array('a', 'b'), 4)",
+      "SELECT ngram_shingles(array('a', 'b', 'c', 'd'), 3)",
+      "SELECT intersect_count(array('a', 'b'), array('b', 'c'))")
+    sqls.foreach(q => assert(spark.sql(q).collect().length == 1, q))
+  }
+
   test("query lookup: known name resolves, unknown name lists options") {
     assert(Graft.query("q01_filter_project")(spark, sfDir).count() > 0)
     val e = intercept[NoSuchElementException](Graft.query("nope"))

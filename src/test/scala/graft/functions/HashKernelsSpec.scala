@@ -17,6 +17,15 @@ class HashKernelsSpec extends SparkTestBase {
       .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
   }
 
+  test("builder table exposes the full six-function surface") {
+    // GraftSparkExtensions injects verbatim from this table, so pinning
+    // it here pins the deployment (spark.sql.extensions) surface too —
+    // the round-2 advisor caught the extension drifting to 3 of 6.
+    assert(GraftFunctions.builders.map(_._1).toSet === Set(
+      "cosine_sim", "dot_product", "simhash64",
+      "minhash_signature", "ngram_shingles", "intersect_count"))
+  }
+
   test("ngram_shingles == array_distinct(transform(...)) on the corpus") {
     val mismatch = docs
       .select(
