@@ -38,6 +38,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // threads keeps compilation off the critical path.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:CICompilerCount=12",
+  // C1 only, no C2: the suite's generated megamethods keep C2 busy for
+  // tens of seconds each; when a storm takes hold the compile queue never
+  // drains, queries run partly interpreted, and identical suites measure
+  // 71 s on a calm run vs 207-387 s on a stormy one (per-query jit deltas
+  // 10-49 s). C1 compiles are ~50x cheaper: measured jit deltas drop to
+  // 0.0-1.4 s per query and the suite lands at a deterministic ~89 s —
+  // only the per-row-heaviest aggregates (exact percentile, session
+  // windows) pay a visible steady-state penalty. On a long-lived
+  // production cluster the tradeoff reverses (hours of stable hot loops
+  // amortize C2); this flag is benchmark-harness tuning for a JVM that
+  // runs 46 distinct queries in minutes.
+  "-XX:TieredStopAtLevel=1",
   // Spark's generated-class cache (CodeGenerator.cache) holds only 100
   // entries by default — a static conf, shared JVM-wide. A 44-query suite
   // produces far more distinct generated sources; once the cache starts
@@ -50,4 +62,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // both idle. System property (not session conf) because static confs
   // bind at the first SparkSession and the cache is JVM-global.
   "-Dspark.sql.codegen.cache.maxEntries=10000",
-)
+  // Shuffle/local dirs on tmpfs: the third intermittent-stall mechanism
+  // found by sampling task threads during a degraded run — threads
+  // RUNNABLE inside BypassMergeSortShuffleWriter's per-reducer file
+  // creates + NIO concats (32 mappers x 32 reducers = 1024 tiny files
+  // per join shuffle) while user CPU sits idle: the container's backing
+  // disk intermittently throttles metadata ops. Every shuffle here is
+  // MBs; /dev/shm has 126 G. On a real cluster this maps to fast local
+  // NVMe / ESS for spark.local.dir — standard practice, not a bench
+  // trick.
+  "-Dspark.local.dir=/dev/shm/graft-spark-local",
+  // Experiment knob: extra JVM flags without editing the build.
+  ) ++ sys.env.get("GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

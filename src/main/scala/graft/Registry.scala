@@ -19,6 +19,7 @@ object Registry {
     ops.Dedup.queries,
     ops.Similarity.queries,
     ops.TextOps.queries,
+    ops.Sampling.queries,
     ops.Multimodal.queries,
     ops.StreamingOps.queries,
     crypto.CryptoParity.queries)

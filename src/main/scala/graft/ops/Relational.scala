@@ -285,9 +285,13 @@ object Relational {
   val q10b: Q = Q(
     "q10b_approx_distinct",
     (s, d) => {
-      // spread: single-row-group scan = one partition; the HLL++ partial
-      // (rsd 0.01 → large register arrays) would otherwise run one task.
-      Tables.spread(Tables.lineitem(s, d), col("l_partkey"))
+      // NOT spread: measured 3.9 s unspread vs 70 s with a
+      // repartition(l_partkey) in front — the 32-way rsd=0.01 HLL++
+      // partial buffers plus the distinct-rewrite generate enough code
+      // to storm the JIT for the whole session-group. The single-task
+      // partial is the cheaper local shape; at cluster scale the scan
+      // arrives pre-split and no repartition is wanted anyway.
+      Tables.lineitem(s, d)
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
@@ -561,6 +565,29 @@ object Relational {
             |  round(quantile_cont(l_discount, 0.25), 4) AS q1_disc
             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Q28b — approximate percentiles: the 100 TB path for q28's semantic.
+    * Exact `percentile` keeps a per-group value-count map whose size is
+    * unbounded in the number of distinct values; `approx_percentile`'s
+    * Greenwald-Khanna sketch is fixed-size, mergeable partial state — the
+    * only shape that survives groups with billions of rows. Sketch
+    * results are implementation-defined (DuckDB's approx_quantile uses a
+    * different algorithm) → rows-only driver check; the ScalaTest spec
+    * pins every estimate against q28's exact answers within the sketch's
+    * rank-error bound.
+    */
+  val q28b: Q = Q(
+    "q28b_approx_percentiles",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("approx_percentile(l_quantity, 0.5, 1000)"), 4).as("median_qty"),
+          round(expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 4).as("p95_price"),
+          round(expr("approx_percentile(l_discount, 0.25, 1000)"), 4).as("q1_disc"))
+        .orderBy("l_returnflag")
+    },
+    None)
+
   /** Q29 — pivot: order counts per status × priority. The oracle uses
     * conditional aggregation with the same output column names Spark's
     * pivot produces.
@@ -586,5 +613,5 @@ object Relational {
 
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
-    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q29)
+    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29)
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins the properties the rows-only driver check can't see: hash-sample
+  * determinism and join-consistency, stratified proportions, and the
+  * approx-percentile error bound vs the exact q28 answers.
+  */
+class SamplingSpec extends SparkTestBase {
+
+  test("hash sample: content-deterministic and join-consistent") {
+    val keys1 = Tables.orders(spark, sfDir)
+      .filter(pmod(xxhash64(col("o_orderkey")), lit(100)) < 10)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val keys2 = Tables.orders(spark, sfDir)
+      .repartition(7) // different layout, same membership
+      .filter(pmod(xxhash64(col("o_orderkey")), lit(100)) < 10)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(keys1 == keys2, "hash-sample membership must not depend on layout")
+    assert(keys1.nonEmpty)
+    // join-consistency: sampling lineitem by the SAME key hash keeps
+    // exactly the lineitems of sampled orders — referential integrity
+    // that Bernoulli sampling cannot give.
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(pmod(xxhash64(col("l_orderkey")), lit(100)) < 10)
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    val liOrders = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(li == liOrders.intersect(keys1),
+      "same-hash lineitem sample must be exactly the sampled orders' lineitems")
+  }
+
+  test("hash sample: fraction near 10%") {
+    val total = Tables.orders(spark, sfDir).count().toDouble
+    val sampled = Tables.orders(spark, sfDir)
+      .filter(pmod(xxhash64(col("o_orderkey")), lit(100)) < 10).count().toDouble
+    val frac = sampled / total
+    assert(frac > 0.05 && frac < 0.15, s"fraction $frac far from 0.10")
+  }
+
+  test("stratified sample: seeded-deterministic, proportions within tolerance") {
+    val r1 = Sampling.q34b.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r2 = Sampling.q34b.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == r2, "same seed must reproduce the same sample")
+    val totals = Tables.orders(spark, sfDir).groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = Map(
+      "1-URGENT" -> 0.5, "2-HIGH" -> 0.4, "3-MEDIUM" -> 0.3,
+      "4-NOT SPECIFIED" -> 0.2, "5-LOW" -> 0.1)
+    fractions.foreach { case (stratum, f) =>
+      val n = totals(stratum).toDouble
+      val got = r1.getOrElse(stratum, 0L).toDouble
+      // 5-sigma binomial tolerance
+      val tol = 5 * math.sqrt(n * f * (1 - f))
+      assert(math.abs(got - n * f) <= tol,
+        s"$stratum: sampled $got of $n at fraction $f (tolerance $tol)")
+    }
+  }
+
+  test("approx_percentile within tolerance of exact percentile (q28b vs q28)") {
+    def byFlag(q: graft.Q): Map[String, Seq[Double]] =
+      q.fn(spark, sfDir).collect()
+        .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+    val exact = byFlag(Relational.q28)
+    val approx = byFlag(Relational.q28b)
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (flag, ex) =>
+      ex.zip(approx(flag)).zipWithIndex.foreach { case ((e, a), i) =>
+        // GK sketch with accuracy 1000: rank error <= 1/1000; on these
+        // distributions that translates to a small relative value error.
+        assert(math.abs(a - e) <= math.max(0.05 * math.abs(e), 0.01),
+          s"$flag col$i: approx $a vs exact $e")
+      }
+    }
+  }
+}
