@@ -41,7 +41,21 @@ object Bench {
     spark
   }
 
+  /** Remove leftover shuffle dirs from SIGKILL'd prior runs: the tmpfs
+    * local dir (build.sbt) is exclusively ours and runs are serial, so a
+    * startup sweep cannot race a live JVM's files.
+    */
+  private[graft] def sweepLocalDirs(): Unit =
+    sys.props.get("spark.local.dir").filter(_.startsWith("/dev/shm/")).foreach { root =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty).foreach(rm)
+    }
+
   def main(args: Array[String]): Unit = {
+    sweepLocalDirs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Optional comma-separated filter for local bisection (driver unset).

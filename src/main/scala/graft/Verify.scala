@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    Bench.sweepLocalDirs()
     val Array(sfDir, outDir, rest @ _*) = args
     val only: Set[String] = rest.toSet // optional query-name filter (local dev)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -285,12 +285,11 @@ object Relational {
   val q10b: Q = Q(
     "q10b_approx_distinct",
     (s, d) => {
-      // NOT spread: measured 3.9 s unspread vs 70 s with a
-      // repartition(l_partkey) in front — the 32-way rsd=0.01 HLL++
-      // partial buffers plus the distinct-rewrite generate enough code
-      // to storm the JIT for the whole session-group. The single-task
-      // partial is the cheaper local shape; at cluster scale the scan
-      // arrives pre-split and no repartition is wanted anyway.
+      // NOT spread: measured repeatedly — repartitioning 600k rows and
+      // merging 32 rsd=0.01 HLL sketches (16k registers each) costs more
+      // (8-10 s) than the single-task partial it parallelizes (4.2 s
+      // steady). At cluster scale the scan arrives pre-split and the
+      // partial parallelism is free; locally the one-task shape wins.
       Tables.lineitem(s, d)
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
