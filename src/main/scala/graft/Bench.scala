@@ -19,6 +19,70 @@ object Bench {
     def compileMs: Long = ManagementFactory.getCompilationMXBean.getTotalCompilationTime
     def gcMs: Long =
       ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime.max(0L)).sum
+
+    private def slurp(p: String): String =
+      try {
+        val src = scala.io.Source.fromFile(p)
+        try src.mkString.trim finally src.close()
+      } catch { case _: Throwable => "?" }
+
+    /** One-field load average — appended to every per-query line so a
+      * degraded run shows whether the host was contended at that moment.
+      */
+    def load1: String = slurp("/proc/loadavg").split(" ").headOption.getOrElse("?")
+
+    /** Host conditions the bench cannot control but the numbers depend
+      * on: printed once per run so a slow BENCH_r{N} is attributable.
+      */
+    def envLine: String = {
+      val memAvail = slurp("/proc/meminfo").linesIterator
+        .find(_.startsWith("MemAvailable")).getOrElse("MemAvailable: ?")
+        .replaceAll("\\s+", " ")
+      val cpuMax = slurp("/sys/fs/cgroup/cpu.max") // "max 100000" = no quota
+      val shmFree = try {
+        val f = new java.io.File("/dev/shm")
+        s"${f.getUsableSpace / (1L << 30)}G"
+      } catch { case _: Throwable => "?" }
+      s"loadavg=${slurp("/proc/loadavg")} $memAvail cgroup.cpu.max=[$cpuMax] shmFree=$shmFree"
+    }
+  }
+
+  /** Per-query task-level accumulators: where wall-clock actually went.
+    * wall >> taskSum/32 with low cpu ⇒ tasks were stalled (IO / memory /
+    * host contention); taskSum ≈ cpu ⇒ genuine compute; wall >> taskSum
+    * ⇒ the gap is driver-side (job scheduling, broadcast build, codegen).
+    */
+  private final class QueryMetrics extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.LongAdder
+    val tasks, jobs = new LongAdder
+    val taskMs, cpuMs, gcMs, fetchWaitMs, shufWriteMs, deserMs = new LongAdder
+
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.increment()
+
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.increment()
+      if (t.taskInfo != null) taskMs.add(t.taskInfo.duration)
+      val m = t.taskMetrics
+      if (m != null) {
+        cpuMs.add(m.executorCpuTime / 1000000L)
+        gcMs.add(m.jvmGCTime)
+        fetchWaitMs.add(m.shuffleReadMetrics.fetchWaitTime)
+        shufWriteMs.add(m.shuffleWriteMetrics.writeTime / 1000000L)
+        deserMs.add(m.executorDeserializeTime)
+      }
+    }
+
+    def reset(): Unit =
+      Seq(tasks, jobs, taskMs, cpuMs, gcMs, fetchWaitMs, shufWriteMs, deserMs)
+        .foreach(_.reset())
+
+    def line: String = {
+      def s(a: LongAdder) = f"${a.sum / 1000.0}%.1fs"
+      s"jobs=${jobs.sum} tasks=${tasks.sum} taskSum=${s(taskMs)} cpu=${s(cpuMs)} " +
+        s"taskGc=${s(gcMs)} fetchWait=${s(fetchWaitMs)} shufWrite=${s(shufWriteMs)} " +
+        s"deser=${s(deserMs)}"
+    }
   }
 
   private def newSession(cpus: String): SparkSession = {
@@ -33,6 +97,14 @@ object Bench {
       // spark.default.parallelism-sized; data volume alone cannot reveal
       // generator/join fanout.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
+      // Sort-based shuffle writer even for small partition counts: the
+      // bypass-merge writer creates mappers×reducers (=1024) tiny files
+      // per exchange, and task-level metrics show shuffle-write TIME
+      // exceeding CPU time on the multi-exchange dedup queries (6.9s of
+      // 20.2s task time on q22b). The sort path writes one data+index
+      // file per mapper. Same reasoning a real cluster applies — bypass
+      // is only a win when per-file cost is negligible.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -56,6 +128,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     sweepLocalDirs()
+    System.err.println(s"[bench-env] ${Diag.envLine}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Optional comma-separated filter for local bisection (driver unset).
@@ -72,9 +145,11 @@ object Bench {
     // each group gets a small scan warmup so per-query timings still
     // exclude session startup.
     val groupSize = 4
+    val qm = new QueryMetrics
     val results = names.grouped(groupSize).flatMap { group =>
       SparkSession.getActiveSession.foreach(_.stop())
       val spark = newSession(cpus)
+      spark.sparkContext.addSparkListener(qm)
       Tables.all.foreach { t =>
         try {
           val df = if (t == "events") Tables.events(spark, sfDir)
@@ -83,6 +158,8 @@ object Bench {
         } catch { case _: Throwable => () }
       }
       group.map { case (name, fn) =>
+        org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
+        qm.reset()
         val t0 = System.nanoTime()
         val comp0 = Diag.compileMs
         val gc0 = Diag.gcMs
@@ -95,10 +172,12 @@ object Bench {
             false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        // Where did the wall time go? JIT-compile and GC deltas expose the
-        // run-dependent JVM-level stalls that plan inspection can't.
+        // Where did the wall time go? JVM-level JIT/GC deltas plus
+        // task-level sums expose the stalls plan inspection can't.
+        org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
         System.err.println(f"[bench-diag] $name wall=$dt%.1fs " +
-          f"jit=${(Diag.compileMs - comp0) / 1000.0}%.1fs gc=${(Diag.gcMs - gc0) / 1000.0}%.1fs")
+          f"jit=${(Diag.compileMs - comp0) / 1000.0}%.1fs " +
+          f"gc=${(Diag.gcMs - gc0) / 1000.0}%.1fs ${qm.line} load=${Diag.load1}")
         // Drop persisted tables between queries — a leftover cache from a
         // dedup query measurably contaminates its successors.
         try spark.catalog.clearCache() catch { case _: Throwable => () }

@@ -42,7 +42,14 @@ object CryptoParity {
 
   private def encryptedDir(s: SparkSession, d: String): String =
     writtenDirs.computeIfAbsent(d, _ => {
-      val dir = Files.createTempDirectory("graft-q24-").toString
+      // Ephemeral fixture, not a product artifact: prefer RAM-backed
+      // scratch (same rationale as spark.local.dir in build.sbt — the
+      // container's backing disk intermittently throttles metadata ops);
+      // production writes go wherever the caller points them.
+      val shm = new java.io.File("/dev/shm")
+      val dir = (if (shm.isDirectory && shm.canWrite)
+        Files.createTempDirectory(shm.toPath, "graft-q24-")
+      else Files.createTempDirectory("graft-q24-")).toString
       EncryptedParquet.write(Tables.nation(s, d), dir, nationPolicy,
         TestKmsServer.shared.url)
       dir

@@ -38,6 +38,9 @@ object GraftFunctions {
       exprs => SimHash64Expr(exprs(0))),
     ("minhash_signature", classOf[MinHashSignatureExpr],
       exprs => MinHashSignatureExpr(exprs(0), intArg(exprs(1), "minhash_signature"))),
+    ("minhash_bands", classOf[MinHashBandsExpr],
+      exprs => MinHashBandsExpr(exprs(0), intArg(exprs(1), "minhash_bands"),
+        intArg(exprs(2), "minhash_bands"))),
     ("ngram_shingles", classOf[NgramShinglesExpr],
       exprs => NgramShinglesExpr(exprs(0), intArg(exprs(1), "ngram_shingles"))),
     ("intersect_count", classOf[IntersectCount],
@@ -61,6 +64,10 @@ object GraftFunctions {
   /** Column API: k-element MinHash signature of an array<string> column. */
   def minhashSignature(shingles: Column, k: Int): Column =
     call_function("minhash_signature", shingles, lit(k))
+
+  /** Column API: LSH band hashes over the k-hash MinHash signature. */
+  def minhashBands(shingles: Column, k: Int, bands: Int): Column =
+    call_function("minhash_bands", shingles, lit(k), lit(bands))
 
   /** Column API: distinct word n-gram shingles of an array<string> column. */
   def ngramShingles(tokens: Column, n: Int): Column =

@@ -83,6 +83,47 @@ object HashKernels {
     new GenericArrayData(mins)
   }
 
+  /** MinHash LSH band hashes, fused: computes the k-element signature
+    * (exactly `minhashSignature`) and folds each band of `k / bands`
+    * consecutive signature elements into one 64-bit band hash (xxhash64
+    * fold seeded with the band index, so equal slices in different bands
+    * cannot collide by construction). One kernel call per row replaces
+    * signature + per-band `slice`+`xxhash64` expression trees — and with
+    * a single producing expression, projection collapse cannot duplicate
+    * the signature computation into each band's hash.
+    */
+  def minhashBands(shingles: ArrayData, k: Int, bands: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val sh = h1(shingles.getUTF8String(i))
+      var h = 0
+      while (h < k) {
+        val v = XXH64.hashInt(h, sh)
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    if (n == 0) java.util.Arrays.fill(mins, 0L)
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bh = XXH64.hashInt(b, Seed)
+      var r = 0
+      while (r < rows) {
+        bh = XXH64.hashLong(mins(b * rows + r), bh)
+        r += 1
+      }
+      out(b) = bh
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val Space = UTF8String.fromString(" ")
 
   /** Distinct word n-gram shingles in first-occurrence order (the same
@@ -180,6 +221,28 @@ case class MinHashSignatureExpr(child: Expression, k: Int) extends UnaryExpressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashSignature($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** minhash_bands(shingles: array<string>, k, bands) → array<long>
+  * (bands-element LSH band hashes over the k-hash MinHash signature).
+  */
+case class MinHashBandsExpr(child: Expression, k: Int, bands: Int)
+    extends UnaryExpression {
+  require(k > 0 && bands > 0 && k % bands == 0,
+    s"minhash_bands needs k > 0 divisible by bands, got k=$k bands=$bands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireStringArray(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashBands(input.asInstanceOf[ArrayData], k, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashBands($c, $k, $bands)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

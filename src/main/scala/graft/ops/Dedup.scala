@@ -46,16 +46,12 @@ object Dedup {
 
   /** Docs with their shingle sets: one codegen'd kernel per row, spread
     * across partitions (the single-row-group parquet file otherwise scans
-    * as ONE partition), materialized behind persist().
-    *
-    * The persist matters beyond reuse: InferFiltersFromGenerate
-    * synthesizes `size(sh) > 0` under every explode(sh), and predicate
-    * pushdown re-substitutes the column's full defining expression
-    * through exchanges down to the scan — an InMemoryRelation is the one
-    * true optimizer wall, and the cached table is shared by candidate
-    * generation and verification instead of recomputed per plan subtree.
-    * Caching doc shingles is the standard materialization step of a dedup
-    * pipeline at any scale (disk-backed at 100 TB).
+    * as ONE partition). Not persisted: the subtree appears in several
+    * places inside `cappedShingleDocs`' defining plan, but that plan is
+    * itself materialized exactly once behind the capped table's persist —
+    * re-running the shingling kernel per subtree is cheaper than a second
+    * cache barrier (at 100 TB the same tradeoff holds: checkpoint the
+    * CAPPED table, the one every downstream op reads).
     */
   def shingleDocs(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
@@ -65,7 +61,6 @@ object Dedup {
       .select(col("doc_id"),
         GraftFunctions.ngramShingles(tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** MinHash signature, HOF formulation — spec ground truth for the
@@ -135,6 +130,13 @@ object Dedup {
     * floor() on the cap matches the oracle's CAST(floor(...) AS BIGINT) —
     * double-truncation direction must agree on both sides or boundary
     * shingles flip at scale.
+    *
+    * The persist is the pipeline's one materialization and doubles as the
+    * optimizer wall: InferFiltersFromGenerate synthesizes `size(sh) > 0`
+    * under every downstream explode(sh) and would otherwise re-substitute
+    * the whole shingle/cap pipeline through the exchanges into both sides
+    * of the candidate self-joins (round 2 measured 95 s vs 17 s on q22a
+    * without such a barrier).
     */
   def cappedShingleDocs(s: SparkSession, d: String): DataFrame = {
     val docs = shingleDocs(s, d)
@@ -227,22 +229,15 @@ object Dedup {
     (s, d) => {
       val numHashes = 32
       val bands = 8
-      val rows = numHashes / bands
       val docs = cappedShingleDocs(s, d)
-      // Signature computed once per row by the codegen'd kernel; the
-      // repartition barrier keeps the 8 band-hash slices reading a plain
-      // attribute instead of re-running the kernel 8x after projection
-      // collapse.
-      val bandStructs = (0 until bands).map { b =>
-        struct(lit(b).as("band_idx"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)).as("band_hash"))
-      }
-      val banded = Tables.spread(docs
-          .select(col("doc_id"),
-            GraftFunctions.minhashSignature(col("sh"), numHashes).as("sig")),
-          col("doc_id"))
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-        .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
+      // Signature AND band hashes fused into one kernel call per row
+      // (minhash_bands) — a single producing expression, so projection
+      // collapse cannot re-run the signature once per band, and the
+      // banded table needs no repartition barrier: the band equi-join's
+      // own exchange provides the parallelism.
+      val banded = docs.select(col("doc_id"),
+        posexplode(GraftFunctions.minhashBands(col("sh"), numHashes, bands))
+          .as(Seq("band_idx", "band_hash")))
       val a = banded.as("a")
       val b = banded.as("b")
       val candidates = a.join(b.hint("shuffle_hash"),

@@ -206,8 +206,11 @@ object Similarity {
         val tablePlanes = planes.slice(t * k, t * k + k)
         (c: Column) => struct(lit(t).as("tbl"), lshBucket(c, tablePlanes).as("bkt"))
       }
-      val emb = Tables.spread(Tables.embeddings(s, d)
-        .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
+      // No repartition: every consumer below is a shuffle-hash join whose
+      // own exchange redistributes the rows; bucketing/projection ahead of
+      // the exchange is cheap map-side work even on a one-row-group scan.
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), dbl(col("embedding")).as("e"))
       val buckets = emb
         .withColumn("b", explode(array(tables.map(f => f(col("e"))): _*)))
         .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bkt").as("bkt"))
@@ -238,15 +241,18 @@ object Similarity {
 
   /** Q23e — IVF (inverted-file) ANN: the other classic scale path next
     * to LSH. Deterministic seeding (k smallest xxhash64(vec_id)), one
-    * Lloyd refinement step expressed declaratively (posexplode →
-    * per-dimension mean → re-assemble), corpus assigned to its nearest
-    * centroid, probes search only the `nprobe` nearest inverted lists.
+    * Lloyd refinement step, corpus assigned to its nearest centroid,
+    * probes search only the `nprobe` nearest inverted lists.
     *
-    * Scale shape: centroids are tiny and broadcast; the corpus is
-    * scanned/assigned once (candidate volume ≈ nprobe/k of the corpus
-    * per probe, never all-pairs); the whole clustering is DataFrame-only
-    * so it runs identically on a 1000-executor cluster. Approximate →
-    * rows-only driver check; ScalaTest pins recall vs q23's exact top-k.
+    * Scale shape: centroids are O(k·dim) and round-trip through the
+    * driver between steps — exactly how production k-means (MLlib
+    * included) iterates, independent of corpus size. Assignment is then
+    * an INLINE argmin over k centroid literals (`least` over
+    * (−cos, cid) structs, each cosine a codegen'd kernel call): one
+    * corpus scan per assignment, no crossJoin, no per-vector window
+    * shuffle. Candidate volume ≈ nprobe/k of the corpus per probe, never
+    * all-pairs. Approximate → rows-only driver check; ScalaTest pins
+    * recall vs q23's exact top-k.
     */
   val q23e: Q = Q(
     "q23e_cosine_ivf",
@@ -260,40 +266,44 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Deterministic seeds: the k corpus vectors with the smallest
       // vec_id hash (a seeded pseudo-random sample, stable across runs
-      // and executors). 16 rows — the single-partition window is fine.
-      val seeds = emb
+      // and executors); cid = rank in hash order.
+      val seeds: Seq[(Int, Seq[Double])] = emb
         .withColumn("h", xxhash64(col("vec_id")))
         .orderBy("h").limit(k)
-        .withColumn("cid", row_number().over(Window.orderBy("h")))
-        .select(col("cid"), col("e").as("ce"))
-      def assign(cents: DataFrame): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid").asc)
-        emb.crossJoin(broadcast(cents))
-          .withColumn("sim", cosine(col("e"), col("ce")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("cid"), col("vec_id"), col("e"))
-      }
-      // One Lloyd step: element-wise mean per cluster, dimensions
-      // re-assembled in order (array_sort on (pos, mean) structs).
-      val centroids = assign(seeds)
-        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "v")))
+        .select(col("e"))
+        .collect().toIndexedSeq.zipWithIndex
+        .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
+      // (−cos, cid) entries vs every centroid literal: struct ordering
+      // gives highest similarity first, ties to the smallest cid — the
+      // same tie-break as a (sim DESC, cid ASC) window rank.
+      def entries(vec: Column, cents: Seq[(Int, Seq[Double])]): Seq[Column] =
+        cents.map { case (cid, ce) =>
+          struct((-cosine(vec, typedLit(ce))).as("negsim"), lit(cid).as("cid"))
+        }
+      def nearest(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
+        least(entries(vec, cents): _*).getField("cid")
+      // One Lloyd step: element-wise mean per cluster (posexplode →
+      // per-dimension avg → re-assemble in dimension order).
+      val centroids: Seq[(Int, Seq[Double])] = emb
+        .select(nearest(col("e"), seeds).as("cid"),
+          posexplode(col("e")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
         .groupBy("cid")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("ce"))
-      val assigned = assign(centroids)
+        .collect().toIndexedSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val assigned = emb.select(nearest(col("e"), centroids).as("cid"),
+        col("vec_id"), col("e"))
+      // Each probe searches its nprobe nearest inverted lists.
       val probes = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
-      val wP = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("cid").asc)
-      val probeClusters = probes.crossJoin(broadcast(centroids))
-        .withColumn("sim", cosine(col("pe"), col("ce")))
-        .withColumn("rn", row_number().over(wP))
-        .filter(col("rn") <= nprobe)
-        .select(col("probe_id"), col("pe"), col("cid"))
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+          explode(slice(transform(
+            array_sort(array(entries(col("e"), centroids): _*)),
+            x => x.getField("cid")), 1, nprobe)).as("cid"))
       val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
-      assigned.join(broadcast(probeClusters), Seq("cid"))
+      assigned.join(broadcast(probes), Seq("cid"))
         .filter(col("vec_id") =!= col("probe_id"))
         .withColumn("cos", cosine(col("e"), col("pe")))
         .withColumn("rnk", row_number().over(wT).cast("long"))

@@ -17,13 +17,13 @@ class HashKernelsSpec extends SparkTestBase {
       .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
   }
 
-  test("builder table exposes the full six-function surface") {
+  test("builder table exposes the full seven-function surface") {
     // GraftSparkExtensions injects verbatim from this table, so pinning
     // it here pins the deployment (spark.sql.extensions) surface too —
     // the round-2 advisor caught the extension drifting to 3 of 6.
     assert(GraftFunctions.builders.map(_._1).toSet === Set(
-      "cosine_sim", "dot_product", "simhash64",
-      "minhash_signature", "ngram_shingles", "intersect_count"))
+      "cosine_sim", "dot_product", "simhash64", "minhash_signature",
+      "minhash_bands", "ngram_shingles", "intersect_count"))
   }
 
   test("ngram_shingles == array_distinct(transform(...)) on the corpus") {
@@ -56,6 +56,34 @@ class HashKernelsSpec extends SparkTestBase {
       .where(not(col("fast") === col("ref")))
       .count()
     assert(mismatch === 0L)
+  }
+
+  test("minhash_bands == per-band xxhash64 fold over minhash_signature") {
+    // Reference: band b = fold of XXH64.hashLong over its `rows`
+    // consecutive signature elements, seeded with hashInt(b, 42) — the
+    // banding q22b's candidate join keys on. Recomputed driver-side from
+    // the (already HOF-verified) signature kernel's output.
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val k = 32
+    val bands = 8
+    val rows = k / bands
+    val got = docs.select(GraftFunctions.ngramShingles(col("tk"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(
+        GraftFunctions.minhashSignature(col("sh"), k).as("sig"),
+        GraftFunctions.minhashBands(col("sh"), k, bands).as("bh"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val sig = r.getSeq[Long](0)
+      val bh = r.getSeq[Long](1)
+      assert(bh.length === bands)
+      (0 until bands).foreach { b =>
+        var h = XXH64.hashInt(b, 42L)
+        (0 until rows).foreach(rr => h = XXH64.hashLong(sig(b * rows + rr), h))
+        assert(bh(b) === h, s"band $b")
+      }
+    }
   }
 
   test("intersect_count == size(array_intersect) on shingle-set pairs") {
