@@ -113,6 +113,44 @@ object Bench {
     spark
   }
 
+  /** Pull the Spark jars (and the compiled classes) into the OS page
+    * cache before any query is timed. A freshly booted VM starts with a
+    * cold cache, and the JVM loads classes lazily — so the FIRST query to
+    * touch shuffle-hash-join / object-hash-aggregate / crypto classes
+    * pays hundreds of MB of (possibly host-throttled) disk reads inside
+    * its timed region. Reproduced locally: cold cache + an 8 MB/s cgroup
+    * read throttle put 19.7 s of task-deserialization (class loading)
+    * into one dedup query. Long-lived production executors never measure
+    * class loading; the bench shouldn't either.
+    */
+  private def prewarmPageCache(extraDirs: Seq[String]): Unit = {
+    val t0 = System.nanoTime()
+    val roots = (Seq("/opt/spark/jars", "target") ++ extraDirs)
+      .map(new java.io.File(_)).filter(_.exists())
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(files)
+      else Seq(f)
+    val all = roots.flatMap(files)
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    all.foreach { f =>
+      pool.execute { () =>
+        try {
+          val in = new java.io.FileInputStream(f)
+          val buf = new Array[Byte](1 << 20)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { bytes.addAndGet(n.toLong); n = in.read(buf) }
+          } finally in.close()
+        } catch { case _: Throwable => () }
+      }
+    }
+    pool.shutdown()
+    pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES): Unit
+    System.err.println(f"[bench-env] prewarm read ${bytes.get / 1e6}%.0f MB " +
+      f"(${all.size} files) in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+  }
+
   /** Remove leftover shuffle dirs from SIGKILL'd prior runs: the tmpfs
     * local dir (build.sbt) is exclusively ours and runs are serial, so a
     * startup sweep cannot race a live JVM's files.
@@ -136,6 +174,16 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    prewarmPageCache(Seq(sfDir))
+    // Same queries at the smallest scale factor as the per-group warmup:
+    // identical plan shapes hit the codegen cache, so the sf0.1 run
+    // reuses the very same generated classes already loaded, compiled
+    // and JIT'd — first-use class loading and Janino compilation land
+    // here, untimed, exactly like a warm production executor.
+    val warmDir = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sib.isDirectory && sib.toString != sfDir) Some(sib.toString) else None
+    }
 
     // Measurement isolation: a fresh SparkContext every few queries.
     // Running all 42 queries in one context shows progressive 10-40x
@@ -156,6 +204,13 @@ object Bench {
                    else Tables.load(spark, sfDir, t)
           df.count()
         } catch { case _: Throwable => () }
+      }
+      warmDir.foreach { wd =>
+        group.foreach { case (_, fn) =>
+          try fn(spark, wd).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
       }
       group.map { case (name, fn) =>
         org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)

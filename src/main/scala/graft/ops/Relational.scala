@@ -53,7 +53,13 @@ object Relational {
   val q02: Q = Q(
     "q02_agg_hash",
     (s, d) => {
-      val l = Tables.lineitem(s, d)
+      // spread: the single-row-group bench file scans as ONE partition,
+      // serializing the 600k-row partial aggregate on a single thread
+      // (2.4 s of the 2.6 s wall). Decimal-exact sums are reorder-safe,
+      // so parallelizing the partial cannot change the oracle hash. At
+      // cluster scale the scan arrives pre-split and this exchange is
+      // absent.
+      val l = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
       l.groupBy("l_returnflag", "l_linestatus")
         .agg(
           rsum(col("l_quantity")).as("sum_qty"),
@@ -285,15 +291,18 @@ object Relational {
   val q10b: Q = Q(
     "q10b_approx_distinct",
     (s, d) => {
-      // NOT spread: measured repeatedly — repartitioning 600k rows and
-      // merging 32 rsd=0.01 HLL sketches (16k registers each) costs more
-      // (8-10 s) than the single-task partial it parallelizes (4.2 s
-      // steady). At cluster scale the scan arrives pre-split and the
-      // partial parallelism is free; locally the one-task shape wins.
-      Tables.lineitem(s, d)
-        .agg(
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+      // The two aggregates are computed SEPARATELY and cross-joined
+      // (both are one row). Fusing them into a single .agg() plans an
+      // Expand + partial aggregate keyed by (gid, l_partkey) — the
+      // distinct-agg rewrite — which instantiates the rsd=0.01 HLL's
+      // 2^14-register buffer for EVERY distinct part key: ~26 GB of
+      // buffer zeroing for 200k keys (measured 4.5 s single-task /
+      // 102 s of task CPU when parallelized). Split, the sketch lives
+      // in exactly one buffer per partition — the shape that survives
+      // billion-row groups.
+      val l = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+      l.agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .crossJoin(l.agg(countDistinct(col("l_partkey")).as("exact_parts")))
     },
     None)
 
