@@ -20,6 +20,8 @@ object Registry {
     ops.Similarity.queries,
     ops.TextOps.queries,
     ops.Sampling.queries,
+    ops.Layout.queries,
+    ops.Skew.queries,
     ops.Multimodal.queries,
     ops.StreamingOps.queries,
     crypto.CryptoParity.queries)

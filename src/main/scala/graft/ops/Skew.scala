@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.{Canon, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -31,4 +32,33 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
     salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
   }
+
+  /** Q37 — the salted join as a first-class query: brand revenue via
+    * lineitem ⋈ part through `saltedJoin` on a pinned shuffle join (the
+    * scenario salting exists for — a broadcastable side needs no salt).
+    * The oracle is the PLAIN join SQL: hash-matching it proves salting
+    * is result-transparent, which is the entire contract of the
+    * technique.
+    */
+  val q37: Q = Q(
+    "q37_skew_salted_join",
+    (s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_partkey"), col("l_extendedprice"))
+      val p = Tables.part(s, d)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        .hint("shuffle_hash")
+      saltedJoin(l, p, "l_partkey", salts = 16)
+        .groupBy("p_brand")
+        .agg(Canon.rsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand,
+            |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+            |  count(*) AS n_items
+            |FROM lineitem JOIN part ON l_partkey = p_partkey
+            |GROUP BY p_brand
+            |ORDER BY p_brand""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q37)
 }

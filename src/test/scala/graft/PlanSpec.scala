@@ -70,6 +70,51 @@ class PlanSpec extends SparkTestBase {
       "spread must pin the partition count against AQE coalescing")
   }
 
+  test("q35: bucketed fact-fact join has no exchange and no sort below the join") {
+    val df = SparkEntry.queries("q35_bucketed_join")(spark, sfDir)
+    df.collect() // materialize AQE final plan
+    val p = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }).toString
+    assert(p.contains("SortMergeJoin"), s"bucketed join should sort-merge:\n$p")
+    // The ONLY allowed exchange is the final 5-row aggregate's; the join
+    // subtree (everything after the join line) must be exchange-free and
+    // sort-free — that IS the bucketing contract.
+    val joinSubtree = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$p")
+    assert(!joinSubtree.contains("+- Sort") && !joinSubtree.contains("+- *Sort"),
+      s"bucket-sorted input must not re-sort:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan not bucket-aware:\n$p")
+  }
+
+  test("q36: dated query prunes to 5 of 30 event-date partitions") {
+    val df = SparkEntry.queries("q36_partition_pruning")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), s"no partition filters:\n$p")
+    assert(p.contains("event_date"), s"pruning key absent from scan:\n$p")
+    // Count actual files scanned: 5 day-directories, one file each.
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scanned = plan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles
+    }
+    assert(scanned.exists(n => n >= 1L && n <= 10L),
+      s"expected ~5 pruned partition files, got $scanned:\n$p")
+  }
+
+  test("q37: salted join stays a shuffled join on (key, salt)") {
+    val p = planString("q37_skew_salted_join")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"salting demo must exercise the shuffle-join path:\n$p")
+    assert(p.contains("__salt"), s"salt key absent from join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"broadcast defeats the salting demo:\n$p")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}
