@@ -169,28 +169,34 @@ object Dedup {
     * shingle/cap pipeline into the two sides (round 2 measured 95 s vs
     * 17 s without such a barrier).
     */
+  /** The exact count-based set-similarity join behind q22a (and the edge
+    * list behind q38's cluster resolution): near-dup pairs (da < db) with
+    * capped-Jaccard ≥ `t`, unordered and unrounded.
+    */
+  def jaccardPairs(s: SparkSession, d: String, t: Double = 0.5): DataFrame = {
+    val ex = cappedShingleDocs(s, d)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("s"))
+    val a = ex.as("a")
+    val b = ex.as("b")
+    val inter = a.join(b.hint("shuffle_hash"),
+        col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        greatest(col("a.n"), col("b.n")) <= lit(2) * least(col("a.n"), col("b.n")))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= t)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
   val q22a: Q = Q(
     "q22a_jaccard_pairs",
-    (s, d) => {
-      val t = 0.5
-      val ex = cappedShingleDocs(s, d)
-        .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
-          explode(col("sh")).as("s"))
-      val a = ex.as("a")
-      val b = ex.as("b")
-      val inter = a.join(b.hint("shuffle_hash"),
-          col("a.s") === col("b.s") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          greatest(col("a.n"), col("b.n")) <= lit(2) * least(col("a.n"), col("b.n")))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          col("a.n").as("na"), col("b.n").as("nb"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
-        .filter(col("jaccard") >= t)
-        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy("da", "db")
-    },
+    (s, d) => jaccardPairs(s, d)
+      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("da", "db"),
     Some("""WITH toks AS (
             |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
             |  FROM documents),
@@ -297,5 +303,96 @@ object Dedup {
     },
     None)
 
-  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c)
+  /** Q38 — dup-cluster resolution: connected components over the
+    * near-dup pair graph (q22a's edges), labeling every document with the
+    * min doc_id of its transitive cluster — the pipeline stage that turns
+    * pairwise similarity into "keep one doc per cluster" (A~B and B~C
+    * must collapse to ONE survivor even when A~C was never emitted).
+    *
+    * Algorithm: iterative min-label propagation — each round every vertex
+    * takes the min label among itself and its neighbors; a driver loop
+    * over DataFrame actions runs until fixpoint (rounds ≤ graph diameter,
+    * and near-dup components are shallow by construction; the loop is the
+    * standard Spark shape for iterative graph algorithms — GraphX/
+    * GraphFrames iterate exactly like this). Edges are tiny relative to
+    * the corpus (only near-dup pairs), so each round is one small
+    * shuffle-hash join + aggregate; the corpus itself is never rescanned.
+    * Oracle: DuckDB recursive CTE over the same edge SQL.
+    */
+  /** Connected components of an undirected edge list (`src`, `dst`):
+    * returns (id, lbl) where lbl = min vertex id of the component.
+    * Iterative min-label propagation with a driver-side fixpoint loop —
+    * rounds ≤ graph diameter, each round one small shuffle-hash join +
+    * aggregate over the edge list only.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bi = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(disk)
+    var labels = bi.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(disk)
+    var pinned = labels // the currently persisted frame (labels projects it)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val prop = bi.join(labels.hint("shuffle_hash"), bi("dst") === labels("id"))
+        .select(bi("src").as("id"), col("lbl"), lit(null).cast("long").as("own"))
+      // The vertex's previous label rides along as `own`, so convergence
+      // is read off the SAME aggregate (no extra per-round join).
+      val next = labels.select(col("id"), col("lbl"), col("lbl").as("own")).union(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"), max("own").as("own"))
+        .persist(disk)
+      changed = next.filter(col("lbl") =!= col("own")).count()
+      pinned.unpersist()
+      pinned = next
+      labels = next.select(col("id"), col("lbl"))
+      rounds += 1
+    }
+    bi.unpersist()
+    labels
+  }
+
+  val q38: Q = Q(
+    "q38_dup_clusters",
+    (s, d) => {
+      val edges = jaccardPairs(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+      connectedComponents(edges)
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("cluster_id")
+    },
+    Some("""WITH RECURSIVE toks AS (
+            |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+            |  FROM documents),
+            |sh AS (
+            |  SELECT DISTINCT doc_id, t[i.i] || ' ' || t[i.i+1] || ' ' || t[i.i+2] AS s
+            |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) i
+            |  WHERE len(t) >= 3),
+            |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM sh),
+            |keep AS (
+            |  SELECT s FROM sh GROUP BY s
+            |  HAVING count(*) <= greatest(1000, CAST(floor(0.005 * (SELECT nd FROM nd)) AS BIGINT))),
+            |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+            |inter AS (
+            |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |pairs AS (
+            |  SELECT da, db
+            |  FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+            |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5),
+            |bi AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db AS src, da AS dst FROM pairs),
+            |reach AS (
+            |  SELECT DISTINCT src AS id, src AS r FROM bi
+            |  UNION
+            |  SELECT b.src AS id, rr.r AS r FROM bi b JOIN reach rr ON rr.id = b.dst),
+            |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+            |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+            |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38)
 }

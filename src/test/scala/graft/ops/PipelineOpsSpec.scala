@@ -23,6 +23,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(exact.subsetOf(lsh), s"missed pairs: ${exact -- lsh}")
   }
 
+  test("connected components: chain collapses transitively, disjoint pair stays apart") {
+    import spark.implicits._
+    // chain 10-11-12-13-14 (diameter 4, A~E never an edge) + pair 20-21
+    val edges = Seq((11L, 10L), (11L, 12L), (13L, 12L), (13L, 14L), (21L, 20L))
+      .toDF("src", "dst")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 14L).forall(got(_) == 10L), s"chain must share min label: $got")
+    assert(got(20L) == 20L && got(21L) == 20L, s"disjoint pair mislabeled: $got")
+    assert(got.size == 7)
+  }
+
   test("minhash output equals exact output on verified pairs") {
     val exact = Dedup.q22a.fn(spark, sfDir).collect().map(_.toSeq).toSet
     val lsh = Dedup.q22b.fn(spark, sfDir).collect().map(_.toSeq).toSet
