@@ -79,6 +79,63 @@ object CryptoParity {
     (s, d) => roundtrip(s, d, Some("INTERNAL"), Seq("n_nationkey", "n_regionkey")),
     Some("SELECT n_nationkey, n_regionkey FROM nation ORDER BY n_nationkey"))
 
+  /** Policy for the at-scale fact table: the money columns are the
+    * sensitive ones; keys/dates stay plaintext so layout-level pruning
+    * and joins on keys need no privilege.
+    */
+  private val lineitemPolicy = EncryptionPolicy(columnKeys = Map(
+    PrivilegeLevel.Internal     -> Seq("l_discount"),
+    PrivilegeLevel.Confidential -> Seq("l_extendedprice")))
+
+  private val writtenScaleDirs = new ConcurrentHashMap[String, String]()
+
+  /** Encrypted lineitem per sf dir, written once per JVM (the bench
+    * figure for q24d therefore includes this one-time write, amortized
+    * in steady state). zstd level 3, not the reference's demo-fixture
+    * level 19: at fact-table scale level-19 write CPU dwarfs the
+    * encryption overhead the query exists to measure; q24 keeps exact
+    * reference parity (19) on the reference-shaped dataset.
+    */
+  private def encryptedLineitemDir(s: SparkSession, d: String): String =
+    writtenScaleDirs.computeIfAbsent(d, _ => {
+      val shm = new java.io.File("/dev/shm")
+      val dir = (if (shm.isDirectory && shm.canWrite)
+        Files.createTempDirectory(shm.toPath, "graft-q24d-")
+      else Files.createTempDirectory("graft-q24d-")).toString
+      EncryptedParquet.write(Tables.lineitem(s, d), dir, lineitemPolicy,
+        TestKmsServer.shared.url, zstdLevel = 3)
+      dir
+    })
+
+  /** Q24d — encryption overhead at fact-table scale (the BASELINE §B
+    * promise): q01's filter+project, but over the PME-encrypted lineitem
+    * at RESTRICTED. Same oracle as q01 — the encrypted path must return
+    * byte-identical rows — and BENCH's q24d-vs-q01 delta IS the measured
+    * read-side encryption overhead. Predicate pushdown still applies:
+    * PME encrypts page statistics with the column's own DEK, so an
+    * authorized reader keeps min/max skipping (README.md:30-31).
+    */
+  val q24d: Q = Q(
+    "q24d_encrypted_scale_scan",
+    (s, d) => {
+      val df = EncryptedParquet.read(s, encryptedLineitemDir(s, d),
+        TestKmsServer.shared.url, Some("RESTRICTED"))
+      df.filter(
+          df("l_shipdate") >= org.apache.spark.sql.functions.to_timestamp(
+            org.apache.spark.sql.functions.lit("1996-01-01")) &&
+          df("l_shipdate") < org.apache.spark.sql.functions.to_timestamp(
+            org.apache.spark.sql.functions.lit("1997-01-01")) &&
+          df("l_discount").between(0.05, 0.07) &&
+          df("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+            |FROM lineitem
+            |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+            |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+            |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
   /** Q24c — tokenless read of plaintext column under plaintext footer:
     * only the PUBLIC footer-signing KEK is unwrapped, which requires no
     * privilege (README.md:126-127).
@@ -88,5 +145,5 @@ object CryptoParity {
     (s, d) => roundtrip(s, d, None, Seq("n_nationkey")),
     Some("SELECT n_nationkey FROM nation ORDER BY n_nationkey"))
 
-  val queries: Seq[Q] = Seq(q24, q24b, q24c)
+  val queries: Seq[Q] = Seq(q24, q24b, q24c, q24d)
 }
