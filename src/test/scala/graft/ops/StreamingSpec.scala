@@ -62,6 +62,34 @@ class StreamingSpec extends SparkTestBase {
     assert(canon(streaming) == canon(batch))
   }
 
+  test("stream-stream interval join: streaming equals batch (q07 semantics)") {
+    // Two watermarked streams over the same event log, joined on user
+    // with a bounded time range — the streaming form of q07's interval
+    // join. Inner join + append mode; the time bound is what lets the
+    // engine age out join state at the watermark.
+    def sides(df: DataFrame): (DataFrame, DataFrame) = (
+      df.select(col("user_id").as("ua"), col("ts").as("tsa"), col("event_id").as("ea")),
+      df.select(col("user_id").as("ub"), col("ts").as("tsb"), col("event_id").as("eb")))
+    def joined(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b,
+        col("ua") === col("ub") &&
+        col("tsb") >= col("tsa") &&
+        col("tsb") <= col("tsa") + expr("INTERVAL 1 HOUR") &&
+        col("ea") < col("eb"))
+    val (sa, sb) = sides(streamEvents())
+    val q = joined(
+        sa.withWatermark("tsa", "2 hours"),
+        sb.withWatermark("tsb", "2 hours"))
+      .writeStream.format("memory").queryName("t_ssjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (ba, bb) = sides(Tables.events(spark, sfDir))
+    val want = joined(ba, bb).count()
+    assert(want > 0, "interval join should produce pairs")
+    assert(spark.table("t_ssjoin").count() == want)
+  }
+
   test("watermarked dedup drops exact duplicate events") {
     val dupDir = Files.createTempDirectory("graft-stream-dup-").toString
     val ev = Tables.events(spark, sfDir)
