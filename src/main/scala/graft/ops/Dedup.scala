@@ -394,5 +394,36 @@ object Dedup {
             |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
             |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38)
+  /** Q39 — incremental dedup: an incoming batch (doc_id mod 10 ∈ {8,9},
+    * a portable stand-in for "today's crawl") is admitted only if its
+    * normalized text doesn't already exist in the corpus (the other 80%).
+    * LEFT ANTI join on the normalized-text key — one hash shuffle of the
+    * (small) incoming side against the corpus, the standard shape for
+    * append-only ingestion at 100 TB (the corpus side would be a
+    * bucketed/partitioned table so repeated daily runs shuffle only the
+    * new batch).
+    */
+  val q39: Q = Q(
+    "q39_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val existing = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+        .select(normText(col("text")).as("norm"))
+      val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .select(col("doc_id"), normText(col("text")).as("norm"))
+      incoming.join(existing, Seq("norm"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT i.doc_id
+            |FROM documents i
+            |WHERE i.doc_id % 10 >= 8
+            |  AND NOT EXISTS (
+            |    SELECT 1 FROM documents e
+            |    WHERE e.doc_id % 10 < 8
+            |      AND regexp_replace(trim(lower(e.text)), '\s+', ' ', 'g')
+            |        = regexp_replace(trim(lower(i.text)), '\s+', ' ', 'g'))
+            |ORDER BY i.doc_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38, q39)
 }
