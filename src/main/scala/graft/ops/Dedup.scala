@@ -327,8 +327,31 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val bi = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val s = edges.sparkSession
+    // The edge list is orders of magnitude smaller than the corpus (only
+    // near-dup pairs), but each fixpoint round is a join+agg+count whose
+    // exchanges inherit the session's corpus-sized shuffle parallelism —
+    // mostly-empty tasks that make the rounds latency-bound. Run the
+    // loop's own shuffles narrower; the conf is restored before the
+    // caller's final aggregate plans. (At true edge scale one would size
+    // this to the edge volume — it is a per-stage tuning knob, not a
+    // semantic.)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try connectedComponentsLoop(edges, disk)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def connectedComponentsLoop(
+      edges: DataFrame,
+      disk: org.apache.spark.storage.StorageLevel): DataFrame = {
+    // Both edge directions from ONE pass over the edge plan (explode of a
+    // 2-struct array) — a union of two selects would materialize the
+    // upstream pair pipeline once per branch.
+    val bi = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(disk)
     var labels = bi.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
