@@ -107,6 +107,30 @@ class FileMetadataSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally bare.close()
   }
 
+  test("encryption size overhead is small (encrypted/plaintext bytes ratio)") {
+    // BASELINE §B promised metric. PME encrypts AFTER compression, so
+    // the on-disk delta is key material (internal, in the footer) + GCM
+    // nonces/tags per module — bounded bytes per page/chunk, not a
+    // compression-ratio regression. Same writer settings both sides.
+    def dirBytes(d: String): Long =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val encDir = Files.createTempDirectory("graft-size-enc-").toString
+    val plainDir = Files.createTempDirectory("graft-size-plain-").toString
+    EncryptedParquet.write(docs, encDir,
+      EncryptionPolicy(columnKeys = Map(PrivilegeLevel.Confidential -> Seq("text"))),
+      kms.url, zstdLevel = 3)
+    docs.write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("parquet.compression.codec.zstd.level", "3")
+      .option("parquet.writer.version", "v2")
+      .parquet(plainDir)
+    val ratio = dirBytes(encDir).toDouble / dirBytes(plainDir)
+    assert(ratio >= 1.0 && ratio < 1.10,
+      f"encrypted/plaintext size ratio $ratio%.4f out of expected band")
+  }
+
   test("decryption requires the right privilege per column key") {
     // RESTRICTED unwraps everything; the reader above already proved the
     // happy path. Confirm the footer records the expected column count so
