@@ -115,6 +115,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastHashJoin"), s"broadcast defeats the salting demo:\n$p")
   }
 
+  test("no registered query plans a CartesianProduct (big-by-big cross join)") {
+    // Suite-wide 100 TB invariant: broadcast nested-loop joins against
+    // tiny/scalar sides are acceptable (q23b's exact baseline, 1-row
+    // broadcast factors), but a non-broadcast cartesian product means
+    // two unbounded sides got crossed — always a scale bug.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = try fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}
