@@ -58,8 +58,13 @@ object Relational {
       // (2.4 s of the 2.6 s wall). Decimal-exact sums are reorder-safe,
       // so parallelizing the partial cannot change the oracle hash. At
       // cluster scale the scan arrives pre-split and this exchange is
-      // absent.
-      val l = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+      // absent. Project BEFORE the exchange — only the 5 agg columns
+      // cross the wire, not the 11-column row.
+      val l = Tables.spread(
+        Tables.lineitem(s, d).select(
+          "l_returnflag", "l_linestatus", "l_quantity",
+          "l_extendedprice", "l_discount", "l_orderkey"),
+        col("l_orderkey"))
       l.groupBy("l_returnflag", "l_linestatus")
         .agg(
           rsum(col("l_quantity")).as("sum_qty"),
@@ -300,7 +305,9 @@ object Relational {
       // 102 s of task CPU when parallelized). Split, the sketch lives
       // in exactly one buffer per partition — the shape that survives
       // billion-row groups.
-      val l = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+      val l = Tables.spread(
+        Tables.lineitem(s, d).select("l_partkey", "l_orderkey"),
+        col("l_orderkey"))
       l.agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
         .crossJoin(l.agg(countDistinct(col("l_partkey")).as("exact_parts")))
     },
