@@ -27,9 +27,18 @@ class GraftFacadeSpec extends SparkTestBase {
       "SELECT dot_product(array(2.0d, 3.0d), array(4.0d, 5.0d))",
       "SELECT simhash64(array('a', 'b'))",
       "SELECT minhash_signature(array('a', 'b'), 4)",
+      "SELECT minhash_bands(array('a', 'b'), 32, 8)",
       "SELECT ngram_shingles(array('a', 'b', 'c', 'd'), 3)",
       "SELECT intersect_count(array('a', 'b'), array('b', 'c'))")
     sqls.foreach(q => assert(spark.sql(q).collect().length == 1, q))
+  }
+
+  test("driver contract: entry() returns segment revenue rows") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length > 0, "driver smoke-checks rows > 0")
+    assert(rows.forall(_.getDouble(1) > 0), "revenue must be positive")
+    val cols = SparkEntry.entry(spark).columns.toSeq
+    assert(cols == Seq("c_mktsegment", "revenue", "n_orders"))
   }
 
   test("query lookup: known name resolves, unknown name lists options") {
