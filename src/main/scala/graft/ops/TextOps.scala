@@ -158,5 +158,46 @@ object TextOps {
     },
     None)
 
-  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33)
+  /** Q41 — end-to-end corpus curation, the composition every
+    * training-data pipeline runs as ONE declarative plan: exact dedup
+    * (min-doc_id keeper per normalized text) → quality gate (token-count
+    * band + digit-ratio cap) → deterministic key-mod sample (80%) →
+    * per-language corpus stats. Catalyst fuses the per-row stages into
+    * the scan projection; the only shuffles are the dedup groupBy, its
+    * keeper join, and the final 5-row aggregate — at 100 TB this is
+    * exactly the three-exchange shape you would hand-design.
+    */
+  val q41: Q = Q(
+    "q41_corpus_curation",
+    (s, d) => {
+      val dd = docs(s, d).select(col("doc_id"), col("lang"), col("text"),
+        Dedup.normText(col("text")).as("norm"))
+      val keep = dd.groupBy("norm").agg(min("doc_id").as("doc_id")).select("doc_id")
+      val digitRatio = (length(col("text")) -
+        length(regexp_replace(col("text"), "[0-9]", ""))).cast("double") /
+        length(col("text"))
+      dd.join(keep.hint("shuffle_hash"), Seq("doc_id"))
+        .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+        .filter(col("n_tokens") >= 10 && col("n_tokens") <= 5000 &&
+          digitRatio < 0.3 && pmod(col("doc_id"), lit(5)) < 4)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("lang")
+    },
+    Some("""WITH norm AS (
+            |  SELECT doc_id, lang, text,
+            |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+            |  FROM documents),
+            |keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY norm),
+            |q AS (
+            |  SELECT n.doc_id, n.lang, len(string_split(n.norm, ' ')) AS n_tokens
+            |  FROM norm n JOIN keep k USING (doc_id)
+            |  WHERE len(string_split(n.norm, ' ')) BETWEEN 10 AND 5000
+            |    AND CAST(length(n.text) - length(regexp_replace(n.text, '[0-9]', '', 'g')) AS DOUBLE) / length(n.text) < 0.3
+            |    AND n.doc_id % 5 < 4)
+            |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            |FROM q GROUP BY lang ORDER BY lang""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41)
 }
