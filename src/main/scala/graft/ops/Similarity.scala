@@ -314,5 +314,91 @@ object Similarity {
     },
     None)
 
-  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e)
+  /** Q23f — product-quantization (PQ) ANN: the third classic scale path
+    * next to LSH (q23c/d) and IVF (q23e). The 64-dim corpus is split
+    * into M=8 subvectors of 8 dims; each subspace gets its own K=16
+    * codebook (seeded k-means, one Lloyd step, centroids driver-resident
+    * like q23e); a vector is stored as 8 small codes — a 32× memory
+    * compression, which is what makes billion-vector corpora scannable
+    * at all. Probes score candidates against the RECONSTRUCTED
+    * (quantized) vectors with the codegen'd cosine kernel, take a
+    * candidate pool per probe, then re-rank the pool exactly against the
+    * true embeddings — the standard PQ + exact-refine shape. Approximate
+    * → rows-only driver check; ScalaTest pins recall vs q23.
+    */
+  val q23f: Q = Q(
+    "q23f_cosine_pq",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val M = 8 // subvectors
+      val K = 16 // centroids per subspace
+      val sub = 8 // dims per subvector
+      val emb = Tables.spread(Tables.embeddings(s, d)
+        .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Seeds: the K corpus vectors with the smallest vec_id hash; each
+      // subspace starts from that vector's own slice.
+      val seedRows: IndexedSeq[Seq[Double]] = emb
+        .withColumn("h", xxhash64(col("vec_id")))
+        .orderBy("h").limit(K)
+        .select(col("e")).collect().toIndexedSeq.map(_.getSeq[Double](0))
+      def sliceOf(v: Seq[Double], m: Int): Seq[Double] = v.slice(m * sub, m * sub + sub)
+      // argmin_k ||x − c_k||² = argmin_k (||c_k||² − 2·x·c_k); ties to the
+      // smallest code, like every other argmin in this module.
+      def nearestCode(svec: Column, cents: IndexedSeq[Seq[Double]]): Column =
+        least(cents.zipWithIndex.map { case (c, k) =>
+          val c2 = c.map(x => x * x).sum
+          struct((lit(c2) - lit(2.0) * GraftFunctions.dotProduct(svec, typedLit(c)))
+            .as("d2"), lit(k).as("code"))
+        }: _*).getField("code")
+      // One Lloyd step per subspace: assign against the seed slices, then
+      // per-(code, dim) means — M tiny aggregates, codebooks collected to
+      // the driver (O(M·K·sub) doubles, corpus-size-independent).
+      val codebooks: IndexedSeq[IndexedSeq[Seq[Double]]] =
+        (0 until M).map { m =>
+          val seedSlices = seedRows.map(sliceOf(_, m))
+          val refined = emb
+            .select(nearestCode(slice(col("e"), m * sub + 1, sub), seedSlices).as("code"),
+              posexplode(slice(col("e"), m * sub + 1, sub)).as(Seq("pos", "v")))
+            .groupBy("code", "pos").agg(avg(col("v")).as("mu"))
+            .groupBy("code")
+            .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+              x => x.getField("mu")).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+          // a code can end up empty after reassignment; keep its seed
+          (0 until K).map(k => refined.getOrElse(k, seedSlices(k)))
+        }
+      // Encode the corpus: 8 codes per vector, then reconstruct the
+      // quantized vector from the codebook literals (flatten of per-code
+      // centroid lookups) for approximate scoring.
+      val cbLit = typedLit(codebooks.map(_.toSeq).toSeq) // M × K × sub
+      val encoded = emb.select(col("vec_id"),
+        array((0 until M).map(m =>
+          nearestCode(slice(col("e"), m * sub + 1, sub), codebooks(m))): _*).as("codes"))
+      val reconstructed = encoded.select(col("vec_id"),
+        flatten(transform(sequence(lit(0), lit(M - 1)),
+          m => element_at(element_at(cbLit, m + 1),
+            element_at(col("codes"), m + 1) + 1))).as("qe"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      val wPool = Window.partitionBy("probe_id").orderBy(col("qcos").desc, col("vec_id").asc)
+      val pool = reconstructed.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("qcos", cosine(col("qe"), col("pe")))
+        .withColumn("prank", row_number().over(wPool))
+        .filter(col("prank") <= 64) // candidate pool: ~3% of the corpus per probe
+        .select(col("probe_id"), col("vec_id"), col("pe"))
+      val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+      pool
+        .join(emb.hint("shuffle_hash"), Seq("vec_id"))
+        .withColumn("cos", cosine(col("e"), col("pe")))
+        .withColumn("rnk", row_number().over(wT).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy("probe_id", "rnk")
+    },
+    None)
+
+  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f)
 }

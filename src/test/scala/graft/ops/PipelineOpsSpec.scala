@@ -72,6 +72,19 @@ class PipelineOpsSpec extends SparkTestBase {
       approx ++ exact), "sanity")
   }
 
+  test("PQ top-k has usable recall against brute force (sf0.001)") {
+    val exact = Similarity.q23.fn(spark, sfDir).select("probe_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.q23f.fn(spark, sfDir).select("probe_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    // 16-centroid/8-dim codebooks on near-random data quantize coarsely;
+    // the exact-refine pool recovers most of it (0.72 measured at
+    // sf0.01). Floor pins regressions, not the ceiling.
+    assert(recall >= 0.5, s"recall $recall below floor")
+    assert(pq.size == exact.size, "both return k per probe")
+  }
+
   test("LSH threshold-pairs: subset of exact q23b, recall above floor (sf0.001)") {
     val exact = Similarity.q23b.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
