@@ -115,6 +115,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastHashJoin"), s"broadcast defeats the salting demo:\n$p")
   }
 
+  test("q22a/q22b: candidate joins stay on pinned shuffle-hash strategy") {
+    // Round-1 driver regression: AQE flipped q22a's exploded self-join
+    // onto a broadcast of the exploded side (230 s vs 24 s). The hints
+    // must keep every candidate join on SHJ at any size estimate.
+    Seq("q22a_jaccard_pairs", "q22b_minhash_pairs").foreach { name =>
+      val p = planString(name)
+      assert(p.contains("ShuffledHashJoin"), s"$name lost its pinned SHJ:\n$p")
+      // (BroadcastNestedLoopJoin DOES legitimately appear inside the
+      // cached capped-shingle pipeline: 1-row broadcasts of the hot-set
+      // and corpus-count scalars. The suite-wide CartesianProduct guard
+      // covers the genuinely dangerous case.)
+      assert(!p.contains("CartesianProduct"), s"$name must stay on equi-joins:\n$p")
+    }
+  }
+
   test("no registered query plans a CartesianProduct (big-by-big cross join)") {
     // Suite-wide 100 TB invariant: broadcast nested-loop joins against
     // tiny/scalar sides are acceptable (q23b's exact baseline, 1-row
