@@ -50,6 +50,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // amortize C2); this flag is benchmark-harness tuning for a JVM that
   // runs 46 distinct queries in minutes.
   "-XX:TieredStopAtLevel=1",
+  // Compile sooner: the default Tier3 thresholds (200 invocations / 60k
+  // backedges) leave a freshly generated megamethod interpreted for its
+  // first ~10-60k loop iterations PER ENTRY — and Spark enters
+  // processNext() about once per task, so short-lived tasks re-pay the
+  // ~30x interpreted phase again and again (measured: identical q02 runs
+  // at 180s-of-task-CPU then 6s once the method-entry compile landed).
+  // Lower thresholds pull that compile into the bench's full-scale
+  // warmup run. Production executors live for hours and never notice
+  // these defaults; a 46-query JVM does.
+  "-XX:Tier3InvocationThreshold=60",
+  "-XX:Tier3MinInvocationThreshold=30",
+  "-XX:Tier3CompileThreshold=60",
+  "-XX:Tier3BackEdgeThreshold=1000",
   // Spark's generated-class cache (CodeGenerator.cache) holds only 100
   // entries by default — a static conf, shared JVM-wide. A 44-query suite
   // produces far more distinct generated sources; once the cache starts
