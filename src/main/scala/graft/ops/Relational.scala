@@ -299,16 +299,27 @@ object Relational {
       // The two aggregates are computed SEPARATELY and cross-joined
       // (both are one row). Fusing them into a single .agg() plans an
       // Expand + partial aggregate keyed by (gid, l_partkey) — the
-      // distinct-agg rewrite — which instantiates the rsd=0.01 HLL's
-      // 2^14-register buffer for EVERY distinct part key: ~26 GB of
-      // buffer zeroing for 200k keys (measured 4.5 s single-task /
-      // 102 s of task CPU when parallelized). Split, the sketch lives
-      // in exactly one buffer per partition — the shape that survives
-      // billion-row groups.
+      // distinct-agg rewrite — which instantiates the sketch buffer for
+      // EVERY distinct part key. Split, the sketch lives in exactly one
+      // buffer per partition — the shape that survives billion-row
+      // groups.
+      //
+      // DataSketches HLL (lgK=14, ~0.8% rse), not
+      // approx_count_distinct(0.01): Spark's HLL++ at rsd=0.01 keeps its
+      // 2^14 registers as ~1,536 LONG COLUMNS in the aggregation-buffer
+      // schema, and TungstenAggregationIterator re-generates the
+      // UnsafeProjection SOURCE for that schema once per task — caught
+      // live with 32 task threads inside codegen string-building
+      // (200-600 s of task CPU and 40-160 s of GC for a 600k-row
+      // sketch). The DataSketches buffer is ONE binary column: per-task
+      // setup is constant whatever the precision, which is also why it
+      // is the right sketch at 100 TB (mergeable, storable, and buffer
+      // width is decoupled from the row schema).
       val l = Tables.spread(
         Tables.lineitem(s, d).select("l_partkey", "l_orderkey"),
         col("l_orderkey"))
-      l.agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      l.agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14)))
+          .as("approx_parts"))
         .crossJoin(l.agg(countDistinct(col("l_partkey")).as("exact_parts")))
     },
     None)

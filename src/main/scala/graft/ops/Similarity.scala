@@ -337,49 +337,68 @@ object Similarity {
       val emb = Tables.spread(Tables.embeddings(s, d)
         .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Codebooks are DATA, not code: assignment is a broadcast equi-join
+      // of (vector, subspace) slices against a (subspace, code, centroid)
+      // table, argmin'd with min_by. An earlier formulation inlined all
+      // M×K centroids as expression literals (`least` over K structs per
+      // subspace, M times, in one projection) — a generated megamethod so
+      // large it spent more time in per-task codegen/JIT than in
+      // arithmetic (measured 55 s / 600 s task-CPU at sf0.1 vs ~2 s for
+      // this shape). The join form is also the only shape that survives
+      // realistic K: at K=256 the literal tree is unplannable, while this
+      // broadcast stays O(M·K·sub) doubles.
+      //
+      // argmin_k ||x − c_k||² = argmin_k (||c_k||² − 2·x·c_k); ties to
+      // the smallest code via the (d2, code) ordering struct.
+      val sliced = emb.select(col("vec_id"), col("e"),
+        explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"), slice(col("e"), m * sub + 1, sub).as("sv"))): _*)).as("s"))
+        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+      def assign(cb: DataFrame): DataFrame =
+        sliced.join(broadcast(cb), Seq("m"))
+          .withColumn("d2", col("c2") - lit(2.0) * GraftFunctions.dotProduct(col("sv"), col("ce")))
+          .groupBy("vec_id", "m")
+          .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
       // Seeds: the K corpus vectors with the smallest vec_id hash; each
-      // subspace starts from that vector's own slice.
+      // subspace starts from that vector's own slice. One small driver
+      // collect — O(K·dim), corpus-size-independent, like MLlib k-means.
       val seedRows: IndexedSeq[Seq[Double]] = emb
         .withColumn("h", xxhash64(col("vec_id")))
         .orderBy("h").limit(K)
         .select(col("e")).collect().toIndexedSeq.map(_.getSeq[Double](0))
-      def sliceOf(v: Seq[Double], m: Int): Seq[Double] = v.slice(m * sub, m * sub + sub)
-      // argmin_k ||x − c_k||² = argmin_k (||c_k||² − 2·x·c_k); ties to the
-      // smallest code, like every other argmin in this module.
-      def nearestCode(svec: Column, cents: IndexedSeq[Seq[Double]]): Column =
-        least(cents.zipWithIndex.map { case (c, k) =>
-          val c2 = c.map(x => x * x).sum
-          struct((lit(c2) - lit(2.0) * GraftFunctions.dotProduct(svec, typedLit(c)))
-            .as("d2"), lit(k).as("code"))
-        }: _*).getField("code")
-      // One Lloyd step per subspace: assign against the seed slices, then
-      // per-(code, dim) means — M tiny aggregates, codebooks collected to
-      // the driver (O(M·K·sub) doubles, corpus-size-independent).
-      val codebooks: IndexedSeq[IndexedSeq[Seq[Double]]] =
-        (0 until M).map { m =>
-          val seedSlices = seedRows.map(sliceOf(_, m))
-          val refined = emb
-            .select(nearestCode(slice(col("e"), m * sub + 1, sub), seedSlices).as("code"),
-              posexplode(slice(col("e"), m * sub + 1, sub)).as(Seq("pos", "v")))
-            .groupBy("code", "pos").agg(avg(col("v")).as("mu"))
-            .groupBy("code")
-            .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
-              x => x.getField("mu")).as("c"))
-            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-          // a code can end up empty after reassignment; keep its seed
-          (0 until K).map(k => refined.getOrElse(k, seedSlices(k)))
-        }
-      // Encode the corpus: 8 codes per vector, then reconstruct the
-      // quantized vector from the codebook literals (flatten of per-code
-      // centroid lookups) for approximate scoring.
-      val cbLit = typedLit(codebooks.map(_.toSeq).toSeq) // M × K × sub
-      val encoded = emb.select(col("vec_id"),
-        array((0 until M).map(m =>
-          nearestCode(slice(col("e"), m * sub + 1, sub), codebooks(m))): _*).as("codes"))
-      val reconstructed = encoded.select(col("vec_id"),
-        flatten(transform(sequence(lit(0), lit(M - 1)),
-          m => element_at(element_at(cbLit, m + 1),
-            element_at(col("codes"), m + 1) + 1))).as("qe"))
+      def cbDf(cents: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+        import s.implicits._
+        cents.toDF("m", "code", "ce")
+          .withColumn("c2", GraftFunctions.dotProduct(col("ce"), col("ce")))
+      }
+      val seedCb = cbDf(for {
+        m <- 0 until M; (v, k) <- seedRows.zipWithIndex
+      } yield (m, k, v.slice(m * sub, m * sub + sub)))
+      // One Lloyd step across ALL subspaces in one pass: assign against
+      // the seeds, per-(m, code, dim) means, one driver collect of the
+      // refined codebook (empty codes keep their seed centroid).
+      val refined: Map[(Int, Int), Seq[Double]] = assign(seedCb)
+        .join(sliced, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("m", "code", "pos").agg(avg(col("v")).as("mu"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+          x => x.getField("mu")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      val cb = cbDf(for {
+        m <- 0 until M; k <- 0 until K
+      } yield (m, k, refined.getOrElse((m, k),
+        seedRows(k).slice(m * sub, m * sub + sub))))
+      // Encode the corpus (8 small codes per vector — the 32x compression
+      // that makes billion-vector corpora scannable), then reconstruct
+      // the quantized vector by joining codes back to centroids and
+      // assembling in subspace order.
+      val reconstructed = assign(cb)
+        .join(broadcast(cb.select(col("m"), col("code"), col("ce"))), Seq("m", "code"))
+        .groupBy("vec_id")
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("m"), col("ce")))),
+          x => x.getField("ce"))).as("qe"))
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("e").as("pe"))
       val wPool = Window.partitionBy("probe_id").orderBy(col("qcos").desc, col("vec_id").asc)
