@@ -43,6 +43,8 @@ object GraftFunctions {
         intArg(exprs(2), "minhash_bands"))),
     ("ngram_shingles", classOf[NgramShinglesExpr],
       exprs => NgramShinglesExpr(exprs(0), intArg(exprs(1), "ngram_shingles"))),
+    ("ngram_shingle_hashes", classOf[NgramShingleHashesExpr],
+      exprs => NgramShingleHashesExpr(exprs(0), intArg(exprs(1), "ngram_shingle_hashes"))),
     ("intersect_count", classOf[IntersectCount],
       exprs => IntersectCount(exprs(0), exprs(1))))
 
@@ -72,6 +74,12 @@ object GraftFunctions {
   /** Column API: distinct word n-gram shingles of an array<string> column. */
   def ngramShingles(tokens: Column, n: Int): Column =
     call_function("ngram_shingles", tokens, lit(n))
+
+  /** Column API: distinct xxhash64(n-gram shingle) longs — the at-scale
+    * shingle key (8-byte fixed-width; see HashKernels scaladoc).
+    */
+  def ngramShingleHashes(tokens: Column, n: Int): Column =
+    call_function("ngram_shingle_hashes", tokens, lit(n))
 
   /** Column API: |A ∩ B| of two array<string> columns (set semantics). */
   def intersectCount(a: Column, b: Column): Column =

@@ -17,13 +17,61 @@ class HashKernelsSpec extends SparkTestBase {
       .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
   }
 
-  test("builder table exposes the full seven-function surface") {
+  test("builder table exposes the full eight-function surface") {
     // GraftSparkExtensions injects verbatim from this table, so pinning
     // it here pins the deployment (spark.sql.extensions) surface too —
     // the round-2 advisor caught the extension drifting to 3 of 6.
     assert(GraftFunctions.builders.map(_._1).toSet === Set(
       "cosine_sim", "dot_product", "simhash64", "minhash_signature",
-      "minhash_bands", "ngram_shingles", "intersect_count"))
+      "minhash_bands", "ngram_shingles", "ngram_shingle_hashes",
+      "intersect_count"))
+  }
+
+  test("ngram_shingle_hashes == elementwise xxhash64 of ngram_shingles") {
+    val mismatch = docs
+      .select(
+        GraftFunctions.ngramShingleHashes(col("tk"), 3).as("fast"),
+        transform(GraftFunctions.ngramShingles(col("tk"), 3),
+          s => xxhash64(s)).as("ref"))
+      .where(not(col("fast") === col("ref")))
+      .count()
+    assert(mismatch === 0L)
+  }
+
+  test("minhash over hashed shingles is bit-identical to minhash over strings") {
+    // The long-input kernels skip re-hashing: their input IS the string
+    // hash MinHash folds first, so signatures and band hashes agree
+    // exactly — the property that lets the dedup pipeline run on 8-byte
+    // keys while the spec ground truth stays on strings.
+    val both = docs.select(
+        GraftFunctions.ngramShingles(col("tk"), 3).as("sh"),
+        GraftFunctions.ngramShingleHashes(col("tk"), 3).as("hh"))
+      .where(size(col("sh")) > 0)
+    val mismatch = both.select(
+        GraftFunctions.minhashSignature(col("sh"), 32).as("sigS"),
+        GraftFunctions.minhashSignature(col("hh"), 32).as("sigL"),
+        GraftFunctions.minhashBands(col("sh"), 32, 8).as("bandS"),
+        GraftFunctions.minhashBands(col("hh"), 32, 8).as("bandL"))
+      .where(not(col("sigS") === col("sigL")) || not(col("bandS") === col("bandL")))
+      .count()
+    assert(mismatch === 0L)
+  }
+
+  test("intersect_count over hashed sets == over string sets on corpus pairs") {
+    val sh = docs.select(col("doc_id"),
+        GraftFunctions.ngramShingles(col("tk"), 3).as("sh"),
+        GraftFunctions.ngramShingleHashes(col("tk"), 3).as("hh"))
+      .where(size(col("sh")) > 0)
+      .limit(60)
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val mismatch = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(
+        GraftFunctions.intersectCount(col("a.hh"), col("b.hh")).as("long"),
+        GraftFunctions.intersectCount(col("a.sh"), col("b.sh")).as("str"))
+      .where(col("long") =!= col("str"))
+      .count()
+    assert(mismatch === 0L)
   }
 
   test("ngram_shingles == array_distinct(transform(...)) on the corpus") {
