@@ -95,8 +95,12 @@ object Bench {
       // heavy join on one thread (measured: identical plans swinging
       // 5s..110s run-to-run). On a real cluster the same floor is
       // spark.default.parallelism-sized; data volume alone cannot reveal
-      // generator/join fanout.
+      // generator/join fanout. Both knobs: minPartitionNum is deprecated
+      // (and no longer honored for some plans in 4.x); the SIZE floor is
+      // what actually stops the 1 MB default from folding a 2 MB
+      // CPU-heavy shuffle onto 1-2 threads.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       // Sort-based shuffle writer even for small partition counts: the
       // bypass-merge writer creates mappers×reducers (=1024) tiny files
       // per exchange, and task-level metrics show shuffle-write TIME
