@@ -145,5 +145,51 @@ object CryptoParity {
     (s, d) => roundtrip(s, d, None, Seq("n_nationkey")),
     Some("SELECT n_nationkey FROM nation ORDER BY n_nationkey"))
 
-  val queries: Seq[Q] = Seq(q24, q24b, q24c, q24d)
+  /** Policy for the documents corpus: the text itself is CONFIDENTIAL,
+    * the key column stays plaintext.
+    */
+  private val documentsPolicy = EncryptionPolicy(columnKeys = Map(
+    PrivilegeLevel.Confidential -> Seq("text")))
+
+  private val writtenDocsDirs = new ConcurrentHashMap[String, String]()
+
+  private def encryptedDocsDir(s: SparkSession, d: String): String =
+    writtenDocsDirs.computeIfAbsent(d, _ => {
+      val shm = new java.io.File("/dev/shm")
+      val dir = (if (shm.isDirectory && shm.canWrite)
+        Files.createTempDirectory(shm.toPath, "graft-q24e-")
+      else Files.createTempDirectory("graft-q24e-")).toString
+      EncryptedParquet.write(Tables.documents(s, d), dir, documentsPolicy,
+        TestKmsServer.shared.url, zstdLevel = 3)
+      dir
+    })
+
+  /** Q24e — an ENGINE operator over an ENCRYPTED dataset: q21's exact
+    * dedup (normalized-text grouping, deterministic keeper) on a
+    * PME-encrypted copy of `documents` whose text column is
+    * CONFIDENTIAL. The reference's core thesis is that PME preserves
+    * regular query behavior — projection, pushdown, compression
+    * (README.md:17-19) — so the dedup plan, shuffle and result must be
+    * identical to the plaintext run; only the scan decrypts. Shares
+    * q21's oracle, which runs on the PLAINTEXT table: a hash match IS
+    * the preserved-functionality proof.
+    */
+  val q24e: Q = Q(
+    "q24e_encrypted_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = EncryptedParquet.read(s, encryptedDocsDir(s, d),
+        TestKmsServer.shared.url, Some("CONFIDENTIAL"))
+      docs
+        .groupBy(graft.ops.Dedup.normText(col("text")).as("norm"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id")
+    },
+    Some("""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+            |FROM documents
+            |GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+            |ORDER BY keeper_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q24, q24b, q24c, q24d, q24e)
 }
