@@ -182,7 +182,17 @@ object Relational {
   val q07: Q = Q(
     "q07_range_join",
     (s, d) => {
-      val e = Tables.events(s, d).select("event_id", "user_id", "ts")
+      // spread on the equi key: the events file scans as 1-2 partitions
+      // and its ~2 MB shuffle coalesces to as few tasks under AQE, which
+      // serializes the O(per-user²) merge loop on one thread (measured
+      // 8-9 s of single-task CPU). The explicit HashPartitioning on
+      // user_id satisfies the join's distribution requirement, so the
+      // join inherits 32-way parallelism with no extra exchange — at
+      // cluster scale the scan arrives pre-split and this repartition is
+      // absent.
+      val e = Tables.spread(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        col("user_id"))
       val a = e.as("a")
       val b = e.as("b")
       a.join(b,
@@ -234,11 +244,14 @@ object Relational {
             |WHERE c.event_type = 'click'
             |GROUP BY c.event_id ORDER BY click_id""".stripMargin))
 
-  /** Q09a — rollup over (priority, status). */
+  /** Q09a — rollup over (priority, status). spread: the single-row-group
+    * scan otherwise runs the whole partial rollup on one thread (q02's
+    * rationale; decimal-exact sums are reorder-safe).
+    */
   val q09a: Q = Q(
     "q09a_rollup",
     (s, d) => {
-      Tables.orders(s, d)
+      Tables.spread(Tables.orders(s, d), col("o_orderkey"))
         .rollup("o_orderpriority", "o_orderstatus")
         .agg(count(lit(1)).as("n"), rsum(col("o_totalprice")).as("total"))
         .select(
@@ -253,11 +266,11 @@ object Relational {
             |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
             |ORDER BY pri, status""".stripMargin))
 
-  /** Q09b — cube over (priority, status). */
+  /** Q09b — cube over (priority, status); spread as q09a. */
   val q09b: Q = Q(
     "q09b_cube",
     (s, d) => {
-      Tables.orders(s, d)
+      Tables.spread(Tables.orders(s, d), col("o_orderkey"))
         .cube("o_orderpriority", "o_orderstatus")
         .agg(count(lit(1)).as("n"))
         .select(

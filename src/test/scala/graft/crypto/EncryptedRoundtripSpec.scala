@@ -25,6 +25,15 @@ class EncryptedRoundtripSpec extends SparkTestBase with BeforeAndAfterAll {
 
   override def afterAll(): Unit = kms.stop()
 
+  test("q24e: engine dedup over encrypted documents == dedup over plaintext") {
+    // The preserved-functionality thesis (README.md:17-19) on the query
+    // surface: an engine operator must be result-identical whether its
+    // scan decrypts or not.
+    val enc = CryptoParity.q24e.fn(spark, sfDir).collect().toSeq
+    val plain = graft.ops.Dedup.q21.fn(spark, sfDir).collect().toSeq
+    assert(enc === plain)
+  }
+
   private def read(token: Option[String], cols: String*): Seq[Seq[Any]] =
     EncryptedParquet.readCollected(spark, dir, kms.url, token, cols)
       .orderBy(cols.head)
