@@ -199,5 +199,58 @@ object TextOps {
             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             |FROM q GROUP BY lang ORDER BY lang""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41)
+  /** Q42 — TF-IDF top-3 terms per probe document: the relevance/quality
+    * feature every curation pipeline derives from corpus-wide term
+    * statistics. Shape at 100 TB: ONE corpus-wide job builds the
+    * (term, df) table — distinct (doc, term) pairs then a per-term count,
+    * two key-shuffles, no driver state — and the tiny probe side (its
+    * per-doc term frequencies) is BROADCAST against it, so the giant df
+    * table streams through the join without moving. Ranking uses the
+    * 4-dp-rounded score (ties broken by term): cross-engine `ln` can
+    * differ in the last ulp, and ranking on the rounded value keeps the
+    * top-3 stable wherever the oracle's libm disagrees below the
+    * rounding precision.
+    */
+  val q42: Q = Q(
+    "q42_tfidf_topterms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, d).select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val dfTable = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).select(count(lit(1)).as("n"))
+      val probe = tok.filter(col("doc_id") < 20)
+      val tf = probe.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = probe.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+      dfTable
+        .join(broadcast(tf.join(dl, Seq("doc_id"))), Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round(
+          (col("tf") / col("dl")) *
+            (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some("""WITH toks AS (
+            |  SELECT doc_id,
+            |         unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+            |  FROM documents),
+            |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+            |n AS (SELECT count(*) AS n FROM documents),
+            |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE doc_id < 20 GROUP BY 1, 2),
+            |dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE doc_id < 20 GROUP BY 1),
+            |scored AS (
+            |  SELECT tf.doc_id, tf.term,
+            |         round((tf.tf * 1.0 / dl.dl) * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+            |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n),
+            |ranked AS (
+            |  SELECT doc_id, term, tfidf,
+            |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+            |  FROM scored)
+            |SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 3
+            |ORDER BY doc_id, rnk""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42)
 }
