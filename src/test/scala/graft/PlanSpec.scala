@@ -143,6 +143,19 @@ class PlanSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("q42: the corpus-wide df table streams; the probe side broadcasts") {
+    val p = planString("q42_tfidf_topterms")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe term frequencies must broadcast against the df table:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q23f: PQ assignment joins broadcast codebooks, no nested-loop or literal blowup") {
+    val p = planString("q23f_cosine_pq")
+    assert(p.contains("BroadcastHashJoin"), s"codebook join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}
