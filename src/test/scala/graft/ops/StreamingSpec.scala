@@ -90,6 +90,44 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("t_ssjoin").count() == want)
   }
 
+  test("checkpointed file sink is exactly-once across a restart") {
+    // The production contract behind every streaming pipeline here: a
+    // parquet sink + checkpoint resumes after a stop with no loss and no
+    // duplicates. Run half the input, stop, add the rest, restart from
+    // the same checkpoint, and compare the sink against the batch result.
+    val srcDir = Files.createTempDirectory("graft-ckpt-src-").toString
+    val sinkDir = Files.createTempDirectory("graft-ckpt-sink-").toString
+    val ckptDir = Files.createTempDirectory("graft-ckpt-state-").toString
+    val ev = Tables.events(spark, sfDir)
+    val half1 = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    val half2 = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    half1.write.parquet(s"$srcDir/p1")
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/*")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()                      // processes half1, commits offsets
+    val afterFirst = spark.read.parquet(sinkDir).count()
+    assert(afterFirst == half1.count(), "first run must sink exactly half1")
+    half2.write.parquet(s"$srcDir/p2")
+    runOnce()                      // resumes from checkpoint, adds half2 only
+    val sunk = spark.read.parquet(sinkDir)
+    assert(sunk.count() == ev.count(), "restart must add half2 exactly once")
+    assert(sunk.select("event_id").distinct().count() == ev.count(),
+      "no duplicated event_ids across the restart")
+  }
+
   test("watermarked dedup drops exact duplicate events") {
     val dupDir = Files.createTempDirectory("graft-stream-dup-").toString
     val ev = Tables.events(spark, sfDir)
