@@ -23,6 +23,16 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(exact.subsetOf(lsh), s"missed pairs: ${exact -- lsh}")
   }
 
+  test("prefix-filtered jaccardPairs == count-based formulation, values included") {
+    // The AllPairs prefix filter is a candidate-pruning optimization with
+    // an exactness theorem behind it; this pins the implementation to the
+    // theorem on the real corpus (pairs AND jaccard values identical).
+    val pref = Dedup.jaccardPairs(spark, sfDir).collect().map(_.toSeq).toSet
+    val ref = Dedup.jaccardPairsByCount(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(pref.nonEmpty)
+    assert(pref === ref)
+  }
+
   test("connected components: chain collapses transitively, disjoint pair stays apart") {
     import spark.implicits._
     // chain 10-11-12-13-14 (diameter 4, A~E never an edge) + pair 20-21
