@@ -3,7 +3,7 @@ package graft.ops
 import java.util.concurrent.ConcurrentHashMap
 
 import graft.{Canon, Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators — the two techniques that erase the
@@ -158,5 +158,122 @@ object Layout {
             |GROUP BY event_type
             |ORDER BY event_type""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q35, q36)
+  /** Morton (Z-order) value: bit-interleave of two columns normalized to
+    * `bits`-bit ranks. Pure built-in shift/mask expressions — codegen'd,
+    * no UDF. Sorting a table by this value clusters it along BOTH
+    * dimensions at once, so a 2-D box predicate touches only the row
+    * groups whose min/max straddle the box — the standard lakehouse
+    * multi-dimensional clustering (Z-ordering) that single-column sorting
+    * cannot provide.
+    */
+  def zvalue(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      val xb = shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), 2 * i)
+      val yb = shiftleft(shiftrightunsigned(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      xb.bitwiseOR(yb)
+    }.reduce(_ bitwiseOR _)
+
+  /** Scale `c` (long-ish, in [lo, hi]) to a `bits`-bit rank. */
+  private def rank(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    val span = math.max(1L, hi - lo)
+    ((c - lit(lo)).cast("double") / lit(span.toDouble) * lit((1L << bits) - 1))
+      .cast("long")
+  }
+
+  /** Small row groups so min/max skipping operates WITHIN the bench-scale
+    * file; at 100 TB row groups are the default 128 MB and the same
+    * mechanism skips terabytes.
+    */
+  private val ZRowGroupBytes = 64 * 1024
+
+  private val zorderDirs = new ConcurrentHashMap[String, (String, String)]()
+
+  /** lineitem written twice (once per JVM): Z-ordered on
+    * (l_partkey, l_suppkey), and linearly sorted on l_orderkey as the
+    * clustering-free baseline the spec compares skipping against. The
+    * range-partition + local sort (`orderBy`) is the distributed
+    * clustering write: each task writes one contiguous z-range.
+    */
+  private[ops] def zorderedLineitem(s: SparkSession, d: String): (String, String) =
+    zorderDirs.computeIfAbsent(d, _ => {
+      val zDir = shmDir(s"${sfTag(d)}/lineitem_zorder")
+      val linDir = shmDir(s"${sfTag(d)}/lineitem_linear")
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      val l = Tables.lineitem(s, d).select(cols.map(col): _*)
+      if (!new java.io.File(zDir, "_SUCCESS").exists()) {
+        val Row2 = l.agg(min("l_partkey"), max("l_partkey"),
+          min("l_suppkey"), max("l_suppkey")).collect()(0)
+        val z = zvalue(
+          rank(col("l_partkey"), Row2.getLong(0), Row2.getLong(1), 16),
+          rank(col("l_suppkey"), Row2.getLong(0 + 2), Row2.getLong(1 + 2), 16))
+        l.withColumn("zv", z)
+          .orderBy("zv")
+          .drop("zv")
+          .write.mode("overwrite")
+          .option("parquet.block.size", ZRowGroupBytes.toString)
+          .parquet(zDir)
+      }
+      if (!new java.io.File(linDir, "_SUCCESS").exists()) {
+        l.orderBy("l_orderkey")
+          .write.mode("overwrite")
+          .option("parquet.block.size", ZRowGroupBytes.toString)
+          .parquet(linDir)
+      }
+      (zDir, linDir)
+    })
+
+  /** The 2-D box q43 (and its spec) queries: ~14% of each key span,
+    * derived from the data so the query is meaningful at every scale
+    * factor. Both sides (Spark literals here, scalar subqueries in the
+    * oracle) compute `lo + floor(f · span)` in IEEE doubles, so the
+    * bounds agree exactly.
+    */
+  private[ops] def zBoxBounds(s: SparkSession, d: String): (Long, Long, Long, Long) = {
+    val r = Tables.lineitem(s, d)
+      .agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+      .collect()(0)
+    def at(lo: Long, hi: Long, f: Double): Long =
+      lo + math.floor(f * (hi - lo)).toLong
+    (at(r.getLong(0), r.getLong(1), 0.05), at(r.getLong(0), r.getLong(1), 0.19),
+      at(r.getLong(2), r.getLong(3), 0.10), at(r.getLong(2), r.getLong(3), 0.24))
+  }
+
+  private[ops] def zBox(df: DataFrame, b: (Long, Long, Long, Long)): DataFrame =
+    df.filter(
+      col("l_partkey").between(b._1, b._2) &&
+      col("l_suppkey").between(b._3, b._4))
+
+  /** Q43 — Z-order-clustered 2-D box scan: revenue over a part×supplier
+    * box against the Z-ordered lineitem copy. Identical semantics to the
+    * same predicate over the unclustered table (the oracle runs on the
+    * plain parquet), but the scan reads only the row groups whose
+    * (l_partkey, l_suppkey) min/max intersect the box — ZorderSpec
+    * measures the skipping against the linear layout.
+    */
+  val q43: Q = Q(
+    "q43_zorder_scan",
+    (s, d) => {
+      val (zDir, _) = zorderedLineitem(s, d)
+      zBox(s.read.parquet(zDir), zBoxBounds(s, d))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_items"),
+          Canon.rsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("l_suppkey")
+    },
+    Some("""WITH bounds AS (
+            |  SELECT min(l_partkey) + CAST(floor(0.05 * (max(l_partkey) - min(l_partkey))) AS BIGINT) AS pl,
+            |         min(l_partkey) + CAST(floor(0.19 * (max(l_partkey) - min(l_partkey))) AS BIGINT) AS ph,
+            |         min(l_suppkey) + CAST(floor(0.10 * (max(l_suppkey) - min(l_suppkey))) AS BIGINT) AS sl,
+            |         min(l_suppkey) + CAST(floor(0.24 * (max(l_suppkey) - min(l_suppkey))) AS BIGINT) AS sh
+            |  FROM lineitem)
+            |SELECT l_suppkey, count(*) AS n_items,
+            |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+            |FROM lineitem, bounds
+            |WHERE l_partkey BETWEEN pl AND ph AND l_suppkey BETWEEN sl AND sh
+            |GROUP BY l_suppkey
+            |ORDER BY l_suppkey""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q35, q36, q43)
 }
