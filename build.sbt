@@ -29,6 +29,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g default: at sf0.1 with 32 threads, an 8g heap showed 10x query-time
   // degradation from GC pressure partway through the bench suite.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Pin and pre-touch the whole heap: without -Xms, G1 grows/shrinks the
+  // committed heap between queries and identical back-to-back runs of
+  // one query measured 30s..335s of task CPU with 0.5s..78s of GC purely
+  // by where the resize oscillation happened to sit (with the heap
+  // pinned: 25-39s CPU, GC < 2s, every run). Production executors pin
+  // executor memory for exactly this reason.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
   // A 44-query suite generates hundreds of janino classes; the default
   // 240m code cache saturates partway through, and the resulting
   // flush/recompile churn randomly inflated individual queries 10-50x
@@ -59,10 +67,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Lower thresholds pull that compile into the bench's full-scale
   // warmup run. Production executors live for hours and never notice
   // these defaults; a 46-query JVM does.
-  "-XX:Tier3InvocationThreshold=60",
-  "-XX:Tier3MinInvocationThreshold=30",
-  "-XX:Tier3CompileThreshold=60",
+  // ...and make sure the warmup can actually REACH those thresholds: a
+  // query stage with ~40 tasks per run and a few-thousand-row loop per
+  // task sits below BOTH default notification masks (method entries
+  // every 2^7, loop backedges every 2^14), so its counters were never
+  // even reported and a full-scale warm run compiled nothing (measured:
+  // q09a rollup at 44 s of task CPU AFTER warmup; 1.9 s with entry
+  // notifications every 2^3). Entry notification is once per method
+  // entry ≈ once per task — negligible overhead. The BACKEDGE notify
+  // mask stays default: lowering it puts a runtime call inside hot
+  // loops, measured 2-4x worse.
+  "-XX:Tier3InvocationThreshold=30",
+  "-XX:Tier3MinInvocationThreshold=15",
+  "-XX:Tier3CompileThreshold=30",
   "-XX:Tier3BackEdgeThreshold=1000",
+  "-XX:Tier0InvokeNotifyFreqLog=3",
   // Spark's generated-class cache (CodeGenerator.cache) holds only 100
   // entries by default — a static conf, shared JVM-wide. A 44-query suite
   // produces far more distinct generated sources; once the cache starts

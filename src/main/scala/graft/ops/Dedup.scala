@@ -404,9 +404,20 @@ object Dedup {
     // this to the edge volume — it is a per-stage tuning knob, not a
     // semantic.)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // AQE off for the loop only: every fixpoint round is a join+agg over
+    // an edge list orders of magnitude smaller than the corpus, and AQE
+    // re-plans each of its exchanges as separate query-stage jobs —
+    // pure scheduling latency (~half the loop's wall at bench scale) for
+    // shuffles whose 8-partition shape is already fixed. The caller's
+    // plans (and everything outside the loop) keep AQE.
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try connectedComponentsLoop(edges, disk)
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   private def connectedComponentsLoop(
