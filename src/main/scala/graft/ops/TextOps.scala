@@ -252,5 +252,79 @@ object TextOps {
             |SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 3
             |ORDER BY doc_id, rnk""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42)
+  /** PII patterns shared by the scrub operator and its oracle — kept to
+    * syntax with identical semantics in Java regex and DuckDB (RE2):
+    * character classes, explicit quantifiers, no lookaround.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", "\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /** PII scrubbing — the compliance pass every training-data pipeline
+    * runs before release (the reference's privilege tiers protect
+    * columns at rest; this is the complementary in-text redaction).
+    * Returns `df` with `textCol` redacted plus one `n_<type>` count
+    * column per pattern. Pure per-row regex expressions — embarrassingly
+    * parallel, no shuffle, composes into the q41 curation pipeline as a
+    * scan-stage projection. NOT a registered oracle query: the driver
+    * corpus deliberately contains no PII-shaped strings, and a
+    * 0-row-forever oracle proves nothing — PiiScrubSpec pins the
+    * semantics on crafted rows instead.
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
+    }
+    df.select(df.columns.filterNot(_ == textCol).map(col) ++
+      (scrubbed.as(textCol) +: counts): _*)
+  }
+
+  /** Q45 — repetition filter (the Gopher/MassiveText "duplicate n-gram
+    * fraction" quality rule): per document, the fraction of token
+    * 3-grams that are repeats of an earlier occurrence; documents above
+    * 30% repeated 3-grams are flagged for removal. Per-row array
+    * expressions (the same window construction as the dedup shingles,
+    * WITHOUT the distinct) — no shuffle; at 100 TB this composes into
+    * the q41 curation pipeline as one more scan-stage predicate.
+    */
+  val q45: Q = Q(
+    "q45_repetition_filter",
+    (s, d) => {
+      val tk = toks(col("text"))
+      val grams = when(size(tk) < 3, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(tk) - 3),
+          i => array_join(slice(tk, i + 1, lit(3)), " ")))
+      docs(s, d)
+        .select(col("doc_id"),
+          size(grams).cast("long").as("n_grams"),
+          (size(grams) - size(array_distinct(grams))).cast("long").as("n_repeated"))
+        .filter(col("n_grams") > 0)
+        .withColumn("rep_ratio",
+          round(col("n_repeated") / col("n_grams").cast("double"), 4))
+        .withColumn("keep", col("n_repeated") <= col("n_grams") * 0.3)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+            |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+            |  FROM documents),
+            |g AS (
+            |  SELECT doc_id, t[i.i] || ' ' || t[i.i+1] || ' ' || t[i.i+2] AS gram
+            |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) i
+            |  WHERE len(t) >= 3),
+            |agg AS (
+            |  SELECT doc_id, count(*) AS n, count(DISTINCT gram) AS nd
+            |  FROM g GROUP BY doc_id)
+            |SELECT doc_id,
+            |  CAST(n AS BIGINT) AS n_grams,
+            |  CAST(n - nd AS BIGINT) AS n_repeated,
+            |  round(CAST(n - nd AS DOUBLE) / n, 4) AS rep_ratio,
+            |  (n - nd) <= n * 0.3 AS keep
+            |FROM agg
+            |ORDER BY doc_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42, q45)
 }
