@@ -45,6 +45,8 @@ object GraftFunctions {
       exprs => NgramShinglesExpr(exprs(0), intArg(exprs(1), "ngram_shingles"))),
     ("ngram_shingle_hashes", classOf[NgramShingleHashesExpr],
       exprs => NgramShingleHashesExpr(exprs(0), intArg(exprs(1), "ngram_shingle_hashes"))),
+    ("ngram_repetition", classOf[NgramRepetitionExpr],
+      exprs => NgramRepetitionExpr(exprs(0), intArg(exprs(1), "ngram_repetition"))),
     ("intersect_count", classOf[IntersectCount],
       exprs => IntersectCount(exprs(0), exprs(1))))
 
@@ -80,6 +82,10 @@ object GraftFunctions {
     */
   def ngramShingleHashes(tokens: Column, n: Int): Column =
     call_function("ngram_shingle_hashes", tokens, lit(n))
+
+  /** Column API: [total, repeated] n-gram counts of an array<string>. */
+  def ngramRepetition(tokens: Column, n: Int): Column =
+    call_function("ngram_repetition", tokens, lit(n))
 
   /** Column API: |A ∩ B| of two array<string> columns (set semantics). */
   def intersectCount(a: Column, b: Column): Column =

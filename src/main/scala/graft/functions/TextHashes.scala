@@ -220,6 +220,28 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** [total n-grams, repeated n-grams] in one pass — the q45 repetition
+    * measure. Distinctness is tracked via the gram's xxhash64 (same
+    * collision argument as the hashed shingles: transient string, 8-byte
+    * set entry).
+    */
+  def ngramRepetition(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array(0L, 0L))
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val window = new Array[UTF8String](n)
+    var total = 0L
+    var i = 0
+    while (i + n <= len) {
+      var j = 0
+      while (j < n) { window(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(h1(UTF8String.concatWs(Space, window: _*))): Unit
+      total += 1
+      i += 1
+    }
+    new GenericArrayData(Array(total, total - seen.size))
+  }
+
   /** |A ∩ B| for two long arrays (set semantics). */
   def intersectCountLong(a: ArrayData, b: ArrayData): Long = {
     val (small, large) =
@@ -445,6 +467,26 @@ case class NgramShingleHashesExpr(child: Expression, n: Int) extends UnaryExpres
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.ngramShingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ngram_repetition(tokens: array<string>, n) → array<long>
+  * [total n-grams, repeated n-grams].
+  */
+case class NgramRepetitionExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, s"ngram_repetition needs n > 0, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_repetition"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireStringArray(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.ngramRepetition(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.ngramRepetition($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -17,14 +17,28 @@ class HashKernelsSpec extends SparkTestBase {
       .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
   }
 
-  test("builder table exposes the full eight-function surface") {
+  test("builder table exposes the full nine-function surface") {
     // GraftSparkExtensions injects verbatim from this table, so pinning
     // it here pins the deployment (spark.sql.extensions) surface too —
     // the round-2 advisor caught the extension drifting to 3 of 6.
     assert(GraftFunctions.builders.map(_._1).toSet === Set(
       "cosine_sim", "dot_product", "simhash64", "minhash_signature",
       "minhash_bands", "ngram_shingles", "ngram_shingle_hashes",
-      "intersect_count"))
+      "ngram_repetition", "intersect_count"))
+  }
+
+  test("ngram_repetition == [size, size - distinct-size] of the HOF grams") {
+    val tkGrams = when(size(col("tk")) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col("tk")) - 3),
+        i => array_join(slice(col("tk"), i + 1, lit(3)), " ")))
+    val mismatch = docs
+      .select(
+        GraftFunctions.ngramRepetition(col("tk"), 3).as("fast"),
+        array(size(tkGrams).cast("long"),
+          (size(tkGrams) - size(array_distinct(tkGrams))).cast("long")).as("ref"))
+      .where(not(col("fast") === col("ref")))
+      .count()
+    assert(mismatch === 0L)
   }
 
   test("ngram_shingle_hashes == elementwise xxhash64 of ngram_shingles") {
