@@ -47,6 +47,10 @@ object GraftFunctions {
       exprs => NgramShingleHashesExpr(exprs(0), intArg(exprs(1), "ngram_shingle_hashes"))),
     ("ngram_repetition", classOf[NgramRepetitionExpr],
       exprs => NgramRepetitionExpr(exprs(0), intArg(exprs(1), "ngram_repetition"))),
+    ("token_hashes", classOf[TokenHashesExpr],
+      exprs => TokenHashesExpr(exprs(0))),
+    ("count_in_set", classOf[CountInSet],
+      exprs => CountInSet(exprs(0), exprs(1))),
     ("intersect_count", classOf[IntersectCount],
       exprs => IntersectCount(exprs(0), exprs(1))))
 
@@ -86,6 +90,13 @@ object GraftFunctions {
   /** Column API: [total, repeated] n-gram counts of an array<string>. */
   def ngramRepetition(tokens: Column, n: Int): Column =
     call_function("ngram_repetition", tokens, lit(n))
+
+  /** Column API: xxhash64 of each token. */
+  def tokenHashes(tokens: Column): Column = call_function("token_hashes", tokens)
+
+  /** Column API: count of tokens appearing in the (small) set column. */
+  def countInSet(tokens: Column, set: Column): Column =
+    call_function("count_in_set", tokens, set)
 
   /** Column API: |A ∩ B| of two array<string> columns (set semantics). */
   def intersectCount(a: Column, b: Column): Column =

@@ -242,6 +242,37 @@ object HashKernels {
     new GenericArrayData(Array(total, total - seen.size))
   }
 
+  /** xxhash64 of each token (Spark's default seed) — the codegen'd
+    * spelling of `transform(tokens, t => xxhash64(t))`, whose lambda
+    * runs on Catalyst's interpreted eval path.
+    */
+  def tokenHashes(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = h1(tokens.getUTF8String(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Count of elements of `tokens` that appear in `set` (multiset
+    * semantics on the left: each occurrence counts) — the codegen'd
+    * spelling of `size(filter(tokens, _.isInCollection(set)))`.
+    */
+  def countInSet(tokens: ArrayData, set: ArrayData): Long = {
+    val s = new java.util.HashSet[UTF8String](set.numElements() * 2)
+    var i = 0
+    val ns = set.numElements()
+    while (i < ns) { s.add(set.getUTF8String(i)); i += 1 }
+    var cnt = 0L
+    var j = 0
+    val nt = tokens.numElements()
+    while (j < nt) {
+      if (s.contains(tokens.getUTF8String(j))) cnt += 1L
+      j += 1
+    }
+    cnt
+  }
+
   /** |A ∩ B| for two long arrays (set semantics). */
   def intersectCountLong(a: ArrayData, b: ArrayData): Long = {
     val (small, large) =
@@ -470,6 +501,49 @@ case class NgramShingleHashesExpr(child: Expression, n: Int) extends UnaryExpres
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** token_hashes(tokens: array<string>) → array<long> of xxhash64. */
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_hashes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireStringArray(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.tokenHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.tokenHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** count_in_set(tokens: array<string>, set: array<string>) → long. */
+case class CountInSet(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_in_set"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"count_in_set requires array<string> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.countInSet(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.countInSet($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** ngram_repetition(tokens: array<string>, n) → array<long>

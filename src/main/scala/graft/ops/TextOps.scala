@@ -19,8 +19,10 @@ object TextOps {
     * expression: the single-row-group file otherwise scans as ONE
     * partition and every regex/HOF below runs single-threaded.
     */
-  private def docs(s: SparkSession, d: String): DataFrame =
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // kernels used across TextOps
     Tables.spread(Tables.documents(s, d), col("doc_id"))
+  }
 
   /** Stopword list used for quality scoring and language-ID profiles. */
   val enStopwords: Seq[String] =
@@ -38,8 +40,17 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "den", "mit", "ein", "zu"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "人"))
 
-  def langScore(tokenCol: Column, profile: Seq[String]): Column =
+  /** HOF spelling — spec ground truth for the codegen'd kernel path. */
+  def langScoreHof(tokenCol: Column, profile: Seq[String]): Column =
     size(filter(tokenCol, t => t.isInCollection(profile))) / size(tokenCol)
+
+  /** Fraction of tokens in the profile: `count_in_set` kernel (integer
+    * count, bit-identical to the HOF filter/size formulation, which runs
+    * on the interpreted eval path).
+    */
+  def langScore(tokenCol: Column, profile: Seq[String]): Column =
+    graft.functions.GraftFunctions.countInSet(tokenCol, typedLit(profile))
+      .cast("int") / size(tokenCol)
 
   def langId(tokenCol: Column): Column = {
     val scored = langProfiles.toSeq.map { case (lang, prof) =>
@@ -53,10 +64,12 @@ object TextOps {
     * per-token hash sequence. Equal iff the normalized token sequence is
     * equal (up to hash collision). A plain `acc*31+h` polynomial fold
     * would overflow Spark 4's ANSI long arithmetic; hashing the token-hash
-    * array gives the same structure-sensitivity without overflow.
+    * array gives the same structure-sensitivity without overflow. The
+    * inner per-token pass is the `token_hashes` kernel — bit-identical to
+    * `transform(tokenCol, t => xxhash64(t))`, whose lambda is interpreted.
     */
   def fingerprint(tokenCol: Column): Column =
-    xxhash64(transform(tokenCol, t => xxhash64(t)))
+    xxhash64(graft.functions.GraftFunctions.tokenHashes(tokenCol))
 
   /** Per-language corpus statistics (SURVEY.md Q22 "stats per lang"). */
   val q22d: Q = Q(
@@ -85,8 +98,8 @@ object TextOps {
     (s, d) => {
       val t = toks(col("text"))
       val nTok = size(t)
-      val stopRatio = size(filter(t, x => x.isInCollection(enStopwords))) /
-        nTok.cast("double")
+      val stopRatio = graft.functions.GraftFunctions
+        .countInSet(t, typedLit(enStopwords)).cast("int") / nTok.cast("double")
       val digits = length(col("text")) -
         length(regexp_replace(col("text"), "[0-9]", ""))
       docs(s, d)

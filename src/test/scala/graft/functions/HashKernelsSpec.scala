@@ -17,14 +17,35 @@ class HashKernelsSpec extends SparkTestBase {
       .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
   }
 
-  test("builder table exposes the full nine-function surface") {
+  test("builder table exposes the full eleven-function surface") {
     // GraftSparkExtensions injects verbatim from this table, so pinning
     // it here pins the deployment (spark.sql.extensions) surface too —
     // the round-2 advisor caught the extension drifting to 3 of 6.
     assert(GraftFunctions.builders.map(_._1).toSet === Set(
       "cosine_sim", "dot_product", "simhash64", "minhash_signature",
       "minhash_bands", "ngram_shingles", "ngram_shingle_hashes",
-      "ngram_repetition", "intersect_count"))
+      "ngram_repetition", "token_hashes", "count_in_set", "intersect_count"))
+  }
+
+  test("token_hashes == transform(tokens, xxhash64), bit-exact") {
+    val mismatch = docs
+      .select(
+        GraftFunctions.tokenHashes(col("tk")).as("fast"),
+        transform(col("tk"), t => xxhash64(t)).as("ref"))
+      .where(not(col("fast") === col("ref")))
+      .count()
+    assert(mismatch === 0L)
+  }
+
+  test("count_in_set == size(filter(isInCollection)) on the corpus") {
+    val stops = graft.ops.TextOps.enStopwords
+    val mismatch = docs
+      .select(
+        GraftFunctions.countInSet(col("tk"), typedLit(stops)).as("fast"),
+        size(filter(col("tk"), t => t.isInCollection(stops))).cast("long").as("ref"))
+      .where(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatch === 0L)
   }
 
   test("ngram_repetition == [size, size - distinct-size] of the HOF grams") {
