@@ -34,7 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // one query measured 30s..335s of task CPU with 0.5s..78s of GC purely
   // by where the resize oscillation happened to sit (with the heap
   // pinned: 25-39s CPU, GC < 2s, every run). Production executors pin
-  // executor memory for exactly this reason.
+  // executor memory for exactly this reason. Applies to every forked
+  // JVM (tests included — they want the same stability); on a small
+  // machine set SPARK_DRIVER_MEM, which scales -Xms and -Xmx together.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+AlwaysPreTouch",
   // A 44-query suite generates hundreds of janino classes; the default

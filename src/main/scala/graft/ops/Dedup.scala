@@ -213,16 +213,22 @@ object Dedup {
         array_sort(collect_list(struct(col("df"), col("s")))),
         x => x.getField("s")).as("osh"))
     val n = size(col("osh")).cast("long")
+    // ε-guard on ⌈t·n⌉: when t·n is a mathematical integer whose double
+    // product rounds UP (e.g. 0.07×100 → 7.000000000000001), a bare ceil
+    // shortens the prefix below what the theorem requires and can drop a
+    // qualifying pair. Nudging down before ceil errs (at worst) toward a
+    // one-longer prefix — always safe, never lossy.
     val prefix = ordered.select(col("doc_id"), n.as("n"),
       explode(slice(col("osh"), lit(1),
-        (n - ceil(lit(t) * n) + lit(1)).cast("int"))).as("s"))
+        (n - ceil(lit(t) * n - lit(1e-9)) + lit(1)).cast("int"))).as("s"))
     val a = prefix.as("a")
     val b = prefix.as("b")
-    // Size-ratio prune: J ≥ t ⇒ max(|A|,|B|) ≤ min(|A|,|B|)/t.
+    // Size-ratio prune: J ≥ t ⇒ max(|A|,|B|) ≤ min(|A|,|B|)/t. Same
+    // ε-guard: t·max must not round above an integer min.
     val cands = a.join(b.hint("shuffle_hash"),
         col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id") &&
-        greatest(col("a.n"), col("b.n")) * lit(t) <= least(col("a.n"), col("b.n")))
+        greatest(col("a.n"), col("b.n")) * lit(t) - lit(1e-9) <= least(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     cands
@@ -249,7 +255,10 @@ object Dedup {
     val inter = a.join(b.hint("shuffle_hash"),
         col("a.s") === col("b.s") &&
         col("a.doc_id") < col("b.doc_id") &&
-        greatest(col("a.n"), col("b.n")) <= lit(2) * least(col("a.n"), col("b.n")))
+        // threshold-parameterized size-ratio prune (ε-guard as in
+        // jaccardPairs) — a hardcoded factor 2 would silently assume
+        // t = 0.5 and drop qualifying pairs for smaller thresholds
+        greatest(col("a.n"), col("b.n")) * lit(t) - lit(1e-9) <= least(col("a.n"), col("b.n")))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
@@ -403,6 +412,17 @@ object Dedup {
     // caller's final aggregate plans. (At true edge scale one would size
     // this to the edge volume — it is a per-stage tuning knob, not a
     // semantic.)
+    // Materialize the bidirectional edge list (and with it the caller's
+    // whole upstream pipeline — for q38 the candidate/verification joins
+    // of jaccardPairs) BEFORE any conf change: Spark confs bind at
+    // action time, not plan-build time, so flipping them first would run
+    // the heaviest upstream plan without AQE on 8 shuffle partitions.
+    val bi = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(disk)
+    bi.count(): Unit
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -411,26 +431,24 @@ object Dedup {
     // re-plans each of its exchanges as separate query-stage jobs —
     // pure scheduling latency (~half the loop's wall at bench scale) for
     // shuffles whose 8-partition shape is already fixed. The caller's
-    // plans (and everything outside the loop) keep AQE.
+    // plans (and everything outside the loop, including the upstream
+    // pipeline materialized above) keep AQE.
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    try connectedComponentsLoop(edges, disk)
+    try connectedComponentsLoop(bi, disk)
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 
+  /** The fixpoint loop proper, over an ALREADY-MATERIALIZED persisted
+    * bidirectional edge list (built by `connectedComponents` before the
+    * loop's conf scope so the upstream pipeline runs under the caller's
+    * confs).
+    */
   private def connectedComponentsLoop(
-      edges: DataFrame,
+      bi: DataFrame,
       disk: org.apache.spark.storage.StorageLevel): DataFrame = {
-    // Both edge directions from ONE pass over the edge plan (explode of a
-    // 2-struct array) — a union of two selects would materialize the
-    // upstream pair pipeline once per branch.
-    val bi = edges.select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(disk)
     var labels = bi.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist(disk)

@@ -286,12 +286,18 @@ object TextOps {
     * semantics on crafted rows instead.
     */
   def scrubPii(df: DataFrame, textCol: String): DataFrame = {
-    val scrubbed = piiPatterns.foldLeft(col(textCol)) {
-      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
-    }
-    val counts = piiPatterns.map { case (name, pat, _) =>
-      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
-    }
+    // Counts are taken on the PROGRESSIVELY scrubbed text (pattern i
+    // counted after patterns 1..i-1 replaced), so every count is an
+    // actual redaction performed on the output — counting each pattern
+    // against the original would double-count overlapping matches
+    // (e.g. "123-45-6789@corp.co" is consumed whole by the email rule;
+    // reporting it as a redacted SSN too would misstate the output).
+    val (scrubbed, counts) =
+      piiPatterns.foldLeft((col(textCol), Seq.empty[Column])) {
+        case ((c, cnts), (name, pat, repl)) =>
+          (regexp_replace(c, pat, repl),
+            cnts :+ regexp_count(c, lit(pat)).cast("long").as(s"n_$name"))
+      }
     df.select(df.columns.filterNot(_ == textCol).map(col) ++
       (scrubbed.as(textCol) +: counts): _*)
   }

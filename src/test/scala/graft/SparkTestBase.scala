@@ -23,6 +23,13 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Register the custom-function surface up front: library helpers that
+    // build `call_function(...)` columns (TextOps.fingerprint/langScore,
+    // Dedup kernels) resolve at analysis time, and without this a
+    // selectively-run spec would depend on some earlier test having
+    // registered as a side effect. Deployment gets the same guarantee
+    // from spark.sql.extensions=GraftSparkExtensions.
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }

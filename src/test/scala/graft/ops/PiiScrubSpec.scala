@@ -30,6 +30,18 @@ class PiiScrubSpec extends SparkTestBase {
     assert(got(3) === ((4L, "two mails: <EMAIL> <EMAIL> and ssn <SSN>", 2L, 1L, 0L)))
   }
 
+  test("overlapping matches are counted once, on the pattern that redacted them") {
+    import spark.implicits._
+    // The email rule's local part admits digits and hyphens, so it
+    // consumes the SSN-shaped prefix whole; the output then contains no
+    // SSN and the counts must agree with the output, not the input.
+    val df = Seq((1L, "contact 123-45-6789@corp.co now")).toDF("id", "text")
+    val r = TextOps.scrubPii(df, "text").collect()(0)
+    assert(r.getAs[String]("text") === "contact <EMAIL> now")
+    assert(r.getAs[Long]("n_email") === 1L)
+    assert(r.getAs[Long]("n_ssn") === 0L, "consumed by the email redaction")
+  }
+
   test("scrubPii leaves the real corpus untouched (no PII exists in it)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = TextOps.scrubPii(docs, "text")
