@@ -23,21 +23,34 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap default: 16g when the machine has room (at sf0.1 with 32 threads an
+// 8g heap showed 10x query-time degradation from GC pressure), otherwise
+// ~60% of detected RAM — -Xms + AlwaysPreTouch below COMMIT the whole heap
+// at startup, so a hard 16g would refuse to launch tests on any host with
+// less than 16 GB. SPARK_DRIVER_MEM overrides both -Xms and -Xmx.
+val driverMem: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val memTotalGiB: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().find(_.startsWith("MemTotal"))
+        .map(_.replaceAll("[^0-9]", "").toLong / (1024L * 1024L)).getOrElse(0L)
+      finally src.close()
+    } catch { case _: Throwable => 0L }
+  if (memTotalGiB >= 26 || memTotalGiB == 0) "16g"
+  else s"${math.max(2L, memTotalGiB * 3 / 5)}g"
+})
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: at sf0.1 with 32 threads, an 8g heap showed 10x query-time
-  // degradation from GC pressure partway through the bench suite.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx$driverMem",
   // Pin and pre-touch the whole heap: without -Xms, G1 grows/shrinks the
   // committed heap between queries and identical back-to-back runs of
   // one query measured 30s..335s of task CPU with 0.5s..78s of GC purely
   // by where the resize oscillation happened to sit (with the heap
   // pinned: 25-39s CPU, GC < 2s, every run). Production executors pin
   // executor memory for exactly this reason. Applies to every forked
-  // JVM (tests included — they want the same stability); on a small
-  // machine set SPARK_DRIVER_MEM, which scales -Xms and -Xmx together.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // JVM (tests included — they want the same stability).
+  s"-Xms$driverMem",
   "-XX:+AlwaysPreTouch",
   // A 44-query suite generates hundreds of janino classes; the default
   // 240m code cache saturates partway through, and the resulting

@@ -114,6 +114,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Graft.tune(spark)
     spark
   }
 
@@ -169,6 +170,11 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
+    // All f"" interpolators below feed the machine-parsed JSON line; a
+    // non-US default locale would render decimals as "1,5" and corrupt
+    // it. Pin the JVM default rather than threading Locale.ROOT through
+    // every format call.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     sweepLocalDirs()
     System.err.println(s"[bench-env] ${Diag.envLine}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -257,6 +263,24 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""diag":$diags,"sf":"$sfDir"}""")
+    // Untimed one-shot diagnostics (skipped when bisecting with
+    // SPARK_GRAFT_BENCH_ONLY): candidate-count growth across scale
+    // factors and the BASELINE §B crypto cells. Guarded — a diag failure
+    // must never cost the run its timing artifact.
+    if (only.isEmpty) {
+      val spark = SparkSession.getActiveSession.getOrElse(newSession(cpus))
+      try println(tools.ScaleDiag.run(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] scale diag failed: $e") }
+      try println(tools.CryptoMeasure.run(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] crypto diag failed: $e") }
+    }
+    // The driver keeps only the tail of stdout; with 61 queries the full
+    // line above outgrew that window in round 3 and the headline total was
+    // truncated away. A compact summary printed LAST always survives.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      f""""n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
     SparkSession.getActiveSession.foreach(_.stop())
   }
 }

@@ -16,11 +16,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Graft {
 
+  /** The engine's session-level conf, applied ONCE at session setup (all
+    * entry points — Bench, Verify, Graft.init, the test base — call this)
+    * so no individual query needs to mutate session state:
+    *
+    *  - `icu.caseMappings.enabled=false`: JVM case mappings instead of
+    *    ICU — identical on ASCII corpora, avoids ICU's tens-of-seconds
+    *    single-threaded static init serializing every task thread.
+    *  - `legacy.parquet.nanosAsLong=true`: the events table is parquet
+    *    TIMESTAMP(NANOS), which the vectorized reader otherwise rejects
+    *    (`Tables.events` converts the long to a µs timestamp).
+    *  - `legacy.bucketedTableScan.outputOrdering=true`: report per-bucket
+    *    sort order from bucketed scans. Spark 3+ dropped it because
+    *    multi-file buckets interleave (SPARK-28595); `Layout`'s writer
+    *    guarantees ONE file per bucket, exactly the regime where the
+    *    ordering is sound — and what keeps the bucketed fact-fact join
+    *    sort-free.
+    *
+    * Idempotent; ConfHygieneSpec asserts that, given a tuned session, no
+    * registered query leaves session conf changed.
+    */
+  def tune(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+  }
+
   /** Register every corpus table as a temp view plus graft's custom
     * functions (cosine_sim, dot_product, simhash64, minhash_signature,
     * ngram_shingles, intersect_count). Idempotent.
     */
   def init(spark: SparkSession, sfDir: String): Unit = {
+    tune(spark)
     GraftFunctions.register(spark)
     Tables.all.foreach { t =>
       val df = if (t == "events") Tables.events(spark, sfDir)

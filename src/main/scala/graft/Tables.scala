@@ -15,14 +15,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // JVM case mappings instead of ICU: identical on this (ASCII) corpus,
-    // but ICU's CollationAwareUTF8String static init costs tens of seconds
-    // of single-threaded class-init the first time lower()/upper() runs in
-    // a JVM, with every task thread serialized on the class lock.
-    spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    // Session conf (ICU case mappings, nanos-as-long, bucketed-scan
+    // ordering) is applied once per session by Graft.tune — every entry
+    // point calls it, so loaders no longer mutate conf per call.
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -41,12 +38,13 @@ object Tables {
     * precision). NOTE: `col("ts") / 1000L` would be double division;
     * epoch nanos (~1.7e18) exceed double's 2^53 integer range (256 ns
     * ulp), which put ~12% of rows off by 1 µs.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * `Graft.tune`, which every entry point applies at session setup).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -51,7 +51,7 @@ object CryptoParity {
         Files.createTempDirectory(shm.toPath, "graft-q24-")
       else Files.createTempDirectory("graft-q24-")).toString
       EncryptedParquet.write(Tables.nation(s, d), dir, nationPolicy,
-        TestKmsServer.shared.url)
+        TestKmsServer.shared.url, mode = "overwrite")
       dir
     })
 
@@ -103,7 +103,7 @@ object CryptoParity {
         Files.createTempDirectory(shm.toPath, "graft-q24d-")
       else Files.createTempDirectory("graft-q24d-")).toString
       EncryptedParquet.write(Tables.lineitem(s, d), dir, lineitemPolicy,
-        TestKmsServer.shared.url, zstdLevel = 3)
+        TestKmsServer.shared.url, mode = "overwrite", zstdLevel = 3)
       dir
     })
 
@@ -160,7 +160,7 @@ object CryptoParity {
         Files.createTempDirectory(shm.toPath, "graft-q24e-")
       else Files.createTempDirectory("graft-q24e-")).toString
       EncryptedParquet.write(Tables.documents(s, d), dir, documentsPolicy,
-        TestKmsServer.shared.url, zstdLevel = 3)
+        TestKmsServer.shared.url, mode = "overwrite", zstdLevel = 3)
       dir
     })
 

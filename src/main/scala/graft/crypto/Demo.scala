@@ -27,8 +27,11 @@ object WriteEncrypted {
     val path = if (args.length > 0) args(0) else "/tmp/graft-dataset"
     val kmsUrl = if (args.length > 1) args(1) else "http://127.0.0.1:8001"
     val spark = Demo.session()
+    // rmtree-then-write in the reference (write_encrypted_parquet.py:89-91)
+    // = overwrite semantics for the demo; the library default is error.
     EncryptedParquet.write(
-      Fixtures.people(spark), path, EncryptionPolicy.reference, kmsUrl)
+      Fixtures.people(spark), path, EncryptionPolicy.reference, kmsUrl,
+      mode = "overwrite")
     println(s"wrote encrypted dataset to $path")
     spark.stop()
   }

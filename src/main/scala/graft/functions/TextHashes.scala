@@ -250,7 +250,14 @@ object HashKernels {
     val n = tokens.numElements()
     val out = new Array[Long](n)
     var i = 0
-    while (i < n) { out(i) = h1(tokens.getUTF8String(i)); i += 1 }
+    while (i < n) {
+      // Null element: built-in xxhash64 returns the seed unchanged (its
+      // null operand contributes nothing) — match it, don't NPE; both
+      // spellings are SQL-registered and containsNull inputs can reach us.
+      val t = tokens.getUTF8String(i)
+      out(i) = if (t == null) Seed else h1(t)
+      i += 1
+    }
     new GenericArrayData(out)
   }
 
@@ -262,12 +269,19 @@ object HashKernels {
     val s = new java.util.HashSet[UTF8String](set.numElements() * 2)
     var i = 0
     val ns = set.numElements()
-    while (i < ns) { s.add(set.getUTF8String(i)); i += 1 }
+    while (i < ns) {
+      val e = set.getUTF8String(i)
+      if (e != null) s.add(e): Unit // null ∈ set is UNKNOWN in SQL — never matches
+      i += 1
+    }
     var cnt = 0L
     var j = 0
     val nt = tokens.numElements()
     while (j < nt) {
-      if (s.contains(tokens.getUTF8String(j))) cnt += 1L
+      // Null token: isInCollection yields NULL, filter drops it — skip,
+      // matching the HOF spelling this kernel is documented bit-identical to.
+      val t = tokens.getUTF8String(j)
+      if (t != null && s.contains(t)) cnt += 1L
       j += 1
     }
     cnt

@@ -1,7 +1,8 @@
 package graft.io
 
 import graft.crypto.EncryptionPolicy
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Encrypted parquet write/read over Spark's native parquet source —
   * the reference's A2/A4 operators (write_encrypted_parquet.py:21-28,91;
@@ -29,19 +30,65 @@ object EncryptedParquet {
     * (kms_server.py:135-139 — wrap is unauthenticated), so no token.
     * Physical layout matches the reference: zstd (level via
     * parquet.compression.codec.zstd.level) and v2 data pages
-    * (write_encrypted_parquet.py:23-25).
+    * (write_encrypted_parquet.py:23-25). The default mode is
+    * `errorifexists`, the reference's `existing_data_behavior="error"`
+    * (write_encrypted_parquet.py:26) — callers overwrite explicitly, as
+    * the reference does with its pre-write rmtree.
     */
   def write(df: DataFrame, path: String, policy: EncryptionPolicy,
-      kmsUrl: String, mode: String = "overwrite",
+      kmsUrl: String, mode: String = "errorifexists",
       zstdLevel: Int = 19, pageV2: Boolean = true): Unit = {
-    val layout = Map("parquet.compression.codec.zstd.level" -> zstdLevel.toString) ++
-      (if (pageV2) Map("parquet.writer.version" -> "v2") else Map.empty)
     df.write.mode(mode)
-      .options(EncryptionPolicy.writeConfMap(policy, kmsUrl, accessToken = None))
-      .options(layout)
-      .option("compression", "zstd")
+      .options(cryptoOptions(policy, kmsUrl, zstdLevel, pageV2))
       .parquet(path)
   }
+
+  private def cryptoOptions(policy: EncryptionPolicy, kmsUrl: String,
+      zstdLevel: Int, pageV2: Boolean): Map[String, String] =
+    EncryptionPolicy.writeConfMap(policy, kmsUrl, accessToken = None) ++
+      Map("parquet.compression.codec.zstd.level" -> zstdLevel.toString,
+        "compression" -> "zstd") ++
+      (if (pageV2) Map("parquet.writer.version" -> "v2") else Map.empty)
+
+  /** PME-encrypted STREAMING parquet sink, composing exactly-once
+    * (manifest-committed, checkpointed) file output with
+    * encryption-at-rest.
+    *
+    * Unlike the batch path, `FileStreamSink.addBatch` builds each write
+    * job's Hadoop conf from `SessionState.newHadoopConf()` — datasource
+    * options are NOT merged (verified against the Spark 4.1 bytecode), so
+    * per-relation options can't carry the crypto factory here. The
+    * supported channel is the session conf overlay: `newHadoopConf()`
+    * copies every session SQLConf entry verbatim into the Hadoop conf it
+    * hands each write job, so Hadoop-keyed properties set via
+    * `spark.conf.set` reach the sink per-session. This helper therefore
+    * binds the policy to `df`'s session: run the stream
+    * on a DEDICATED session (`spark.newSession()` shares the context but
+    * isolates the conf — a streaming job owns its session in production),
+    * and every file the sink commits is encrypted while batch relations
+    * on other sessions stay per-relation-scoped. Caller picks the trigger
+    * and calls `.start()`; `clearStreamCrypto` removes the binding.
+    */
+  def writeStream(df: DataFrame, path: String, checkpointDir: String,
+      policy: EncryptionPolicy, kmsUrl: String,
+      zstdLevel: Int = 19, pageV2: Boolean = true): DataStreamWriter[Row] = {
+    val session = df.sparkSession
+    (EncryptionPolicy.writeConfMap(policy, kmsUrl, accessToken = None) ++
+      Map("parquet.compression.codec.zstd.level" -> zstdLevel.toString) ++
+      (if (pageV2) Map("parquet.writer.version" -> "v2") else Map.empty))
+      .foreach { case (k, v) => session.conf.set(k, v) }
+    df.writeStream
+      .format("parquet")
+      .option("compression", "zstd")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+  }
+
+  /** Remove a `writeStream` session binding (after the stream stops). */
+  def clearStreamCrypto(session: SparkSession): Unit =
+    (EncryptionPolicy.allProperties ++
+      Seq("parquet.compression.codec.zstd.level", "parquet.writer.version"))
+      .foreach(session.conf.unset)
 
   /** Read an encrypted dataset with the given privilege token. Column
     * decryption (and therefore authorization) happens only for columns the

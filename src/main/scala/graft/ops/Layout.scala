@@ -37,11 +37,25 @@ object Layout {
     new java.io.File(base, suffix).toString
   }
 
-  private def sfTag(d: String): String =
+  /** Fixture-cache tag: hashes the dataset PATH plus the (name, size,
+    * mtime) of every parquet file under it, so a regenerated source table
+    * invalidates the cached layouts (_SUCCESS alone kept serving stale
+    * copies when the source changed under the same path — advisor
+    * finding: q43's box bounds are computed from the LIVE table and would
+    * silently diverge from a stale clustered copy).
+    */
+  private def sfTag(d: String): String = {
+    val files = Option(new java.io.File(d).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(";")
+    val bytes = s"$d|$files".getBytes
     java.lang.Long.toHexString(
       org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        d.getBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        d.getBytes.length, 42).toLong & 0xffffffffL)
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42).toLong & 0xffffffffL)
+  }
 
   /** Buckets for the fact-fact join. At 100 TB this would be O(1000);
     * sized here so every bucket holds real data at bench scale.
@@ -89,13 +103,13 @@ object Layout {
   val q35: Q = Q(
     "q35_bucketed_join",
     (s, d) => {
-      // Report the per-bucket sort order from the scan. Spark 3+ dropped
-      // it by default because multi-file buckets interleave (SPARK-28595);
-      // our writer guarantees ONE file per bucket (repartition by the
-      // bucket hash before write), which is exactly the regime where the
-      // ordering is sound — and what saves the O(n log n) re-sort under
-      // every merge join of the layout.
-      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // Per-bucket sort-order reporting is session conf, applied once by
+      // Graft.tune (sound here because the writer below guarantees ONE
+      // file per bucket; see tune's doc). It cannot be scoped around this
+      // builder: Spark reads the flag at ACTION time (physical planning),
+      // after this function has returned its lazy DataFrame — a
+      // set/restore here would silently re-insert the sorts the layout
+      // exists to avoid.
       val (lName, oName) = bucketedTables(s, d)
       val l = s.table(lName)
       // merge hint: a fact-fact join must never broadcast (at 100 TB

@@ -18,16 +18,31 @@ object Skew {
 
   /** Salted inner equi-join of `large` and `small` on `key`.
     *
-    * @param salts number of ways to split each hot key (= replication
-    *              factor of the small side; keep ≤ 64)
+    * @param salts  number of ways to split each hot key (= replication
+    *               factor of the small side; keep ≤ 64)
+    * @param saltOn cheap columns whose values vary within a key — the
+    *               salt is `xxhash64(key, saltOn…)`. Empty (default)
+    *               falls back to every atomic-typed column, which is
+    *               correct but pays per-row hashing of the whole 100 TB
+    *               side; at scale name one or two cheap columns.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-      salts: Int = 16): DataFrame = {
+      salts: Int = 16, saltOn: Seq[String] = Nil): DataFrame = {
     require(salts > 0)
-    // Deterministic pseudo-salt from the whole row (monotonically_
-    // increasing_id would break on retries; rand() breaks determinism).
+    // The salt must (a) vary WITHIN a hot key so its rows spread across
+    // reducers, (b) be deterministic under task retries (rand() is not,
+    // monotonically_increasing_id is not), and (c) stay cheap per row.
+    // Hash the key plus caller-named cheap columns; the fallback skips
+    // map-typed columns (xxhash64 rejects MapType — hashing a map has no
+    // canonical entry order).
+    val basis = key +: (
+      if (saltOn.nonEmpty) saltOn
+      else large.schema.fields.iterator.collect {
+        case f if f.name != key &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+      }.toSeq)
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(xxhash64(basis.map(col): _*), lit(salts)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
     salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
@@ -47,7 +62,7 @@ object Skew {
       val p = Tables.part(s, d)
         .select(col("p_partkey").as("l_partkey"), col("p_brand"))
         .hint("shuffle_hash")
-      saltedJoin(l, p, "l_partkey", salts = 16)
+      saltedJoin(l, p, "l_partkey", salts = 16, saltOn = Seq("l_extendedprice"))
         .groupBy("p_brand")
         .agg(Canon.rsum(col("l_extendedprice")).as("revenue"),
           count(lit(1)).as("n_items"))

@@ -1,0 +1,124 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.crypto.{EncryptionPolicy, PrivilegeLevel}
+import graft.io.EncryptedParquet
+import graft.kms.TestKmsServer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Measures the two BASELINE.md §B cells the reference protocol promises
+  * but timing alone can't show:
+  *
+  *  1. encrypted/plaintext FILE SIZE ratio at identical layout (codec,
+  *     level, page version) — PME's at-rest overhead is per-module GCM
+  *     nonces+tags plus wrapped key material in the footer, expected
+  *     ratio ≈ 1.0 and shrinking with file size;
+  *  2. KMS call counts per job — with double wrapping
+  *     (write_encrypted_parquet.py:81) the KMS is called once per KEK,
+  *     not per DEK: a write wraps each KEK used (columns + footer) once
+  *     per JVM per cache TTL, a read unwraps only the KEKs the projected
+  *     columns need. At cluster scale the bound is levels × executors.
+  *
+  * A FRESH TestKmsServer per run (fresh URL ⇒ fresh KeyToolkit client
+  * cache entry, since the instance id is the URL) keeps the counters
+  * uncontaminated by the bench's own q24 queries.
+  */
+object CryptoMeasure {
+
+  private def dirBytes(p: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else if (f.getName.endsWith(".parquet")) f.length()
+      else 0L
+    walk(new java.io.File(p))
+  }
+
+  private def tmpDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    (if (shm.isDirectory && shm.canWrite) Files.createTempDirectory(shm.toPath, prefix)
+     else Files.createTempDirectory(prefix)).toString
+  }
+
+  private def rm(p: String): Unit = {
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+      f.delete(): Unit
+    }
+    del(new java.io.File(p))
+  }
+
+  /** Plaintext write at the exact layout the encrypted write uses. */
+  private def writePlain(df: DataFrame, path: String, zstdLevel: Int): Unit =
+    df.write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("parquet.compression.codec.zstd.level", zstdLevel.toString)
+      .option("parquet.writer.version", "v2")
+      .parquet(path)
+
+  private def sizeRatio(df: DataFrame, policy: EncryptionPolicy,
+      kmsUrl: String, zstdLevel: Int): Double = {
+    val plainDir = tmpDir("graft-size-plain-")
+    val encDir = tmpDir("graft-size-enc-")
+    try {
+      writePlain(df, plainDir, zstdLevel)
+      EncryptedParquet.write(df, encDir, policy, kmsUrl,
+        mode = "overwrite", zstdLevel = zstdLevel)
+      dirBytes(encDir).toDouble / dirBytes(plainDir).toDouble
+    } finally { rm(plainDir); rm(encDir) }
+  }
+
+  def run(spark: SparkSession, sfDir: String): String = {
+    val kms = new TestKmsServer().start()
+    try {
+      val nationPolicy = EncryptionPolicy(columnKeys = Map(
+        PrivilegeLevel.Internal     -> Seq("n_regionkey"),
+        PrivilegeLevel.Confidential -> Seq("n_name")))
+      val lineitemPolicy = EncryptionPolicy(columnKeys = Map(
+        PrivilegeLevel.Internal     -> Seq("l_discount"),
+        PrivilegeLevel.Confidential -> Seq("l_extendedprice")))
+
+      // --- size ratios (same layout both sides) ---
+      val nationRatio = sizeRatio(Tables.nation(spark, sfDir), nationPolicy,
+        kms.url, zstdLevel = 19)
+      val lineitemRatio = sizeRatio(Tables.lineitem(spark, sfDir), lineitemPolicy,
+        kms.url, zstdLevel = 3)
+
+      // --- KMS call counts per job (fresh server => clean counters) ---
+      // KeyToolkit's KEK caches are JVM-STATIC (shared across sessions and
+      // KMS instances — the bench's own q24 queries pre-warm them, and a
+      // warm KEK means zero KMS traffic, which is the production point of
+      // double wrapping). Flush them so this measures the cold-JVM cost.
+      import org.apache.parquet.crypto.keytools.KeyToolkit
+      val encDir = tmpDir("graft-kmscount-")
+      try {
+        KeyToolkit.removeCacheEntriesForAllTokens()
+        // Write: 2 column KEKs + PUBLIC footer KEK => expect 3 wraps.
+        val (w0, _) = kms.counts
+        EncryptedParquet.write(Tables.nation(spark, sfDir), encDir, nationPolicy,
+          kms.url, mode = "overwrite")
+        val (w1, _) = kms.counts
+        // Full-projection read at RESTRICTED: all 3 KEKs => expect 3 unwraps.
+        KeyToolkit.removeCacheEntriesForAllTokens()
+        val (_, u0) = kms.counts
+        EncryptedParquet.read(spark, encDir, kms.url, Some("RESTRICTED"))
+          .write.format("noop").mode("overwrite").save()
+        val (_, u1) = kms.counts
+        // Tokenless plaintext-column read: footer KEK only => expect 1.
+        KeyToolkit.removeCacheEntriesForAllTokens()
+        val df = EncryptedParquet.read(spark, encDir, kms.url, None)
+        df.select("n_nationkey").write.format("noop").mode("overwrite").save()
+        val (_, u2) = kms.counts
+        s"""{"metric":"crypto","nation_size_ratio":${fmt(nationRatio)},""" +
+          s""""lineitem_size_ratio":${fmt(lineitemRatio)},""" +
+          s""""write_wrap_calls":${w1 - w0},""" +
+          s""""read_unwrap_calls_restricted":${u1 - u0},""" +
+          s""""read_unwrap_calls_tokenless_plaintext_col":${u2 - u1},""" +
+          s""""kek_levels_in_policy":3,"sf":"$sfDir"}"""
+      } finally rm(encDir)
+    } finally kms.stop()
+  }
+
+  private def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
+}

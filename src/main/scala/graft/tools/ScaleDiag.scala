@@ -1,0 +1,47 @@
+package graft.tools
+
+import graft.ops.Dedup
+import org.apache.spark.sql.SparkSession
+
+/** Scale diagnostics for the dedup family: counts the CANDIDATE pairs the
+  * prefix filter (q22a) and the LSH band join (q22b) emit at every
+  * available scale factor. The claim under test is the 100 TB one — that
+  * candidate volume grows sub-quadratically in corpus size because the
+  * prefix filter excludes high-df shingles and band joins are
+  * O(Σ bucket²), never all-pairs. Logged into the bench artifact so the
+  * growth rate is on record next to the timings.
+  */
+object ScaleDiag {
+
+  /** Sibling sf directories of the bench dir (e.g. sf0.001, sf0.01,
+    * sf0.1), ascending by size — no hardcoded paths.
+    */
+  private def sfDirs(benchSfDir: String): Seq[String] = {
+    val f = new java.io.File(benchSfDir)
+    val siblings = Option(f.getParentFile).map { p =>
+      Option(p.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(d => d.isDirectory && d.getName.startsWith("sf"))
+        .sortBy(d => d.getName.stripPrefix("sf").toDoubleOption.getOrElse(Double.MaxValue))
+        .map(_.getPath)
+    }.getOrElse(Seq(benchSfDir))
+    if (siblings.contains(f.getPath)) siblings else siblings :+ benchSfDir
+  }
+
+  /** One JSON metric line: per-sf doc counts and candidate counts. */
+  def run(spark: SparkSession, benchSfDir: String): String = {
+    val entries = sfDirs(benchSfDir).map { d =>
+      val docs = Dedup.cappedShingleDocs(spark, d)
+      try {
+        val nDocs = docs.count()
+        val jac = Dedup.jaccardCandidates(docs, 0.5).count()
+        val mh = Dedup.minhashCandidates(docs, numHashes = 32, bands = 8).count()
+        val name = new java.io.File(d).getName
+        // allpairs = the n(n-1)/2 baseline a naive all-pairs join would
+        // verify; cands/allpairs is the fraction the filters let through.
+        s""""$name":{"docs":$nDocs,"allpairs":${nDocs * (nDocs - 1) / 2},""" +
+          s""""jaccard_cands":$jac,"minhash_cands":$mh}"""
+      } finally docs.unpersist()
+    }
+    s"""{"metric":"scale_candidates","sfs":${entries.mkString("{", ",", "}")}}"""
+  }
+}

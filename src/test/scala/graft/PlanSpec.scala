@@ -166,7 +166,8 @@ class PlanSpec extends SparkTestBase {
       val dir = Files.createTempDirectory("graft-prune-").toString
       val policy = EncryptionPolicy(columnKeys = Map(
         PrivilegeLevel.Confidential -> Seq("n_name")))
-      EncryptedParquet.write(Tables.nation(spark, sfDir), dir, policy, kms.url)
+      EncryptedParquet.write(Tables.nation(spark, sfDir), dir, policy, kms.url,
+        mode = "overwrite")
       val df = EncryptedParquet.read(spark, dir, kms.url, Some("RESTRICTED"))
         .select("n_nationkey")
       try {

@@ -30,6 +30,7 @@ object SparkTestBase {
     // registered as a side effect. Deployment gets the same guarantee
     // from spark.sql.extensions=GraftSparkExtensions.
     graft.functions.GraftFunctions.register(s)
+    Graft.tune(s)
     s
   }
 }

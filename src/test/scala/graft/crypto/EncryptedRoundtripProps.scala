@@ -44,7 +44,7 @@ class EncryptedRoundtripProps extends SparkTestBase {
       val df = spark.createDataFrame(
         new java.util.ArrayList(
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-      EncryptedParquet.write(df, dir, policy, kms.url)
+      EncryptedParquet.write(df, dir, policy, kms.url, mode = "overwrite")
       val back = EncryptedParquet.readCollected(
         spark, dir, kms.url, Some("RESTRICTED"))
       val got = back.collect().map(r => r.getLong(0) -> r.toSeq).toMap
@@ -62,7 +62,7 @@ class EncryptedRoundtripProps extends SparkTestBase {
     val df = spark.createDataFrame(
       new java.util.ArrayList(
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-    EncryptedParquet.write(df, dir, policy, kms.url)
+    EncryptedParquet.write(df, dir, policy, kms.url, mode = "overwrite")
     for {
       token <- None +: PrivilegeLevel.all.map(l => Some(l))
       colName <- Seq("k", "a", "b", "c")

@@ -20,7 +20,8 @@ class EncryptedRoundtripSpec extends SparkTestBase with BeforeAndAfterAll {
     kms = new TestKmsServer().start()
     dir = Files.createTempDirectory("graft-pme-").toString
     EncryptedParquet.write(
-      Fixtures.people(spark), dir, EncryptionPolicy.reference, kms.url)
+      Fixtures.people(spark), dir, EncryptionPolicy.reference, kms.url,
+      mode = "overwrite")
   }
 
   override def afterAll(): Unit = kms.stop()

@@ -18,7 +18,8 @@ class KmsCachingSpec extends SparkTestBase {
     try {
       val dir = Files.createTempDirectory("graft-cache-").toString
       EncryptedParquet.write(
-        Fixtures.people(spark), dir, EncryptionPolicy.reference, kms.url)
+        Fixtures.people(spark), dir, EncryptionPolicy.reference, kms.url,
+        mode = "overwrite")
       val (wrapsAfterWrite, _) = kms.counts
       // Double wrapping: one KMS wrap per KEK (4 levels incl. footer), not
       // one per DEK (5 columns + footer would need 6+; per-page would be

@@ -81,7 +81,8 @@ class TlsKmsSpec extends SparkTestBase with BeforeAndAfterAll {
     try {
       val out = Files.createTempDirectory("graft-tls-data-").toString
       val df = Fixtures.people(spark)
-      EncryptedParquet.write(df, out, EncryptionPolicy.reference, kms.url)
+      EncryptedParquet.write(df, out, EncryptionPolicy.reference, kms.url,
+        mode = "overwrite")
       val back = EncryptedParquet.readCollected(
         spark, out, kms.url, Some("RESTRICTED"))
       assert(back.count() === df.count())

@@ -35,7 +35,8 @@ class FileMetadataSpec extends SparkTestBase with BeforeAndAfterAll {
     kms = new TestKmsServer().start()
     dir = Files.createTempDirectory("graft-meta-").toString
     EncryptedParquet.write(
-      Fixtures.people(spark), dir, EncryptionPolicy.reference, kms.url)
+      Fixtures.people(spark), dir, EncryptionPolicy.reference, kms.url,
+      mode = "overwrite")
     val f = new java.io.File(dir).listFiles()
       .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
       .getOrElse(fail("no parquet part file written"))
@@ -120,7 +121,7 @@ class FileMetadataSpec extends SparkTestBase with BeforeAndAfterAll {
     val plainDir = Files.createTempDirectory("graft-size-plain-").toString
     EncryptedParquet.write(docs, encDir,
       EncryptionPolicy(columnKeys = Map(PrivilegeLevel.Confidential -> Seq("text"))),
-      kms.url, zstdLevel = 3)
+      kms.url, mode = "overwrite", zstdLevel = 3)
     docs.write.mode("overwrite")
       .option("compression", "zstd")
       .option("parquet.compression.codec.zstd.level", "3")

@@ -45,6 +45,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got.size == 7)
   }
 
+  test("star contraction matches min-label propagation on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .distinct
+      .toDF("src", "dst")
+    val star = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ml = Dedup.connectedComponentsMinLabel(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == ml, "star contraction must produce the min-label labeling")
+  }
+
+  test("star contraction converges in O(log n) rounds on a 128-vertex chain") {
+    import spark.implicits._
+    // Worst case for min-label propagation: diameter 127 => 127 rounds.
+    // Star contraction halves tree heights every round: <= log2(128)+c.
+    val n = 128
+    val edges = (1 until n).map(i => (i.toLong, i.toLong - 1)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L), "chain must collapse to 0")
+    val rounds = Dedup.lastRounds.get
+    assert(rounds <= 11, s"expected O(log n) rounds on a chain, got $rounds")
+  }
+
   test("minhash output equals exact output on verified pairs") {
     val exact = Dedup.q22a.fn(spark, sfDir).collect().map(_.toSeq).toSet
     val lsh = Dedup.q22b.fn(spark, sfDir).collect().map(_.toSeq).toSet

@@ -15,14 +15,29 @@ class SkewSpec extends SparkTestBase {
     val small = Seq((1L, "hot"), (2L, "b"), (42L, "c")).toDF("k", "name")
     val plain = large.join(small, Seq("k"), "inner")
       .select("k", "payload", "name").collect().map(_.toSeq).toSet
-    val salted = Skew.saltedJoin(large, small, "k", salts = 8)
+    val salted = Skew.saltedJoin(large, small, "k", salts = 8,
+      saltOn = Seq("payload"))
       .select("k", "payload", "name").collect().map(_.toSeq).toSet
     assert(salted == plain)
     // the salt must actually split the hot key across buckets
     val buckets = large.withColumn("__salt",
-        pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(8)))
+        pmod(xxhash64(col("k"), col("payload")), lit(8)))
       .filter(col("k") === 1L)
       .groupBy("__salt").count().collect()
     assert(buckets.length == 8, s"hot key not spread: ${buckets.mkString(",")}")
+  }
+
+  test("default salt basis skips unhashable columns (maps) and still matches") {
+    import spark.implicits._
+    // xxhash64 rejects MapType; a whole-row salt would throw at analysis.
+    val large = spark.range(1000)
+      .select((col("id") % 5).as("k"), col("id").as("payload"),
+        map(lit("a"), col("id")).as("props"))
+    val small = Seq((0L, "x"), (1L, "y"), (4L, "z")).toDF("k", "name")
+    val plain = large.join(small, Seq("k"), "inner")
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(large, small, "k", salts = 4)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
   }
 }
