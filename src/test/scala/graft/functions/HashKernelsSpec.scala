@@ -48,6 +48,24 @@ class HashKernelsSpec extends SparkTestBase {
     assert(mismatch === 0L)
   }
 
+  test("token_hashes and count_in_set tolerate null array elements like their HOF spellings") {
+    // Both kernels are SQL-registered, so containsNull=true inputs can
+    // reach them: a null token must hash to the seed (as xxhash64 does)
+    // and must never count as a set member (NULL-in predicate is UNKNOWN).
+    val withNulls = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'b') AS tk, " +
+        "array('a', CAST(NULL AS STRING)) AS st")
+    val row = withNulls
+      .select(
+        GraftFunctions.tokenHashes(col("tk")).as("fast"),
+        transform(col("tk"), t => xxhash64(t)).as("ref"),
+        GraftFunctions.countInSet(col("tk"), col("st")).as("cnt"))
+      .collect()(0)
+    assert(row.getSeq[Long](0) == row.getSeq[Long](1),
+      "null elements must hash exactly like built-in xxhash64")
+    assert(row.getLong(2) == 1L, "only the non-null member 'a' may count")
+  }
+
   test("ngram_repetition == [size, size - distinct-size] of the HOF grams") {
     val tkGrams = when(size(col("tk")) < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(col("tk")) - 3),
