@@ -20,6 +20,7 @@ object Registry {
     ops.Similarity.queries,
     ops.TextOps.queries,
     ops.Sampling.queries,
+    ops.Sources.queries,
     ops.Layout.queries,
     ops.Skew.queries,
     ops.Multimodal.queries,

@@ -191,5 +191,66 @@ object CryptoParity {
             |GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
             |ORDER BY keeper_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q24, q24b, q24c, q24d, q24e)
+  /** Policy for the streamed event copy: the analytic payload columns are
+    * CONFIDENTIAL, keys stay plaintext.
+    */
+  private val eventsPolicy = EncryptionPolicy(columnKeys = Map(
+    PrivilegeLevel.Confidential -> Seq("event_type", "value")))
+
+  private val streamedDirs = new ConcurrentHashMap[String, String]()
+
+  /** Events replayed through a Structured Streaming job into the
+    * PME-encrypted parquet sink (checkpointed, Trigger.AvailableNow), once
+    * per JVM. The stream runs on a dedicated session clone because the
+    * file stream sink takes its write-job Hadoop conf from SESSION state
+    * (see EncryptedParquet.writeStream).
+    */
+  private def encryptedStreamDir(s: SparkSession, d: String): String =
+    streamedDirs.computeIfAbsent(d, _ => {
+      val shm = new java.io.File("/dev/shm")
+      val base = (if (shm.isDirectory && shm.canWrite)
+        Files.createTempDirectory(shm.toPath, "graft-q24f-")
+      else Files.createTempDirectory("graft-q24f-")).toString
+      val srcDir = s"$base/src"
+      val sinkDir = s"$base/sink"
+      val ckptDir = s"$base/ckpt"
+      graft.Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val s2 = s.newSession()
+      val q = EncryptedParquet.writeStream(
+          s2.readStream.schema(schema).parquet(srcDir),
+          sinkDir, ckptDir, eventsPolicy, TestKmsServer.shared.url,
+          zstdLevel = 3)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      EncryptedParquet.clearStreamCrypto(s2)
+      sinkDir
+    })
+
+  /** Q24f — streaming ingestion, encrypted at rest, queried batch: events
+    * streamed through the checkpointed PME sink, then aggregated from the
+    * encrypted files at CONFIDENTIAL. The oracle runs on the PLAINTEXT
+    * events table — a hash match proves the whole stream→encrypt→decrypt
+    * →aggregate path is value-exact (exactly-once AND preserved query
+    * behavior in one check).
+    */
+  val q24f: Q = Q(
+    "q24f_encrypted_stream",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      EncryptedParquet.read(s, encryptedStreamDir(s, d),
+          TestKmsServer.shared.url, Some("CONFIDENTIAL"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          graft.Canon.rsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+            |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS total_value
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q24, q24b, q24c, q24d, q24e, q24f)
 }

@@ -650,7 +650,108 @@ object Relational {
             |  count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** Q48 — GROUPING SETS: the explicit multi-granularity aggregate
+    * (rollup/cube are its special cases — q09a/q09b). One pass over the
+    * fact table expands each row into its grouping-set combinations
+    * (Expand operator), then a single hash aggregate — no per-set rescans.
+    */
+  val q48: Q = Q(
+    "q48_grouping_sets",
+    (s, d) => {
+      Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), rsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+            |  count(*) AS n,
+            |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty
+            |FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+            |ORDER BY rf, ls""".stripMargin))
+
+  /** Q49 — bounded edit-distance self-join: near-identical part names
+    * within a brand (catalog-dedup shape). The brand equi-key does the
+    * heavy pruning — the quadratic levenshtein runs only inside each
+    * small brand group, the same blocking-key pattern the text dedup
+    * family uses; `levenshtein` is a codegen'd built-in in both engines
+    * with identical unit-cost semantics.
+    */
+  val q49: Q = Q(
+    "q49_edit_distance",
+    (s, d) => {
+      val p = Tables.spread(
+        Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name")),
+        col("p_partkey"))
+      val a = p.as("a")
+      val b = p.as("b")
+      a.join(b.hint("shuffle_hash"),
+          col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+        .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")).cast("long"))
+        .filter(col("dist") <= 3)
+        .select(col("a.p_partkey").as("pk_a"), col("b.p_partkey").as("pk_b"),
+          col("a.p_brand").as("brand"), col("dist"))
+        .orderBy("pk_a", "pk_b")
+    },
+    Some("""SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b, a.p_brand AS brand,
+            |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            |FROM part a JOIN part b
+            |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            |WHERE levenshtein(a.p_name, b.p_name) <= 3
+            |ORDER BY pk_a, pk_b""".stripMargin))
+
+  /** Q50 — time-series resample with gap fill: hourly event counts per
+    * type over a dense hour × type grid (sequence + explode builds the
+    * grid distributed; missing cells coalesce to zero). The standard
+    * pre-training-metrics resample; at 100 TB the grid is tiny (time ×
+    * cardinality) while the aggregate stays one map-side-combined pass
+    * over the log.
+    */
+  val q50: Q = Q(
+    "q50_resample_gapfill",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"),
+          col("event_type"), col("value"))
+      val bounds = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      val hours = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+      val types = ev.select("event_type").distinct()
+      val agg = ev.groupBy("h", "event_type")
+        .agg(count(lit(1)).as("cnt"), rsum(col("value")).as("tot"))
+      hours.crossJoin(broadcast(types))
+        .join(agg, Seq("h", "event_type"), "left")
+        .select(Canon.fmtTs(col("h")).as("hour"), col("event_type"),
+          coalesce(col("cnt"), lit(0L)).as("n_events"),
+          coalesce(col("tot"), lit(0.0)).as("total_value"))
+        .orderBy("hour", "event_type")
+    },
+    Some("""WITH b AS (
+            |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+            |  FROM events),
+            |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+            |types AS (SELECT DISTINCT event_type FROM events),
+            |agg AS (
+            |  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS cnt,
+            |         sum(CAST(value AS DECIMAL(38,6))) AS tot
+            |  FROM events GROUP BY 1, 2)
+            |SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour, types.event_type,
+            |  coalesce(cnt, 0) AS n_events,
+            |  round(CAST(coalesce(tot, 0) AS DOUBLE), 4) AS total_value
+            |FROM hours CROSS JOIN types
+            |LEFT JOIN agg ON agg.h = hours.h AND agg.event_type = types.event_type
+            |ORDER BY hour, types.event_type""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
-    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29)
+    q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
+    q48, q49, q50)
 }

@@ -419,5 +419,39 @@ object Similarity {
     },
     None)
 
-  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f)
+  /** Q44 — embedding corpus statistics: per-label vector counts and L2
+    * norm stats, the sanity profile every embedding pipeline runs before
+    * indexing (catches unnormalized / degenerate vectors). Norms via the
+    * codegen'd dot_product kernel; the average follows Canon's
+    * decimal-exact convention so partition order can't move the hash.
+    */
+  val q44: Q = Q(
+    "q44_embedding_stats",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = Tables.spread(Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"), dbl(col("embedding")).as("e")),
+        col("vec_id"))
+      emb
+        .withColumn("nrm",
+          sqrt(graft.functions.GraftFunctions.dotProduct(col("e"), col("e"))))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          graft.Canon.ravg(col("nrm")).as("avg_norm"),
+          round(min(col("nrm")), 4).as("min_norm"),
+          round(max(col("nrm")), 4).as("max_norm"))
+        .orderBy("label")
+    },
+    Some("""WITH n AS (
+            |  SELECT label,
+            |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+            |                               CAST(embedding AS DOUBLE[]))) AS nrm
+            |  FROM embeddings)
+            |SELECT label, count(*) AS n_vecs,
+            |  round(CAST(sum(CAST(nrm AS DECIMAL(38,6))) AS DOUBLE) / count(nrm), 4) AS avg_norm,
+            |  round(min(nrm), 4) AS min_norm,
+            |  round(max(nrm), 4) AS max_norm
+            |FROM n GROUP BY label ORDER BY label""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f, q44)
 }

@@ -1,0 +1,100 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import graft.{Canon, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Non-parquet source formats: JSON-lines and CSV readers as first-class
+  * query surfaces. The engine's canonical store is parquet, but a 100 TB
+  * ingestion pipeline starts from whatever the producers emit — JSONL
+  * event logs, CSV dumps — and the correctness contract is that a query
+  * over those formats returns byte-identical results to the same query
+  * over the parquet copy (each oracle below runs on the parquet table).
+  *
+  * Both readers take an EXPLICIT schema: schema inference reads the data
+  * twice and guesses types per-file — at scale the schema is a contract,
+  * not a discovery. Fixtures are written once per dataset into RAM-backed
+  * scratch (same pattern as Layout).
+  */
+object Sources {
+
+  private def shmDir(suffix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite)
+      new java.io.File(shm, "graft-sources") else
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-sources")
+    new java.io.File(base, suffix).toString
+  }
+
+  private val jsonDirs = new ConcurrentHashMap[String, (String, StructType)]()
+  private val csvDirs = new ConcurrentHashMap[String, (String, StructType)]()
+
+  /** events (µs timestamps dropped — the JSON copy carries the analytic
+    * columns) re-emitted as JSON lines, once per JVM per dataset.
+    */
+  private def jsonEvents(s: SparkSession, d: String): (String, StructType) =
+    jsonDirs.computeIfAbsent(d, _ => {
+      val df = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val dir = shmDir(s"${d.hashCode.toHexString}/events_json")
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        df.write.mode("overwrite").json(dir)
+      (dir, df.schema)
+    })
+
+  /** lineitem measures re-emitted as a headered CSV, once per JVM. */
+  private def csvLineitem(s: SparkSession, d: String): (String, StructType) =
+    csvDirs.computeIfAbsent(d, _ => {
+      val df = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      val dir = shmDir(s"${d.hashCode.toHexString}/lineitem_csv")
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        df.write.mode("overwrite").option("header", "true").csv(dir)
+      (dir, df.schema)
+    })
+
+  /** Q46 — JSON-lines source: aggregate over the JSONL copy of events;
+    * oracle runs the same SQL on the parquet table, so a hash match
+    * proves the JSON read path is value-exact (longs, doubles, strings).
+    */
+  val q46: Q = Q(
+    "q46_json_source",
+    (s, d) => {
+      val (dir, schema) = jsonEvents(s, d)
+      s.read.schema(schema).json(dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Canon.rsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+            |  count(DISTINCT user_id) AS n_users,
+            |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS total_value
+            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** Q47 — CSV source: aggregate over the headered CSV copy of lineitem
+    * measures; oracle on the parquet table proves CSV round-trips
+    * numerics exactly (Spark writes shortest-roundtrip doubles).
+    */
+  val q47: Q = Q(
+    "q47_csv_source",
+    (s, d) => {
+      val (dir, schema) = csvLineitem(s, d)
+      s.read.schema(schema).option("header", "true").csv(dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          Canon.rsum(col("l_quantity")).as("sum_qty"),
+          Canon.ravg(col("l_extendedprice")).as("avg_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_items,
+            |  round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty,
+            |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price
+            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q46, q47)
+}
