@@ -143,6 +143,37 @@ class PlanSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("q48: grouping sets plan as one Expand pass with partial aggregation") {
+    val p = planString("q48_grouping_sets")
+    assert(p.contains("Expand"), s"grouping sets must use Expand, not rescans:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q49: edit-distance join is the pinned shuffle-hash on the brand key") {
+    val p = planString("q49_edit_distance")
+    assert(p.contains("ShuffledHashJoin"), s"brand blocking join not SHJ:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"levenshtein must run inside the equi-join, never on a cross product:\n$p")
+  }
+
+  test("q50: grid cross join broadcasts the tiny types side") {
+    val p = planString("q50_resample_gapfill")
+    // hour-grid x 5 event types: the cross join must be a broadcast
+    // nested loop over the 5-row side, never a partitioned cartesian.
+    assert(p.contains("BroadcastNestedLoopJoin"), s"types side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q46/q47: non-parquet sources scan with pruned explicit schemas") {
+    val pj = planString("q46_json_source")
+    assert(pj.contains("FileScan json"), s"q46 must scan JSON:\n$pj")
+    val pc = planString("q47_csv_source")
+    assert(pc.contains("FileScan csv"), s"q47 must scan CSV:\n$pc")
+    // explicit schema ⇒ only the projected columns appear in ReadSchema
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(pc).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length <= 3, s"CSV scan reads too many columns: $read")
+  }
+
   test("q42: the corpus-wide df table streams; the probe side broadcasts") {
     val p = planString("q42_tfidf_topterms")
     assert(p.contains("BroadcastHashJoin"),
