@@ -96,5 +96,39 @@ object Sources {
             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price
             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q46, q47)
+  private val orcDirs = new ConcurrentHashMap[String, (String, StructType)]()
+
+  /** orders re-emitted as ORC (Spark's second built-in columnar format),
+    * once per JVM.
+    */
+  private def orcOrders(s: SparkSession, d: String): (String, StructType) =
+    orcDirs.computeIfAbsent(d, _ => {
+      val df = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+      val dir = shmDir(s"${d.hashCode.toHexString}/orders_orc")
+      if (!new java.io.File(dir, "_SUCCESS").exists())
+        df.write.mode("overwrite").orc(dir)
+      (dir, df.schema)
+    })
+
+  /** Q51 — ORC source: the same aggregate over the ORC copy of orders and
+    * the parquet oracle. ORC is columnar like parquet, so this also
+    * exercises the second vectorized reader + its predicate/pruning path.
+    */
+  val q51: Q = Q(
+    "q51_orc_source",
+    (s, d) => {
+      val (dir, schema) = orcOrders(s, d)
+      s.read.schema(schema).orc(dir)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          Canon.rsum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    },
+    Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+            |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS total_price
+            |FROM orders GROUP BY o_orderpriority, o_orderstatus
+            |ORDER BY o_orderpriority, o_orderstatus""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q46, q47, q51)
 }

@@ -164,11 +164,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q46/q47: non-parquet sources scan with pruned explicit schemas") {
+  test("q46/q47/q51: non-parquet sources scan with pruned explicit schemas") {
     val pj = planString("q46_json_source")
     assert(pj.contains("FileScan json"), s"q46 must scan JSON:\n$pj")
     val pc = planString("q47_csv_source")
     assert(pc.contains("FileScan csv"), s"q47 must scan CSV:\n$pc")
+    val po = planString("q51_orc_source")
+    assert(po.contains("FileScan orc"), s"q51 must scan ORC:\n$po")
     // explicit schema ⇒ only the projected columns appear in ReadSchema
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(pc).map(_.group(1)).getOrElse("")
     assert(read.split(",").length <= 3, s"CSV scan reads too many columns: $read")
