@@ -37,7 +37,7 @@ val driverMem: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
       finally src.close()
     } catch { case _: Throwable => 0L }
   if (memTotalGiB >= 26 || memTotalGiB == 0) "16g"
-  else s"${math.max(2L, memTotalGiB * 3 / 5)}g"
+  else s"${math.max(1L, memTotalGiB * 3 / 5)}g" // floor 1g: 60% of a 2 GiB host still launches
 })
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

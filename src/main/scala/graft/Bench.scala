@@ -277,10 +277,13 @@ object Bench {
     // The driver keeps only the tail of stdout; with 61 queries the full
     // line above outgrew that window in round 3 and the headline total was
     // truncated away. A compact summary printed LAST always survives.
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    val ok = results.filter(_._2 >= 0)
+    val slowest = ok.sortBy(-_._2).take(5)
       .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // n_ok alongside n_queries: the total sums only succeeded queries, so
+    // a reader of this tail-surviving line must be able to see failures.
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      f""""n_queries":${results.size},"slowest":$slowest,"sf":"$sfDir"}""")
+      f""""n_queries":${results.size},"n_ok":${ok.size},"slowest":$slowest,"sf":"$sfDir"}""")
     SparkSession.getActiveSession.foreach(_.stop())
   }
 }

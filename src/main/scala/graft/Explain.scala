@@ -20,6 +20,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Graft.tune(spark)
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).explain(mode)
     spark.stop()

@@ -48,6 +48,26 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Fixture-cache tag for a dataset dir: hashes the PATH plus the
+    * (name, size, mtime) of every parquet file under it, so regenerated
+    * source tables invalidate any cached fixture copies keyed on it
+    * (used by Layout's bucketed/partitioned/z-ordered fixtures and
+    * Sources' JSON/CSV/ORC copies — a bare _SUCCESS check kept serving
+    * stale copies when the source changed under the same path).
+    */
+  def datasetTag(d: String): String = {
+    val files = Option(new java.io.File(d).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString(";")
+    val bytes = s"$d|$files".getBytes
+    java.lang.Long.toHexString(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42).toLong & 0xffffffffL)
+  }
+
   /** Hash-repartition with an EXPLICIT partition count (the cluster's
     * default parallelism). `repartition(col)` without a count is advisory
     * and AQE's byte-based coalescing will happily fold a tiny-input

@@ -37,25 +37,13 @@ object Layout {
     new java.io.File(base, suffix).toString
   }
 
-  /** Fixture-cache tag: hashes the dataset PATH plus the (name, size,
-    * mtime) of every parquet file under it, so a regenerated source table
-    * invalidates the cached layouts (_SUCCESS alone kept serving stale
-    * copies when the source changed under the same path — advisor
+  /** Fixture-cache tag (shared `Tables.datasetTag`): keyed on source
+    * file size/mtime so a regenerated source table invalidates the
+    * cached layouts (_SUCCESS alone kept serving stale copies — advisor
     * finding: q43's box bounds are computed from the LIVE table and would
     * silently diverge from a stale clustered copy).
     */
-  private def sfTag(d: String): String = {
-    val files = Option(new java.io.File(d).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString(";")
-    val bytes = s"$d|$files".getBytes
-    java.lang.Long.toHexString(
-      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        bytes.length, 42).toLong & 0xffffffffL)
-  }
+  private def sfTag(d: String): String = Tables.datasetTag(d)
 
   /** Buckets for the fact-fact join. At 100 TB this would be O(1000);
     * sized here so every bucket holds real data at bench scale.

@@ -33,13 +33,19 @@ object Skew {
     // reducers, (b) be deterministic under task retries (rand() is not,
     // monotonically_increasing_id is not), and (c) stay cheap per row.
     // Hash the key plus caller-named cheap columns; the fallback skips
-    // map-typed columns (xxhash64 rejects MapType — hashing a map has no
-    // canonical entry order).
+    // columns containing MapType at ANY nesting depth (xxhash64's type
+    // check is recursive — a map has no canonical entry order to hash).
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case st: StructType => st.fields.exists(f => containsMap(f.dataType))
+      case at: ArrayType => containsMap(at.elementType)
+      case _ => false
+    }
     val basis = key +: (
       if (saltOn.nonEmpty) saltOn
       else large.schema.fields.iterator.collect {
-        case f if f.name != key &&
-          !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+        case f if f.name != key && !containsMap(f.dataType) => f.name
       }.toSeq)
     val salted = large.withColumn("__salt",
       pmod(xxhash64(basis.map(col): _*), lit(salts)))

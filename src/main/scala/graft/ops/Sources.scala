@@ -34,23 +34,26 @@ object Sources {
 
   /** events (µs timestamps dropped — the JSON copy carries the analytic
     * columns) re-emitted as JSON lines, once per JVM per dataset.
+    * Fixture dirs (and the in-JVM memo) are keyed by `Tables.datasetTag`
+    * — source size/mtime, not just path — so regenerated testdata can
+    * never be served a stale copy (the same staleness fix Layout got).
     */
-  private def jsonEvents(s: SparkSession, d: String): (String, StructType) =
-    jsonDirs.computeIfAbsent(d, _ => {
+  private[ops] def jsonEvents(s: SparkSession, d: String): (String, StructType) =
+    jsonDirs.computeIfAbsent(Tables.datasetTag(d), tag => {
       val df = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      val dir = shmDir(s"${d.hashCode.toHexString}/events_json")
+      val dir = shmDir(s"$tag/events_json")
       if (!new java.io.File(dir, "_SUCCESS").exists())
         df.write.mode("overwrite").json(dir)
       (dir, df.schema)
     })
 
   /** lineitem measures re-emitted as a headered CSV, once per JVM. */
-  private def csvLineitem(s: SparkSession, d: String): (String, StructType) =
-    csvDirs.computeIfAbsent(d, _ => {
+  private[ops] def csvLineitem(s: SparkSession, d: String): (String, StructType) =
+    csvDirs.computeIfAbsent(Tables.datasetTag(d), tag => {
       val df = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-      val dir = shmDir(s"${d.hashCode.toHexString}/lineitem_csv")
+      val dir = shmDir(s"$tag/lineitem_csv")
       if (!new java.io.File(dir, "_SUCCESS").exists())
         df.write.mode("overwrite").option("header", "true").csv(dir)
       (dir, df.schema)
@@ -101,11 +104,11 @@ object Sources {
   /** orders re-emitted as ORC (Spark's second built-in columnar format),
     * once per JVM.
     */
-  private def orcOrders(s: SparkSession, d: String): (String, StructType) =
-    orcDirs.computeIfAbsent(d, _ => {
+  private[ops] def orcOrders(s: SparkSession, d: String): (String, StructType) =
+    orcDirs.computeIfAbsent(Tables.datasetTag(d), tag => {
       val df = Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
-      val dir = shmDir(s"${d.hashCode.toHexString}/orders_orc")
+      val dir = shmDir(s"$tag/orders_orc")
       if (!new java.io.File(dir, "_SUCCESS").exists())
         df.write.mode("overwrite").orc(dir)
       (dir, df.schema)

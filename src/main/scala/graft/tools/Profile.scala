@@ -34,6 +34,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.tune(spark)
 
     val stages = mutable.ArrayBuffer.empty[StageRow]
     spark.sparkContext.addSparkListener(new SparkListener {

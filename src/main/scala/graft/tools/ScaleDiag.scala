@@ -30,17 +30,23 @@ object ScaleDiag {
   /** One JSON metric line: per-sf doc counts and candidate counts. */
   def run(spark: SparkSession, benchSfDir: String): String = {
     val entries = sfDirs(benchSfDir).map { d =>
-      val docs = Dedup.cappedShingleDocs(spark, d)
+      val name = new java.io.File(d).getName
+      // Per-entry guard: one bad sibling dir (e.g. an sf without the
+      // documents table) must not cost the line its other measurements.
       try {
-        val nDocs = docs.count()
-        val jac = Dedup.jaccardCandidates(docs, 0.5).count()
-        val mh = Dedup.minhashCandidates(docs, numHashes = 32, bands = 8).count()
-        val name = new java.io.File(d).getName
-        // allpairs = the n(n-1)/2 baseline a naive all-pairs join would
-        // verify; cands/allpairs is the fraction the filters let through.
-        s""""$name":{"docs":$nDocs,"allpairs":${nDocs * (nDocs - 1) / 2},""" +
-          s""""jaccard_cands":$jac,"minhash_cands":$mh}"""
-      } finally docs.unpersist()
+        val docs = Dedup.cappedShingleDocs(spark, d)
+        try {
+          val nDocs = docs.count()
+          val jac = Dedup.jaccardCandidates(docs, 0.5).count()
+          val mh = Dedup.minhashCandidates(docs, numHashes = 32, bands = 8).count()
+          // allpairs = the n(n-1)/2 baseline a naive all-pairs join would
+          // verify; cands/allpairs is the fraction the filters let through.
+          s""""$name":{"docs":$nDocs,"allpairs":${nDocs * (nDocs - 1) / 2},""" +
+            s""""jaccard_cands":$jac,"minhash_cands":$mh}"""
+        } finally docs.unpersist()
+      } catch {
+        case e: Throwable => s""""$name":{"error":"${e.getClass.getSimpleName}"}"""
+      }
     }
     s"""{"metric":"scale_candidates","sfs":${entries.mkString("{", ",", "}")}}"""
   }

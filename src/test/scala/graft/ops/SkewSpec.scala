@@ -29,10 +29,12 @@ class SkewSpec extends SparkTestBase {
 
   test("default salt basis skips unhashable columns (maps) and still matches") {
     import spark.implicits._
-    // xxhash64 rejects MapType; a whole-row salt would throw at analysis.
+    // xxhash64 rejects MapType recursively; both a top-level map and a
+    // map nested inside a struct must be excluded from the salt basis.
     val large = spark.range(1000)
       .select((col("id") % 5).as("k"), col("id").as("payload"),
-        map(lit("a"), col("id")).as("props"))
+        map(lit("a"), col("id")).as("props"),
+        struct(map(lit("b"), col("id")).as("tags"), col("id").as("v")).as("nested"))
     val small = Seq((0L, "x"), (1L, "y"), (4L, "z")).toDF("k", "name")
     val plain = large.join(small, Seq("k"), "inner")
       .select("k", "payload", "name").collect().map(_.toSeq).toSet
