@@ -750,8 +750,34 @@ object Relational {
             |LEFT JOIN agg ON agg.h = hours.h AND agg.event_type = types.event_type
             |ORDER BY hour, types.event_type""".stripMargin))
 
+  /** Q52 — MERGE/upsert: apply an updates batch to a base table (matched
+    * keys take the update row, unmatched keep the base row). Implemented
+    * as the scalable upsert shape — LEFT ANTI of base against the (small,
+    * broadcast) update keys, UNION the updates — which shuffles nothing
+    * of the 100 TB base side beyond the anti join's broadcast probe; a
+    * full-outer-join formulation would shuffle both sides. The update
+    * batch is a deterministic slice (key % 7) with a repriced measure so
+    * the oracle can reproduce the merge relationally. The reprice is ×2
+    * — exact in binary floating point on both engines — so the check is
+    * bit-exact with no rounding-tie sensitivity.
+    */
+  val q52: Q = Q(
+    "q52_merge_upsert",
+    (s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      val updates = base.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2.0).as("o_totalprice"))
+      base.join(broadcast(updates.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .union(updates)
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+            |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+            |       ELSE o_totalprice END AS o_totalprice
+            |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
-    q48, q49, q50)
+    q48, q49, q50, q52)
 }
