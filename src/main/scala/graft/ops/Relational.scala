@@ -682,7 +682,11 @@ object Relational {
     * heavy pruning — the quadratic levenshtein runs only inside each
     * small brand group, the same blocking-key pattern the text dedup
     * family uses; `levenshtein` is a codegen'd built-in in both engines
-    * with identical unit-cost semantics.
+    * with identical unit-cost semantics. A length-difference prefilter
+    * rides in the join condition: levenshtein(a,b) ≥ ||a|−|b||, so pairs
+    * whose lengths differ by more than the threshold never pay the
+    * O(|a|·|b|) distance at all — lossless, and the standard first prune
+    * of every at-scale edit-distance join.
     */
   val q49: Q = Q(
     "q49_edit_distance",
@@ -694,7 +698,8 @@ object Relational {
       val b = p.as("b")
       a.join(b.hint("shuffle_hash"),
           col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_partkey") < col("b.p_partkey"))
+          col("a.p_partkey") < col("b.p_partkey") &&
+          abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3)
         .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")).cast("long"))
         .filter(col("dist") <= 3)
         .select(col("a.p_partkey").as("pk_a"), col("b.p_partkey").as("pk_b"),
