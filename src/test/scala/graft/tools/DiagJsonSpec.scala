@@ -1,0 +1,47 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkTestBase
+
+/** The bench's diagnostic metric lines are machine-parsed from the driver
+  * artifact — a malformed line silently costs the round its measurements.
+  * These specs run both emitters for real and require the output to be
+  * valid JSON with the expected keys.
+  */
+class DiagJsonSpec extends SparkTestBase {
+
+  private val mapper = new ObjectMapper()
+
+  test("CryptoMeasure emits parseable JSON with the §B cells") {
+    val line = CryptoMeasure.run(spark, sfDir)
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() == "crypto")
+    for (k <- Seq("nation_size_ratio", "lineitem_size_ratio", "write_wrap_calls",
+        "read_unwrap_calls_restricted", "read_unwrap_calls_tokenless_plaintext_col"))
+      assert(node.has(k), s"missing key $k in: $line")
+    // One KMS call per KEK, never per DEK (double wrapping).
+    assert(node.get("write_wrap_calls").asInt() == 3, line)
+    assert(node.get("read_unwrap_calls_restricted").asInt() == 3, line)
+    assert(node.get("read_unwrap_calls_tokenless_plaintext_col").asInt() == 1, line)
+    assert(node.get("lineitem_size_ratio").asDouble() < 1.2, line)
+  }
+
+  test("ScaleDiag emits parseable JSON and survives a bad sibling sf dir") {
+    // Isolated parent with one REAL sf (symlink) and one broken one: the
+    // real entry must survive the broken sibling (per-entry guard).
+    val parent = Files.createTempDirectory("graft-scalediag-")
+    val good = parent.resolve("sf0.001")
+    Files.createSymbolicLink(good, Paths.get(sfDir))
+    Files.createDirectory(parent.resolve("sf9")) // no documents.parquet
+    val line = ScaleDiag.run(spark, good.toString)
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() == "scale_candidates")
+    val sfs = node.get("sfs")
+    assert(sfs.has("sf0.001") && sfs.get("sf0.001").has("jaccard_cands"), line)
+    assert(sfs.get("sf0.001").get("docs").asLong() == 500L, line)
+    assert(sfs.has("sf9") && sfs.get("sf9").has("error"),
+      s"broken sibling must degrade to an error entry, not kill the line: $line")
+  }
+}
