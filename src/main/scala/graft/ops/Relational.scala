@@ -781,8 +781,76 @@ object Relational {
             |       ELSE o_totalprice END AS o_totalprice
             |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** Q53 — histogram: fixed-width value binning + bucket counts, the
+    * profiling primitive every ingestion pipeline runs. The bucket
+    * function is plain arithmetic (floor of value/width) so both engines
+    * bin identically; one map-side-combined aggregate over the fact
+    * table, output is O(buckets).
+    */
+  val q53: Q = Q(
+    "q53_histogram",
+    (s, d) => {
+      Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+        .select(floor(col("l_quantity") / 5.0).cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS bucket, count(*) AS n_items
+            |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  /** Q54 — distributed second-moment statistics (stddev, correlation)
+    * from DECIMAL-EXACT sums: built-in corr()/stddev() accumulate doubles
+    * in partition order, so their last ulps are nondeterministic across
+    * engines AND across runs. Instead the five moments Σx, Σy, Σxy, Σx²,
+    * Σy² are summed exactly in decimal (order-independent, same map-side
+    * partial-agg shape), cast once to double, and the textbook formulas
+    * evaluate identically everywhere — canonical distributed statistics
+    * with no precision lottery. Per-row products are IEEE doubles on both
+    * engines, so the decimal cast sees identical inputs.
+    */
+  val q54: Q = Q(
+    "q54_moment_stats",
+    (s, d) => {
+      val q = col("l_quantity")
+      val p = col("l_extendedprice")
+      val m = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(q.cast(Dec)).cast("double").as("sx"),
+          sum(p.cast(Dec)).cast("double").as("sy"),
+          sum((q * p).cast(Dec)).cast("double").as("sxy"),
+          sum((q * q).cast(Dec)).cast("double").as("sxx"),
+          sum((p * p).cast(Dec)).cast("double").as("syy"))
+      m.select(
+          col("l_returnflag"),
+          col("n").cast("long").as("n_items"),
+          round(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))) / col("n"), 4)
+            .as("stddev_qty"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH m AS (
+            |  SELECT l_returnflag,
+            |    CAST(count(*) AS DOUBLE) AS n,
+            |    CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+            |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+            |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+            |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+            |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+            |  FROM lineitem GROUP BY l_returnflag)
+            |SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+            |  round(sqrt(n * sxx - sx * sx) / n, 4) AS stddev_qty,
+            |  round((n * sxy - sx * sy) /
+            |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr_qty_price
+            |FROM m ORDER BY l_returnflag""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
-    q48, q49, q50, q52)
+    q48, q49, q50, q52, q53, q54)
 }
