@@ -31,7 +31,11 @@ object Graft {
     *    multi-file buckets interleave (SPARK-28595); `Layout`'s writer
     *    guarantees ONE file per bucket, exactly the regime where the
     *    ordering is sound — and what keeps the bucketed fact-fact join
-    *    sort-free.
+    *    sort-free. HARD REQUIREMENT of a tuned session: any bucketed
+    *    table it reads must hold one file per bucket. Layout enforces
+    *    this at write AND at table registration (it throws on a
+    *    multi-file bucket dir); register external bucketed tables
+    *    through Layout or validate the same invariant first.
     *
     * Idempotent; ConfHygieneSpec asserts that, given a tuned session, no
     * registered query leaves session conf changed.

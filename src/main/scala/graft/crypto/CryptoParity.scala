@@ -219,14 +219,17 @@ object CryptoParity {
         .write.parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
       val s2 = s.newSession()
-      val q = EncryptedParquet.writeStream(
+      // Loan pattern: the crypto binding on s2 is cleared even if the
+      // stream fails — a leaked binding would encrypt every later parquet
+      // write on that session (round-4 advisor finding).
+      EncryptedParquet.withEncryptedStream(
           s2.readStream.schema(schema).parquet(srcDir),
           sinkDir, ckptDir, eventsPolicy, TestKmsServer.shared.url,
-          zstdLevel = 3)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      EncryptedParquet.clearStreamCrypto(s2)
+          zstdLevel = 3) { w =>
+        w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
       sinkDir
     })
 

@@ -84,6 +84,22 @@ object EncryptedParquet {
       .option("checkpointLocation", checkpointDir)
   }
 
+  /** Loan-pattern wrapper around `writeStream`: binds the crypto policy,
+    * lets `run` configure/start/await the stream, and GUARANTEES the
+    * session binding is removed afterwards — while bound, EVERY parquet
+    * write on the session (batch included) is encrypted under `policy`,
+    * so on a shared session a stream failure that skipped cleanup would
+    * silently encrypt unrelated jobs' output. (Round-4 advisor finding:
+    * callers pairing writeStream with a bare clearStreamCrypto leak the
+    * binding on any exception between the two.)
+    */
+  def withEncryptedStream[T](df: DataFrame, path: String, checkpointDir: String,
+      policy: EncryptionPolicy, kmsUrl: String,
+      zstdLevel: Int = 19, pageV2: Boolean = true)
+      (run: DataStreamWriter[Row] => T): T =
+    try run(writeStream(df, path, checkpointDir, policy, kmsUrl, zstdLevel, pageV2))
+    finally clearStreamCrypto(df.sparkSession)
+
   /** Remove a `writeStream` session binding (after the stream stops). */
   def clearStreamCrypto(session: SparkSession): Unit =
     (EncryptionPolicy.allProperties ++

@@ -542,6 +542,16 @@ object Dedup {
       converged = prevSig.contains(sig)
       prevSig = Some(sig)
     }
+    // Unconverged labels are WRONG labels (vertices still pointing at
+    // non-root intermediates ⇒ one true component reported as several ⇒
+    // the wrong keeper survives dedup downstream) — silent corruption,
+    // so fail loudly. 40 rounds covers diameter ~2^40 under the
+    // per-round halving; hitting the cap means the loop is broken, not
+    // the graph big. (Round-4 advisor finding.)
+    if (!converged)
+      throw new IllegalStateException(
+        s"star-contraction hit the $rounds-round cap without a stable edge " +
+          "signature; refusing to return unconverged component labels")
     lastRounds.set(rounds)
     // Fixpoint edge set is a star per component: children point at the
     // component min; roots are the vertices never appearing as a child.
@@ -578,6 +588,13 @@ object Dedup {
       labels = next.select(col("id"), col("lbl"))
       rounds += 1
     }
+    // Same contract as starContractionLoop: partial labels are corrupt
+    // labels. Propagation converges in ≤ diameter rounds; a 25-round cap
+    // exhaustion means a pathological graph for this ground-truth path.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"min-label propagation hit the $rounds-round cap with $changed " +
+          "labels still changing; refusing to return unconverged labels")
     bi.unpersist()
     labels
   }

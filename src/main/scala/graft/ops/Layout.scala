@@ -60,6 +60,24 @@ object Layout {
   private def bucketedTables(s: SparkSession, d: String): (String, String) = {
     val tag = sfTag(d)
     val (lName, oName) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+    // HARD invariant of every graft bucketed table: exactly ONE file per
+    // bucket. `Graft.tune` turns on legacy.bucketedTableScan.outputOrdering
+    // session-wide, which reports per-bucket sort order from the scan —
+    // sound ONLY in this regime (multi-file buckets interleave,
+    // SPARK-28595, and elided sorts would silently mis-merge). The writer
+    // below guarantees it via repartition(NumBuckets, key) with the same
+    // murmur3 hash as the bucket spec; this check makes the guarantee
+    // load-bearing instead of assumed, for fresh writes AND for dirs
+    // adopted from a previous JVM. (Round-4 advisor finding.)
+    def assertOneFilePerBucket(name: String, dir: String): Unit = {
+      val n = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (n != NumBuckets)
+        throw new IllegalStateException(
+          s"bucketed table $name at $dir has $n parquet files for " +
+            s"$NumBuckets buckets; the one-file-per-bucket invariant that " +
+            "makes tune()'s bucketed-scan ordering sound is violated")
+    }
     def ensure(name: String, df: DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(name)) {
         val dir = shmDir(s"$tag/$name")
@@ -67,6 +85,7 @@ object Layout {
           // Files survive session restarts; only the catalog entry is
           // session-scoped. Re-registering is metadata-only — the write
           // happens once per dataset, as it would in a real warehouse.
+          assertOneFilePerBucket(name, dir)
           s.sql(s"CREATE TABLE $name (${df.schema.toDDL}) USING PARQUET " +
             s"CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS " +
             s"LOCATION '$dir'"): Unit
@@ -76,6 +95,7 @@ object Layout {
             .option("path", dir)
             .bucketBy(NumBuckets, key).sortBy(key)
             .saveAsTable(name)
+          assertOneFilePerBucket(name, dir)
         }
       }
     ensure(lName, Tables.lineitem(s, d), "l_orderkey")

@@ -757,14 +757,19 @@ object Relational {
 
   /** Q52 — MERGE/upsert: apply an updates batch to a base table (matched
     * keys take the update row, unmatched keep the base row). Implemented
-    * as the scalable upsert shape — LEFT ANTI of base against the (small,
-    * broadcast) update keys, UNION the updates — which shuffles nothing
-    * of the 100 TB base side beyond the anti join's broadcast probe; a
-    * full-outer-join formulation would shuffle both sides. The update
-    * batch is a deterministic slice (key % 7) with a repriced measure so
-    * the oracle can reproduce the merge relationally. The reprice is ×2
-    * — exact in binary floating point on both engines — so the check is
-    * bit-exact with no rounding-tie sensitivity.
+    * as the scalable upsert shape — LEFT ANTI of base against the update
+    * keys, UNION the updates; a full-outer-join formulation would carry
+    * both sides' payloads through one shuffle. The anti join carries NO
+    * join-strategy hint (round-4 verdict): the update batch here is
+    * derived as a fixed FRACTION of the base (key % 7, so the oracle can
+    * reproduce the merge relationally), and a hard `broadcast()` of a
+    * base-proportional side is exactly the hint that OOMs at 100 TB.
+    * Unhinted, AQE picks broadcast only when the batch's measured size
+    * is actually under the threshold, and otherwise plans the shuffle
+    * join a fact-sized batch needs — the decision belongs to the
+    * runtime, not the query. PlanSpec pins the absence of the hint. The
+    * reprice is ×2 — exact in binary floating point on both engines — so
+    * the check is bit-exact with no rounding-tie sensitivity.
     */
   val q52: Q = Q(
     "q52_merge_upsert",
@@ -772,7 +777,7 @@ object Relational {
       val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
       val updates = base.filter(pmod(col("o_orderkey"), lit(7)) === 0)
         .select(col("o_orderkey"), (col("o_totalprice") * 2.0).as("o_totalprice"))
-      base.join(broadcast(updates.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      base.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
         .union(updates)
         .orderBy("o_orderkey")
     },

@@ -47,6 +47,18 @@ object Skew {
       else large.schema.fields.iterator.collect {
         case f if f.name != key && !containsMap(f.dataType) => f.name
       }.toSeq)
+    // A key-only basis makes the salt CONSTANT within each key: results
+    // stay correct, but hot keys land on one reducer anyway while the
+    // small side still pays `salts`-way replication — the mitigation
+    // silently does nothing for the cost. Warn loudly rather than
+    // require(): the caller may legitimately know the key distribution
+    // is fine and want the API uniformity. (Round-4 advisor finding.)
+    if (basis.size <= 1)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"saltedJoin on '$key': no non-key salt columns available — the " +
+          s"salt is constant per key, so hot keys will NOT be split but " +
+          s"the small side is still replicated ${salts}x. Name varying " +
+          "cheap columns via saltOn, or drop the salting.")
     val salted = large.withColumn("__salt",
       pmod(xxhash64(basis.map(col): _*), lit(salts)))
     val replicated = small.withColumn("__salt",

@@ -189,6 +189,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q52: merge anti join carries no user broadcast hint (AQE decides)") {
+    // Round-4 verdict: the update batch is derived as a fixed FRACTION of
+    // the base table, so a hard broadcast() of its key set scales with
+    // the base — ~100 GB at 100 TB, a guaranteed OOM. The join must stay
+    // unhinted; whether it broadcasts is AQE's size-measured decision.
+    val df = SparkEntry.queries("q52_merge_upsert")(spark, sfDir)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.toLowerCase.contains("hint"),
+      s"base-derived update keys must not be hint-broadcast:\n$analyzed")
+    assert(analyzed.contains("LeftAnti"), s"merge must keep the anti-join shape:\n$analyzed")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}
