@@ -69,6 +69,37 @@ object CryptoMeasure {
     } finally { rm(plainDir); rm(encDir) }
   }
 
+  /** GCM-vs-CTR read overhead (BASELINE §B, the tradeoff the reference
+    * declines at write_encrypted_parquet.py:82): the fact table written
+    * once per cipher at identical layout, then timed on a full decrypting
+    * scan. First read warms (file cache, KEK unwraps, codegen); the
+    * second is the steady-state cell. Returns (gcmSec, ctrSec).
+    */
+  private def cipherReadSeconds(spark: SparkSession, sfDir: String,
+      policy: EncryptionPolicy, kmsUrl: String): (Double, Double) = {
+    def timeRead(dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        EncryptedParquet.read(spark, dir, kmsUrl, Some("RESTRICTED"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup
+      once()
+    }
+    val gcmDir = tmpDir("graft-cipher-gcm-")
+    val ctrDir = tmpDir("graft-cipher-ctr-")
+    try {
+      val df = Tables.lineitem(spark, sfDir)
+      EncryptedParquet.write(df, gcmDir, policy, kmsUrl,
+        mode = "overwrite", zstdLevel = 3)
+      EncryptedParquet.write(df, ctrDir,
+        policy.copy(algorithm = "AES_GCM_CTR_V1"), kmsUrl,
+        mode = "overwrite", zstdLevel = 3)
+      (timeRead(gcmDir), timeRead(ctrDir))
+    } finally { rm(gcmDir); rm(ctrDir) }
+  }
+
   def run(spark: SparkSession, sfDir: String): String = {
     val kms = new TestKmsServer().start()
     try {
@@ -84,6 +115,7 @@ object CryptoMeasure {
         kms.url, zstdLevel = 19)
       val lineitemRatio = sizeRatio(Tables.lineitem(spark, sfDir), lineitemPolicy,
         kms.url, zstdLevel = 3)
+      val (gcmSec, ctrSec) = cipherReadSeconds(spark, sfDir, lineitemPolicy, kms.url)
 
       // --- KMS call counts per job (fresh server => clean counters) ---
       // KeyToolkit's KEK caches are JVM-STATIC (shared across sessions and
@@ -112,6 +144,8 @@ object CryptoMeasure {
         val (_, u2) = kms.counts
         s"""{"metric":"crypto","nation_size_ratio":${fmt(nationRatio)},""" +
           s""""lineitem_size_ratio":${fmt(lineitemRatio)},""" +
+          s""""read_sec_gcm":${fmt(gcmSec)},"read_sec_ctr":${fmt(ctrSec)},""" +
+          s""""ctr_vs_gcm":${fmt(ctrSec / gcmSec)},""" +
           s""""write_wrap_calls":${w1 - w0},""" +
           s""""read_unwrap_calls_restricted":${u1 - u0},""" +
           s""""read_unwrap_calls_tokenless_plaintext_col":${u2 - u1},""" +

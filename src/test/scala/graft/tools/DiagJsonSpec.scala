@@ -19,8 +19,12 @@ class DiagJsonSpec extends SparkTestBase {
     val node = mapper.readTree(line)
     assert(node.get("metric").asText() == "crypto")
     for (k <- Seq("nation_size_ratio", "lineitem_size_ratio", "write_wrap_calls",
-        "read_unwrap_calls_restricted", "read_unwrap_calls_tokenless_plaintext_col"))
+        "read_unwrap_calls_restricted", "read_unwrap_calls_tokenless_plaintext_col",
+        "read_sec_gcm", "read_sec_ctr", "ctr_vs_gcm"))
       assert(node.has(k), s"missing key $k in: $line")
+    // The GCM-vs-CTR cell must carry real timings, not zeros.
+    assert(node.get("read_sec_gcm").asDouble() > 0.0, line)
+    assert(node.get("read_sec_ctr").asDouble() > 0.0, line)
     // One KMS call per KEK, never per DEK (double wrapping).
     assert(node.get("write_wrap_calls").asInt() == 3, line)
     assert(node.get("read_unwrap_calls_restricted").asInt() == 3, line)
