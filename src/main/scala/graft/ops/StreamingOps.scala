@@ -51,6 +51,29 @@ object StreamingOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
 
+  /** The two sides of the interval self-join, disambiguated by rename —
+    * shared by the registered batch query (q55) and StreamingSpec's
+    * watermarked replay so both run the SAME definition.
+    */
+  def intervalSides(df: DataFrame): (DataFrame, DataFrame) = (
+    df.select(col("user_id").as("ua"), col("ts").as("tsa"), col("event_id").as("ea")),
+    df.select(col("user_id").as("ub"), col("ts").as("tsb"), col("event_id").as("eb")))
+
+  /** Stream-stream interval join (q07's range semantics on two event
+    * streams): same user, the b-event lands within [tsa, tsa + 1 hour],
+    * event-id order breaks the pair symmetry. The time bound is what
+    * lets a streaming run age out join state at the watermark; in batch
+    * it is an ordinary equi-join on user with a range residual — both
+    * sides shuffle once on the user key, state/memory O(events per user
+    * per hour), never all-pairs.
+    */
+  def intervalJoin(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b,
+      col("ua") === col("ub") &&
+      col("tsb") >= col("tsa") &&
+      col("tsb") <= col("tsa") + expr("INTERVAL 1 HOUR") &&
+      col("ea") < col("eb"))
+
   /** The events parquet is a single row group, so the scan is ONE
     * partition and every partial aggregate downstream would run as one
     * task on one thread. Spreading by a high-cardinality key restores
@@ -104,5 +127,27 @@ object StreamingOps {
             |SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q25, q26, q27)
+  /** Q55 — the stream-stream interval join as a registered, oracle-able
+    * query (round-4 verdict #6): per-user count of within-the-hour event
+    * pairs, computed by the same `intervalSides`/`intervalJoin` the
+    * watermarked streaming replay runs in StreamingSpec. Registering the
+    * batch form puts the join's VALUES inside the CORRECTNESS gate; the
+    * spec covers the batch≡streaming equivalence on the same definition.
+    */
+  val q55: Q = Q(
+    "q55_interval_join",
+    (s, d) => {
+      val (a, b) = intervalSides(spreadEvents(s, d))
+      intervalJoin(a, b)
+        .groupBy(col("ua").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT a.user_id, count(*) AS n_pairs
+            |FROM events a JOIN events b ON a.user_id = b.user_id
+            | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+            | AND a.event_id < b.event_id
+            |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q25, q26, q27, q55)
 }

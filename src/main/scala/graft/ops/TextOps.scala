@@ -302,6 +302,69 @@ object TextOps {
       (scrubbed.as(textCol) +: counts): _*)
   }
 
+  /** Q56 — PII scrub under the CORRECTNESS gate (round-4 verdict #7).
+    * The driver corpus deliberately contains no PII-shaped strings, so
+    * the query first SYNTHESIZES them deterministically from the customer
+    * table — identical string construction on both engines (concat +
+    * C-style %0Nd formatting, positive keys only so % == pmod), with the
+    * pattern mix varying by key (every row an email, keys %3==0 an SSN,
+    * keys %2==0 a phone) — then runs the production `scrubPii` operator
+    * over the result. The oracle rebuilds the same text in DuckDB and
+    * scrubs it with the SAME progressive-count semantics (pattern i
+    * counted after patterns 1..i-1 replaced) via nested regexp_replace;
+    * a hash match pins redacted text AND per-pattern counts exactly.
+    * PiiScrubSpec keeps covering the adversarial overlap cases the
+    * synthetic mix can't reach.
+    */
+  val q56: Q = Q(
+    "q56_pii_scrub",
+    (s, d) => {
+      val key = col("c_custkey").cast("long")
+      val email = concat(lit("user"), key.cast("string"), lit("@example.com"))
+      val ssn = when(pmod(key, lit(3)) === 0,
+          format_string(" SSN %03d-%02d-%04d",
+            pmod(key, lit(900)) + lit(100), pmod(key, lit(100)), pmod(key, lit(10000))))
+        .otherwise(lit(""))
+      val phone = when(pmod(key, lit(2)) === 0,
+          format_string(" call (%03d) %03d-%04d",
+            pmod(key, lit(1000)), pmod(key * 7, lit(1000)), pmod(key * 13, lit(10000))))
+        .otherwise(lit(""))
+      val crafted = Tables.customer(s, d).select(
+        col("c_custkey"),
+        concat(lit("Reach "), col("c_name"), lit(" at "), email, ssn, phone).as("text"))
+      scrubPii(crafted, "text").orderBy("c_custkey")
+    },
+    Some {
+      val Seq((_, emailPat, _), (_, ssnPat, _), (_, phonePat, _)) = piiPatterns
+      s"""WITH t AS (
+         |  SELECT c_custkey,
+         |    'Reach ' || c_name || ' at user' || c_custkey || '@example.com' ||
+         |    CASE WHEN c_custkey % 3 = 0
+         |         THEN printf(' SSN %03d-%02d-%04d', c_custkey % 900 + 100,
+         |                     c_custkey % 100, c_custkey % 10000)
+         |         ELSE '' END ||
+         |    CASE WHEN c_custkey % 2 = 0
+         |         THEN printf(' call (%03d) %03d-%04d', c_custkey % 1000,
+         |                     (c_custkey * 7) % 1000, (c_custkey * 13) % 10000)
+         |         ELSE '' END AS text
+         |  FROM customer),
+         |s1 AS (
+         |  SELECT c_custkey, regexp_replace(text, '$emailPat', '<EMAIL>', 'g') AS t1,
+         |         CAST(len(regexp_extract_all(text, '$emailPat')) AS BIGINT) AS n_email
+         |  FROM t),
+         |s2 AS (
+         |  SELECT c_custkey, regexp_replace(t1, '$ssnPat', '<SSN>', 'g') AS t2, n_email,
+         |         CAST(len(regexp_extract_all(t1, '$ssnPat')) AS BIGINT) AS n_ssn
+         |  FROM s1),
+         |s3 AS (
+         |  SELECT c_custkey, regexp_replace(t2, '$phonePat', '<PHONE>', 'g') AS text,
+         |         n_email, n_ssn,
+         |         CAST(len(regexp_extract_all(t2, '$phonePat')) AS BIGINT) AS n_phone
+         |  FROM s2)
+         |SELECT c_custkey, text, n_email, n_ssn, n_phone FROM s3
+         |ORDER BY c_custkey""".stripMargin
+    })
+
   /** Q45 — repetition filter (the Gopher/MassiveText "duplicate n-gram
     * fraction" quality rule): per document, the fraction of token
     * 3-grams that are repeats of an earlier occurrence; documents above
@@ -348,5 +411,5 @@ object TextOps {
             |FROM agg
             |ORDER BY doc_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42, q45)
+  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56)
 }

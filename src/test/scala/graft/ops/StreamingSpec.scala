@@ -67,25 +67,19 @@ class StreamingSpec extends SparkTestBase {
     // with a bounded time range — the streaming form of q07's interval
     // join. Inner join + append mode; the time bound is what lets the
     // engine age out join state at the watermark.
-    def sides(df: DataFrame): (DataFrame, DataFrame) = (
-      df.select(col("user_id").as("ua"), col("ts").as("tsa"), col("event_id").as("ea")),
-      df.select(col("user_id").as("ub"), col("ts").as("tsb"), col("event_id").as("eb")))
-    def joined(a: DataFrame, b: DataFrame): DataFrame =
-      a.join(b,
-        col("ua") === col("ub") &&
-        col("tsb") >= col("tsa") &&
-        col("tsb") <= col("tsa") + expr("INTERVAL 1 HOUR") &&
-        col("ea") < col("eb"))
-    val (sa, sb) = sides(streamEvents())
-    val q = joined(
+    // Shared definition with the registered q55 (whose batch values the
+    // driver oracle-checks): this test proves the SAME join definition is
+    // batch≡streaming under watermarks.
+    val (sa, sb) = StreamingOps.intervalSides(streamEvents())
+    val q = StreamingOps.intervalJoin(
         sa.withWatermark("tsa", "2 hours"),
         sb.withWatermark("tsb", "2 hours"))
       .writeStream.format("memory").queryName("t_ssjoin")
       .outputMode("append").trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val (ba, bb) = sides(Tables.events(spark, sfDir))
-    val want = joined(ba, bb).count()
+    val (ba, bb) = StreamingOps.intervalSides(Tables.events(spark, sfDir))
+    val want = StreamingOps.intervalJoin(ba, bb).count()
     assert(want > 0, "interval join should produce pairs")
     assert(spark.table("t_ssjoin").count() == want)
   }
