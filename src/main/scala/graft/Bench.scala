@@ -280,6 +280,8 @@ object Bench {
       val spark = SparkSession.getActiveSession.getOrElse(newSession(cpus))
       try println(tools.ScaleDiag.run(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] scale diag failed: $e") }
+      try println(tools.ScaleDiag.annRecall(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] ann recall diag failed: $e") }
       try println(tools.CryptoMeasure.run(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] crypto diag failed: $e") }
     }

@@ -27,6 +27,41 @@ object ScaleDiag {
     if (siblings.contains(f.getPath)) siblings else siblings :+ benchSfDir
   }
 
+  /** Measured ANN recall at the BENCH scale factor (round-4 verdict #8):
+    * the approximate paths' specs pin recall at test scale only, but
+    * bucket-collision probability shifts with corpus density — so the
+    * bench artifact records the real fraction of exact results each
+    * approximate path reproduces at the scale being timed. Computed as
+    * distributed semi-joins (exact ∩ approx) — no row collects, so the
+    * same diagnostic runs at any sf.
+    */
+  def annRecall(spark: SparkSession, benchSfDir: String): String = {
+    import graft.ops.Similarity
+    def frac(exact: org.apache.spark.sql.DataFrame,
+        approx: org.apache.spark.sql.DataFrame, keys: Seq[String]): (Long, Double) = {
+      val e = exact.select(keys.map(org.apache.spark.sql.functions.col): _*)
+      val a = approx.select(keys.map(org.apache.spark.sql.functions.col): _*)
+      val n = e.count()
+      val hit = e.join(a, keys, "left_semi").count()
+      (n, if (n == 0) 0.0 else hit.toDouble / n)
+    }
+    val topKeys = Seq("probe_id", "nbr_id")
+    val pairKeys = Seq("va", "vb")
+    // Each cell guarded: one failing path must not cost the line.
+    def cell(name: String, f: => (Long, Double)): String =
+      try { val (n, r) = f; f""""$name":{"recall":$r%.4f,"exact_n":$n}""" }
+      catch { case e: Throwable => s""""$name":{"error":"${e.getClass.getSimpleName}"}""" }
+    val exactTop = Similarity.q23.fn(spark, benchSfDir)
+    val exactPairs = Similarity.q23b.fn(spark, benchSfDir)
+    val cells = Seq(
+      cell("q23c_lsh_topk", frac(exactTop, Similarity.q23c.fn(spark, benchSfDir), topKeys)),
+      cell("q23d_lsh_pairs", frac(exactPairs, Similarity.q23d.fn(spark, benchSfDir), pairKeys)),
+      cell("q23e_ivf_topk", frac(exactTop, Similarity.q23e.fn(spark, benchSfDir), topKeys)),
+      cell("q23f_pq_topk", frac(exactTop, Similarity.q23f.fn(spark, benchSfDir), topKeys)))
+    val sf = new java.io.File(benchSfDir).getName
+    s"""{"metric":"ann_recall","sf":"$sf",${cells.mkString(",")}}"""
+  }
+
   /** One JSON metric line: per-sf doc counts and candidate counts. */
   def run(spark: SparkSession, benchSfDir: String): String = {
     val entries = sfDirs(benchSfDir).map { d =>

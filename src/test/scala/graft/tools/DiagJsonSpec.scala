@@ -32,6 +32,19 @@ class DiagJsonSpec extends SparkTestBase {
     assert(node.get("lineitem_size_ratio").asDouble() < 1.2, line)
   }
 
+  test("annRecall emits parseable JSON with a measured recall per approximate path") {
+    val line = ScaleDiag.annRecall(spark, sfDir)
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() == "ann_recall")
+    for (k <- Seq("q23c_lsh_topk", "q23d_lsh_pairs", "q23e_ivf_topk", "q23f_pq_topk")) {
+      assert(node.has(k), s"missing cell $k in: $line")
+      assert(node.get(k).has("recall"), s"cell $k degraded to error: $line")
+      val r = node.get(k).get("recall").asDouble()
+      assert(r >= 0.0 && r <= 1.0, s"$k recall out of range: $line")
+      assert(node.get(k).get("exact_n").asLong() > 0, s"$k exact set empty: $line")
+    }
+  }
+
   test("ScaleDiag emits parseable JSON and survives a bad sibling sf dir") {
     // Isolated parent with one REAL sf (symlink) and one broken one: the
     // real entry must survive the broken sibling (per-entry guard).
