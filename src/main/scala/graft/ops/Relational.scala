@@ -613,11 +613,17 @@ object Relational {
     * different algorithm) → rows-only driver check; the ScalaTest spec
     * pins every estimate against q28's exact answers within the sketch's
     * rank-error bound.
+    *
+    * Spread for the same reason as q28: the single-row-group parquet
+    * scans as ONE partition, so the unspread partial phase built all
+    * three sketches on one thread (r5 diag: task≈wall≈cpu on 1 task).
+    * With 32-way partials the merge is 32 fixed-size sketches per group
+    * — exactly the mergeable-state shape the sketch exists for.
     */
   val q28b: Q = Q(
     "q28b_approx_percentiles",
     (s, d) => {
-      Tables.lineitem(s, d)
+      Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
         .groupBy("l_returnflag")
         .agg(
           round(expr("approx_percentile(l_quantity, 0.5, 1000)"), 4).as("median_qty"),

@@ -259,8 +259,17 @@ object Similarity {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       GraftFunctions.register(s)
+      // 16 lists x 6 probed = ~37% of the corpus scanned per probe —
+      // measured at sf0.1 (BASELINE §C7): recall 0.54 with one Lloyd
+      // step/nprobe=4; FINER lists were worse (k=32/nprobe=6, 19% scan:
+      // 0.40 — near-random embeddings scatter true neighbors across
+      // lists), so recall comes from list QUALITY (4 Lloyd iterations,
+      // 0.58 at nprobe=4) plus scan fraction (nprobe=6 → 0.74). At
+      // 100 TB k grows ∝ sqrt(n) with nprobe fixed — the standard IVF
+      // sizing; nprobe stays the per-corpus recall/cost knob.
       val k = 16
-      val nprobe = 4
+      val nprobe = 6
+      val lloydSteps = 4
       val emb = Tables.spread(Tables.embeddings(s, d)
         .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -282,18 +291,27 @@ object Similarity {
         }
       def nearest(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
         least(entries(vec, cents): _*).getField("cid")
-      // One Lloyd step: element-wise mean per cluster (posexplode →
-      // per-dimension avg → re-assemble in dimension order).
-      val centroids: Seq[(Int, Seq[Double])] = emb
-        .select(nearest(col("e"), seeds).as("cid"),
-          posexplode(col("e")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
-        .groupBy("cid")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("ce"))
-        .collect().toIndexedSeq
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      // Lloyd iterations: element-wise mean per cluster (posexplode →
+      // per-dimension avg → re-assemble in dimension order), repeated —
+      // one refinement step from hash seeds left the lists barely better
+      // than random partitions (recall 0.54 at sf0.1; 4 steps: see
+      // BASELINE §C7). Each step is one corpus pass + an O(k·dim) driver
+      // collect — the MLlib k-means iteration shape, corpus-resident
+      // data never recollected. Empty clusters keep their previous
+      // centroid.
+      val centroids: Seq[(Int, Seq[Double])] =
+        (1 to lloydSteps).foldLeft(seeds) { (cents, _) =>
+          val means = emb
+            .select(nearest(col("e"), cents).as("cid"),
+              posexplode(col("e")).as(Seq("pos", "v")))
+            .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+            .groupBy("cid")
+            .agg(transform(
+              array_sort(collect_list(struct(col("pos"), col("m")))),
+              x => x.getField("m")).as("ce"))
+            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+          cents.map { case (cid, ce) => (cid, means.getOrElse(cid, ce)) }
+        }
       val assigned = emb.select(nearest(col("e"), centroids).as("cid"),
         col("vec_id"), col("e"))
       // Each probe searches its nprobe nearest inverted lists.
@@ -332,7 +350,13 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       GraftFunctions.register(s)
       val M = 8 // subvectors
-      val K = 16 // centroids per subspace
+      // K=64 codes per subspace: the original K=16 quantized the
+      // near-random 64-dim corpus too coarsely for the PQ scores to rank
+      // true neighbors into a small pool (sf0.1 recall 0.40). The
+      // broadcast-join assignment shape was built precisely so K can grow
+      // (production PQ uses K=256); K=64 keeps the codebook broadcast at
+      // O(M·K·sub)=4k doubles while roughly halving quantization error.
+      val K = 64 // centroids per subspace
       val sub = 8 // dims per subvector
       val emb = Tables.spread(Tables.embeddings(s, d)
         .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
@@ -405,7 +429,13 @@ object Similarity {
       val pool = reconstructed.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
         .withColumn("qcos", cosine(col("qe"), col("pe")))
         .withColumn("prank", row_number().over(wPool))
-        .filter(col("prank") <= 64) // candidate pool: ~3% of the corpus per probe
+        // Candidate pool 256 per probe: the pool is what exact-refine
+        // re-ranks, so it must hold the true top-k with margin under
+        // quantization error. 64 was sized on the 500-vector sf0.001
+        // corpus (13%) and silently became 1.3% at sf0.1 — recall fell to
+        // 0.40. 256 is corpus-size-independent O(pool·dim) re-rank work
+        // per probe, the fixed-cost knob PQ deployments tune.
+        .filter(col("prank") <= 256)
         .select(col("probe_id"), col("vec_id"), col("pe"))
       val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
       pool

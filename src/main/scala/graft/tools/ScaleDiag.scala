@@ -13,6 +13,27 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleDiag {
 
+  /** Standalone entry point for recall/candidate measurement while
+    * tuning (`sbt "runMain graft.tools.ScaleDiag [sfDir]"`) — the same
+    * lines Bench emits, without timing the whole suite.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", cpus)
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.tune(spark)
+    println(annRecall(spark, sfDir))
+    spark.stop()
+  }
+
   /** Sibling sf directories of the bench dir (e.g. sf0.001, sf0.01,
     * sf0.1), ascending by size — no hardcoded paths.
     */
