@@ -670,5 +670,64 @@ object Dedup {
             |        = regexp_replace(trim(lower(i.text)), '\s+', ' ', 'g'))
             |ORDER BY i.doc_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38, q39)
+  /** Q57 — leakage-safe train/eval split (decontamination): assign every
+    * document to a split BY NEAR-DUP CLUSTER, never individually, so a
+    * near-duplicate of a training document can never land in eval — the
+    * train/test-contamination rule every LLM data pipeline enforces.
+    * Composes the verified pieces: q22a's near-dup edges → q38's
+    * connected components → a deterministic arithmetic split on the
+    * cluster label (min doc_id), with singleton docs their own cluster.
+    * The split key is the LABEL, so membership in a cluster — not the
+    * doc's own id — decides the side; `% 10 < 8` gives the 80/20 split
+    * both engines compute identically. Scale shape: edges only through
+    * the CC loop (corpus never rescanned), one broadcast-sized label
+    * join back to the corpus (labels ≪ corpus: only docs in clusters).
+    */
+  val q57: Q = Q(
+    "q57_leakage_safe_split",
+    (s, d) => {
+      val edges = jaccardPairs(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val labels = connectedComponents(edges)
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+        .withColumn("split",
+          when(pmod(col("cluster_id"), lit(10)) < 8, lit("train")).otherwise(lit("eval")))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE toks AS (
+            |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+            |  FROM documents),
+            |sh AS (
+            |  SELECT DISTINCT doc_id, t[i.i] || ' ' || t[i.i+1] || ' ' || t[i.i+2] AS s
+            |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) i
+            |  WHERE len(t) >= 3),
+            |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM sh),
+            |keep AS (
+            |  SELECT s FROM sh GROUP BY s
+            |  HAVING count(*) <= greatest(1000, CAST(floor(0.005 * (SELECT nd FROM nd)) AS BIGINT))),
+            |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+            |inter AS (
+            |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |pairs AS (
+            |  SELECT da, db
+            |  FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+            |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5),
+            |bi AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db AS src, da AS dst FROM pairs),
+            |reach AS (
+            |  SELECT DISTINCT src AS id, src AS r FROM bi
+            |  UNION
+            |  SELECT b.src AS id, rr.r AS r FROM bi b JOIN reach rr ON rr.id = b.dst),
+            |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+            |SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id,
+            |  CASE WHEN coalesce(comp.cluster_id, d.doc_id) % 10 < 8
+            |       THEN 'train' ELSE 'eval' END AS split
+            |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+            |ORDER BY d.doc_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38, q39, q57)
 }

@@ -483,5 +483,49 @@ object Similarity {
             |  round(max(nrm), 4) AS max_norm
             |FROM n GROUP BY label ORDER BY label""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f, q44)
+  /** Q58 — semantic dedup (the SemDeDup-style embedding-space pass every
+    * LLM data pipeline runs after textual dedup: paraphrases and
+    * re-renderings share no shingles but sit close in embedding space).
+    * Edges are the exact cosine ≥ 0.4 pairs (q23b); connected components
+    * collapse transitive semantic-duplicate groups; the kept
+    * representative is the min vec_id per cluster, singletons keep
+    * themselves. Composes two verified operators — the pair generator is
+    * oracle-checked and the CC kernel is the q38-spec'd star-contraction
+    * — so the whole query stays inside the CORRECTNESS gate via a
+    * recursive-CTE oracle. At 100 TB the edge generator swaps to q23d's
+    * bucketed LSH candidates (same downstream), keeping candidate volume
+    * sub-quadratic; the exact generator is registered because it is the
+    * oracle-able baseline at bench scale.
+    */
+  val q58: Q = Q(
+    "q58_semantic_dedup",
+    (s, d) => {
+      val edges = q23b.fn(s, d).select(col("va").as("src"), col("vb").as("dst"))
+      val labels = graft.ops.Dedup.connectedComponents(edges)
+      Tables.embeddings(s, d).select(col("vec_id"))
+        .join(labels, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("cluster_id"))
+        .withColumn("keep", col("vec_id") === col("cluster_id"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE n AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+            |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            |  FROM embeddings),
+            |pairs AS (
+            |  SELECT a.vec_id AS va, b.vec_id AS vb
+            |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+            |  WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.4),
+            |bi AS (SELECT va AS src, vb AS dst FROM pairs UNION ALL SELECT vb AS src, va AS dst FROM pairs),
+            |reach AS (
+            |  SELECT DISTINCT src AS id, src AS r FROM bi
+            |  UNION
+            |  SELECT b.src AS id, rr.r AS r FROM bi b JOIN reach rr ON rr.id = b.dst),
+            |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+            |SELECT e.vec_id, coalesce(comp.cluster_id, e.vec_id) AS cluster_id,
+            |  (e.vec_id = coalesce(comp.cluster_id, e.vec_id)) AS keep
+            |FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
+            |ORDER BY e.vec_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f, q44, q58)
 }
