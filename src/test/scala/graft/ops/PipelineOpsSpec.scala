@@ -185,4 +185,46 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(approx - exact) / exact < 0.05,
       s"approx $approx vs exact $exact")
   }
+
+  test("q57: leakage property — no near-dup edge crosses the train/eval boundary") {
+    val split = Dedup.q57.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // The contamination rule itself: any two near-duplicate documents land
+    // on the SAME side, so an eval doc can never be a near-copy of a
+    // training doc. Stronger than edge-wise by construction (whole
+    // clusters move together); edge-wise is what we can assert directly.
+    val edges = Dedup.jaccardPairs(spark, sfDir).select("da", "db").collect()
+    assert(edges.nonEmpty, "corpus should contain near-dup pairs")
+    edges.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(split(a) == split(b), s"edge ($a,$b) crosses train/eval: ${split(a)} vs ${split(b)}")
+    }
+    // Every doc assigned exactly once; both sides populated; the
+    // cluster-level % 10 < 8 rule should land near 80/20 on uniform ids.
+    val n = split.size
+    val train = split.values.count(_ == "train")
+    assert(train > (n * 0.6).toInt && train < (n * 0.95).toInt,
+      s"train fraction ${train.toDouble / n} implausible for an 80/20 rule")
+  }
+
+  test("q58: one keeper per semantic cluster, keeper is the min member, edges intra-cluster") {
+    val rows = Similarity.q58.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid,
+        s"cluster label $cid must equal the min member id (${members.map(_._1).min})")
+      val keepers = members.filter(_._3).map(_._1)
+      assert(keepers.toSeq == Seq(cid), s"cluster $cid keepers: $keepers")
+    }
+    // Semantic-duplicate pairs never straddle clusters (CC soundness on
+    // the exact cosine>=0.4 edge set).
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    val edges = Similarity.q23b.fn(spark, sfDir).select("va", "vb").collect()
+    assert(edges.nonEmpty, "corpus should contain semantic-dup pairs")
+    edges.foreach { r =>
+      assert(cluster(r.getLong(0)) == cluster(r.getLong(1)),
+        s"edge (${r.getLong(0)},${r.getLong(1)}) split across clusters")
+    }
+  }
 }
