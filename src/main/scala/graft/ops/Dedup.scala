@@ -729,5 +729,63 @@ object Dedup {
             |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
             |ORDER BY d.doc_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38, q39, q57)
+  /** Q59 — benchmark decontamination by n-gram overlap: flag every train
+    * doc sharing at least one token 5-gram with the eval set (the
+    * GPT-3-style 13-gram decontamination check, with n scaled to this
+    * corpus's document length). Reports, per contaminated train doc, the
+    * count of distinct shared 5-grams and the contaminated fraction of
+    * its own 5-gram set — the two signals a pipeline thresholds on when
+    * deciding drop-vs-keep.
+    *
+    * Scale shape: the eval side of the join is a BENCHMARK — at 100 TB
+    * it's a few thousand documents' worth of n-grams while the train side
+    * is the corpus, so the join wants a broadcast of the eval gram set.
+    * Here the eval set is carved from the same table (20% of it), so the
+    * sides' ratio is an artifact of the fixture; the join is left
+    * unhinted and AQE picks the strategy from measured sizes (the q52
+    * lesson: never hand-broadcast a side derived from the big input).
+    * Gram identity is the same 64-bit shingle hash the dedup family uses;
+    * the oracle compares on string 5-grams (identical sets modulo
+    * xxhash64 collisions, the standing assumption of q22a's oracle).
+    */
+  val q59: Q = Q(
+    "q59_contamination",
+    (s, d) => {
+      GraftFunctions.register(s)
+      val grams = Tables.spread(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
+        .select(col("doc_id"),
+          GraftFunctions.ngramShingleHashes(tokens(col("text")), 5).as("gs"))
+        .filter(size(col("gs")) > 0)
+        .select(col("doc_id"), size(col("gs")).as("ng"),
+          explode(col("gs")).as("g"))
+      val evalGrams = grams.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .select(col("g")).distinct()
+      grams.filter(pmod(col("doc_id"), lit(10)) < 8)
+        .join(evalGrams, "g")
+        .groupBy("doc_id", "ng")
+        .agg(count(lit(1)).as("hits"))
+        .select(col("doc_id"), col("hits"),
+          round(col("hits") / col("ng"), 4).as("frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+            |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+            |  FROM documents),
+            |sh AS (
+            |  SELECT DISTINCT doc_id,
+            |         t[i.i] || ' ' || t[i.i+1] || ' ' || t[i.i+2] || ' ' || t[i.i+3] || ' ' || t[i.i+4] AS s
+            |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-3)) AS i) i
+            |  WHERE len(t) >= 5),
+            |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 >= 8),
+            |cnt AS (SELECT doc_id, count(*) AS ng FROM sh WHERE doc_id % 10 < 8 GROUP BY 1),
+            |hits AS (
+            |  SELECT sh.doc_id, count(*) AS hits
+            |  FROM sh JOIN ev USING (s) WHERE sh.doc_id % 10 < 8 GROUP BY 1)
+            |SELECT h.doc_id, h.hits, round(h.hits * 1.0 / c.ng, 4) AS frac
+            |FROM hits h JOIN cnt c USING (doc_id)
+            |ORDER BY h.doc_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38, q39, q57, q59)
 }

@@ -527,5 +527,52 @@ object Similarity {
             |FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
             |ORDER BY e.vec_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f, q44, q58)
+  /** Q60 — metadata-filtered similarity search: q23's brute-force cosine
+    * top-5, restricted to corpus vectors with `label = 1` (probes keep
+    * any label). The retrieval-with-filter shape every RAG/curation
+    * pipeline needs — and the filter belongs BEFORE the distance kernel:
+    * `label = 1` is a plain parquet predicate, so it pushes into the scan
+    * (PushedFilters) and the corpus fraction that never matches is never
+    * decoded, never joined, never scored. At 100 TB with a label-
+    * partitioned or z-ordered layout (q36/q43) the same predicate prunes
+    * whole files; PlanSpec asserts the pushdown so a refactor can't
+    * silently move the filter above the join.
+    */
+  val q60: Q = Q(
+    "q60_filtered_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+      val corpus = Tables.spread(
+        emb.filter(col("label") === 1)
+          .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), dbl(col("embedding")).as("pe"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+      corpus.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", cosine(col("e"), col("pe")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy("probe_id", "rnk")
+    },
+    Some("""WITH n AS (
+            |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+            |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            |  FROM embeddings),
+            |p AS (
+            |  SELECT a.vec_id AS probe_id, b.vec_id AS nbr_id,
+            |         list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cos
+            |  FROM n a JOIN n b ON b.vec_id <> a.vec_id AND b.label = 1
+            |  WHERE a.vec_id < 10),
+            |r AS (
+            |  SELECT probe_id, nbr_id, cos,
+            |         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rnk
+            |  FROM p)
+            |SELECT probe_id, nbr_id, rnk, round(cos, 4) AS cosine
+            |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f, q44, q58, q60)
 }

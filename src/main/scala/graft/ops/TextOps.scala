@@ -411,5 +411,52 @@ object TextOps {
             |FROM agg
             |ORDER BY doc_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56)
+  /** Q61 — corpus heavy hitters: top-20 terms by total frequency
+    * (tiebreak: term ascending). The plan is the at-scale shape for
+    * frequent-item mining: map-side partial counts, one key-shuffle on
+    * term, then a global top-k that Catalyst plans as
+    * TakeOrderedAndProject — no full sort of the term dictionary.
+    */
+  val q61: Q = Q(
+    "q61_heavy_hitters",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = docs(s, d)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(20)
+      // rnk for readability; the window runs over the 20 surviving rows.
+      top.withColumn("rnk",
+          row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+        .select(col("rnk"), col("term"), col("cnt"))
+        .orderBy("rnk")
+    },
+    Some("""WITH toks AS (
+            |  SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+            |  FROM documents),
+            |agg AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+            |SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rnk, term, cnt
+            |FROM agg ORDER BY cnt DESC, term LIMIT 20""".stripMargin))
+
+  /** Count-min-sketch term-frequency estimator: one pass over the corpus
+    * builds a fixed-size mergeable sketch (partial sketches per
+    * partition, one merge — the canonical distributed-sketch shape, same
+    * family as q10b's HLL and q28b's GK quantiles). Returns the decoded
+    * driver-side sketch; callers probe `estimateCount`. The CMS guarantee
+    * (estimate ≥ truth; overestimate ≤ eps·N with prob `confidence`) is
+    * pinned by HeavyHittersSpec against q61's exact counts.
+    */
+  def termFrequencySketch(s: SparkSession, d: String,
+      eps: Double = 1e-4, confidence: Double = 0.99, seed: Int = 42)
+      : org.apache.spark.util.sketch.CountMinSketch = {
+    val bytes = docs(s, d)
+      .select(explode(toks(col("text"))).as("term"))
+      .agg(count_min_sketch(col("term"), lit(eps), lit(confidence), lit(seed)))
+      .head.getAs[Array[Byte]](0)
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61)
 }

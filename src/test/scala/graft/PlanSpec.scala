@@ -201,6 +201,27 @@ class PlanSpec extends SparkTestBase {
     assert(analyzed.contains("LeftAnti"), s"merge must keep the anti-join shape:\n$analyzed")
   }
 
+  test("q60: label predicate is pushed into the corpus parquet scan") {
+    // Filtered ANN's whole scale story is that the metadata predicate
+    // prunes the corpus BEFORE any distance math; a refactor that lifts
+    // the filter above the probe join silently re-scores the full corpus.
+    val p = planString("q60_filtered_topk")
+    assert(p.contains("EqualTo(label,1)"), s"label filter not pushed to scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"probe side must broadcast:\n$p")
+  }
+
+  test("q59: eval-gram join is unhinted (AQE decides the strategy)") {
+    // Same q52 lesson: the eval side here derives from the corpus table,
+    // so a hard broadcast() would scale with the input. In production the
+    // eval side is a small fixed benchmark and AQE broadcasts it from
+    // measured size.
+    val analyzed = SparkEntry.queries("q59_contamination")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.toLowerCase.contains("hint"),
+      s"corpus-derived eval grams must not be hint-broadcast:\n$analyzed")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}

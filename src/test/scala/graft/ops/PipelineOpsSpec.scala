@@ -207,6 +207,34 @@ class PipelineOpsSpec extends SparkTestBase {
       s"train fraction ${train.toDouble / n} implausible for an 80/20 rule")
   }
 
+  test("q59: hash-gram contamination equals the string-gram formulation") {
+    import graft.functions.GraftFunctions
+    import graft.Tables
+    GraftFunctions.register(spark)
+    // Independent ground truth: the same decontamination computed over
+    // STRING 5-grams (no hashing) — pins the hash-gram path to the exact
+    // semantic, including the distinctness of per-doc gram sets.
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        GraftFunctions.ngramShingles(Dedup.tokens(col("text")), 5).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), size(col("gs")).as("ng"), explode(col("gs")).as("g"))
+    val ev = grams.filter(pmod(col("doc_id"), lit(10)) >= 8).select("g").distinct()
+    val expected = grams.filter(pmod(col("doc_id"), lit(10)) < 8)
+      .join(ev, "g").groupBy("doc_id", "ng").agg(count(lit(1)).as("hits"))
+      .select(col("doc_id"), col("hits"), round(col("hits") / col("ng"), 4).as("frac"))
+      .collect().map(_.toSeq).toSet
+    val got = Dedup.q59.fn(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty, "corpus should contain contaminated train docs")
+    assert(got == expected, s"hash-gram vs string-gram diff: ${(got -- expected) ++ (expected -- got)}")
+    // Every flagged doc is train-side with a sane contamination fraction.
+    got.foreach {
+      case Seq(id: Long, hits: Long, frac: Double) =>
+        assert(id % 10 < 8 && hits >= 1 && frac > 0 && frac <= 1.0)
+      case other => fail(s"unexpected row shape: $other")
+    }
+  }
+
   test("q58: one keeper per semantic cluster, keeper is the min member, edges intra-cluster") {
     val rows = Similarity.q58.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
