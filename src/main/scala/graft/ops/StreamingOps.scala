@@ -149,5 +149,42 @@ object StreamingOps {
             | AND a.event_id < b.event_id
             |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q25, q26, q27, q55)
+  /** Stream-static enrichment: the event stream LEFT-joined to a static
+    * dimension, then windowed per enriched key — the lookup-join every
+    * streaming pipeline runs (enrich by user/account/catalog attributes).
+    * Shared by the registered batch query (q62) and StreamingSpec's
+    * watermarked replay. In a streaming run the static side is re-read
+    * per microbatch and the stream side never shuffles for the join; the
+    * join is left UNHINTED (the q52 lesson — customer scales with the
+    * corpus; in batch AQE picks broadcast from measured size, and a
+    * genuinely small dim gets there automatically).
+    */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(dim, col("user_id") === col("c_custkey"), "left")
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,6)")).cast("double"), 4)
+          .as("total_value"))
+      .select(fmtTs(col("w.start")).as("bucket"), col("segment"),
+        col("n_events"), col("total_value"))
+
+  /** Q62 — the stream-static enrichment join's batch definition under the
+    * oracle gate (same registration pattern as q55): hourly event counts
+    * and value totals per customer market segment.
+    */
+  val q62: Q = Q(
+    "q62_stream_static_join",
+    (s, d) => enrichedSegmentCounts(
+        spreadEvents(s, d),
+        Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
+      .orderBy("bucket", "segment"),
+    Some("""SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+            |  coalesce(c.c_mktsegment, 'UNKNOWN') AS segment,
+            |  count(*) AS n_events,
+            |  round(CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE), 4) AS total_value
+            |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+            |GROUP BY 1, 2 ORDER BY bucket, segment""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q25, q26, q27, q55, q62)
 }

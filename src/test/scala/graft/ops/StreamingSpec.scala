@@ -84,6 +84,25 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("t_ssjoin").count() == want)
   }
 
+  test("stream-static enrichment join: streaming equals batch (q62 semantics)") {
+    // The event stream LEFT-joined to the static customer dim, then the
+    // hourly per-segment aggregate — same definition the registered q62
+    // runs in batch (driver oracle-checks its values); this proves the
+    // definition is batch≡streaming under a watermark. Stream-static
+    // joins keep no join state: the static side is re-read per
+    // microbatch, so only the windowed agg needs the watermark.
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val streaming = runToBatch(
+      StreamingOps.enrichedSegmentCounts(
+        streamEvents().withWatermark("ts", "2 hours"), dim),
+      "t_enrich")
+    val batch = StreamingOps.enrichedSegmentCounts(
+      Tables.events(spark, sfDir), dim)
+    assert(batch.count() > 0, "enrichment should produce windows")
+    assert(canon(streaming) == canon(batch))
+  }
+
   test("checkpointed file sink is exactly-once across a restart") {
     // The production contract behind every streaming pipeline here: a
     // parquet sink + checkpoint resumes after a stop with no loss and no
