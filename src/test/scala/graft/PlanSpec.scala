@@ -222,6 +222,24 @@ class PlanSpec extends SparkTestBase {
       s"corpus-derived eval grams must not be hint-broadcast:\n$analyzed")
   }
 
+  test("q61: global top-20 terms plans as TakeOrderedAndProject with partial counts") {
+    // The heavy-hitter shape at scale: map-side partial counts, one term
+    // shuffle, then top-k WITHOUT sorting the whole term dictionary.
+    val p = planString("q61_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not full-sort the dictionary:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial counts:\n$p")
+  }
+
+  test("q62: enrichment join is unhinted; aggregate keeps map-side partials") {
+    // customer scales with the corpus (q52 lesson): AQE must choose the
+    // join strategy from measured size, not a hand broadcast.
+    val df = SparkEntry.queries("q62_stream_static_join")(spark, sfDir)
+    assert(!df.queryExecution.analyzed.toString.toLowerCase.contains("hint"),
+      s"corpus-scaling dim must not be hint-broadcast:\n${df.queryExecution.analyzed}")
+    assert(df.queryExecution.executedPlan.toString.contains("partial_"),
+      s"windowed agg lost map-side partials:\n${df.queryExecution.executedPlan}")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}
