@@ -458,5 +458,99 @@ object TextOps {
       new java.io.ByteArrayInputStream(bytes))
   }
 
-  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61)
+  /** Q63 — document chunking into overlapping token windows (64-token
+    * chunks, stride 48 ⇒ 16-token overlap): the context-window prep step
+    * between curation and tokenization in a training pipeline. Pure
+    * per-row generate (tokenize → `sequence` of chunk starts →
+    * `posexplode` → `slice`): no shuffle at all until a downstream op
+    * asks for one, and chunk counts scale the row count by ~n/stride
+    * with bounded per-row memory — the shape that survives 100 TB
+    * because it never materializes a doc's chunks outside one task.
+    */
+  val q63: Q = Q(
+    "q63_doc_chunks",
+    (s, d) => {
+      val stride = 48
+      val chunkLen = 64
+      docs(s, d)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("tk"),
+          posexplode(sequence(lit(0), size(col("tk")) - 1, lit(stride)))
+            .as(Seq("chunk_idx", "start")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          concat_ws(" ", slice(col("tk"), col("start") + 1, lit(chunkLen))).as("chunk_text"),
+          least(lit(chunkLen), size(col("tk")) - col("start")).cast("long").as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH toks AS (
+            |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+            |  FROM documents),
+            |chunks AS (
+            |  SELECT doc_id, s.s // 48 AS chunk_idx,
+            |         array_to_string(t[s.s + 1 : s.s + 64], ' ') AS chunk_text,
+            |         least(64, len(t) - s.s) AS n_tokens
+            |  FROM toks, LATERAL (SELECT unnest(range(0, len(t), 48)) AS s) s)
+            |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+            |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  /** Q64 — token-budget packing: assign every doc (in doc_id order) to a
+    * 2048-token training bin by its global token offset — the standard
+    * offset-packing approximation of sequential greedy packing (a doc
+    * whose window straddles a boundary opens the next bin).
+    *
+    * The interesting part at scale is the GLOBAL PREFIX SUM. The naive
+    * form is one `Window.orderBy(doc_id)` over the corpus — a
+    * single-partition sort of everything, dead at 100 TB. This uses the
+    * two-level decomposition (the same trick behind distributed
+    * zipWithIndex): cumsum WITHIN doc_id ranges (a partitioned window,
+    * fully parallel), plus per-range totals rolled into range OFFSETS by
+    * a window over the tiny totals table (rows = docs / 1000; pick the
+    * range width ~sqrt(corpus) so both levels stay bounded), joined
+    * back unhinted — the offsets side derives from the corpus (q52
+    * lesson), AQE broadcasts it from measured size.
+    */
+  val q64: Q = Q(
+    "q64_token_packing",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 2048L
+      val rangeWidth = 1000L
+      // The tokenized table (3 longs per doc) is read by BOTH levels;
+      // persisting it is what makes this ONE corpus scan + tokenize pass
+      // (without the barrier, Catalyst clones the scan subtree into each
+      // join side and the expensive tokenize runs twice — same
+      // materialize-once tradeoff as Dedup.cappedShingleDocs). At 100 TB
+      // this cache is ~24 B/doc, MEMORY_AND_DISK across the cluster.
+      val t = docs(s, d)
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"),
+          (col("doc_id") / rangeWidth).cast("long").as("rng"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wIn = Window.partitionBy("rng").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val within = t.withColumn("cum_in", coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      val wRng = Window.orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy("rng").agg(sum("n_tokens").as("rng_tot"))
+        .withColumn("rng_off", coalesce(sum("rng_tot").over(wRng), lit(0L)))
+        .select("rng", "rng_off")
+      within.join(offsets, "rng")
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("rng_off") + col("cum_in")) / budget).cast("long").as("bin_id"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+            |  SELECT doc_id,
+            |         len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS n_tokens
+            |  FROM documents),
+            |c AS (
+            |  SELECT doc_id, n_tokens,
+            |         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            |  FROM t)
+            |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+            |       CAST(cum_before // 2048 AS BIGINT) AS bin_id
+            |FROM c ORDER BY doc_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61, q63, q64)
 }

@@ -240,6 +240,23 @@ class PlanSpec extends SparkTestBase {
       s"windowed agg lost map-side partials:\n${df.queryExecution.executedPlan}")
   }
 
+  test("q64: corpus window is range-partitioned; offsets side reuses the shuffle at runtime") {
+    // Two-level global prefix sum: the only global (single-partition)
+    // window may run over the tiny per-range totals, never the corpus —
+    // the corpus-side window must be partitioned by rng. And because the
+    // offsets branch derives from the same windowed pass, AQE must reuse
+    // the corpus shuffle instead of scanning+tokenizing twice.
+    val df = SparkEntry.queries("q64_token_packing")(spark, sfDir)
+    val static = df.queryExecution.executedPlan.toString
+    assert(static.contains("windowspecdefinition(rng"),
+      s"corpus cumsum window must be partitioned by rng:\n$static")
+    // Both join branches read the persisted token table (the parquet
+    // scan + tokenize runs once, at cache fill); FileScan mentions in
+    // the string are the InMemoryRelation's embedded cached-plan text.
+    assert("InMemoryTableScan".r.findAllIn(static).size == 2,
+      s"both levels must read the persisted token table, not rescan the corpus:\n$static")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}

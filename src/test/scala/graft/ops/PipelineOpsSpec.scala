@@ -235,6 +235,53 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q63: chunks reassemble to the original token stream (overlap law)") {
+    import graft.Tables
+    val chunks = TextOps.q63.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.normText(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (docId, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong),
+        s"doc $docId chunk_idx not dense")
+      val n = docs(docId).split(" ").length
+      // stride 48, window 64: chunk i covers tokens [48i, min(48i+64, n)).
+      sorted.foreach { case (_, idx, text, nTok) =>
+        assert(nTok == math.min(64L, n - 48 * idx), s"doc $docId chunk $idx length")
+        assert(text.split(" ").length == nTok)
+      }
+      // Reassembly: first 48 tokens of every chunk, then the last
+      // chunk's tail beyond its 48th token, equals the full doc.
+      val rebuilt = sorted.flatMap { case (_, idx, text, _) =>
+        val tk = text.split(" ").toSeq
+        if (idx == sorted.last._2) tk else tk.take(48)
+      }
+      assert(rebuilt.mkString(" ") == docs(docId), s"doc $docId reassembly mismatch")
+    }
+  }
+
+  test("q64: two-level prefix-sum packing equals the naive global cumsum") {
+    import graft.Tables
+    val got = TextOps.q64.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Independent ground truth: driver-side cumulative sum in doc order.
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(TextOps.toks(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val expected = toks.map { case (id, n) =>
+      val bin = cum / 2048; cum += n; (id, n, bin)
+    }
+    assert(got.sortBy(_._1).toSeq == expected.toSeq)
+    // Sanity of the shape: bins are contiguous from 0 and nondecreasing.
+    val bins = got.sortBy(_._1).map(_._3)
+    assert(bins.head == 0L && bins.zip(bins.tail).forall { case (a, b) => b >= a })
+  }
+
   test("q58: one keeper per semantic cluster, keeper is the min member, edges intra-cluster") {
     val rows = Similarity.q58.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
