@@ -52,7 +52,33 @@ object GraftFunctions {
     ("count_in_set", classOf[CountInSet],
       exprs => CountInSet(exprs(0), exprs(1))),
     ("intersect_count", classOf[IntersectCount],
-      exprs => IntersectCount(exprs(0), exprs(1))))
+      exprs => IntersectCount(exprs(0), exprs(1))),
+    // Spark's own runtime-filter expressions, exposed by name so a query
+    // can build the bloom-pruned anti-join shape EXPLICITLY where the
+    // optimizer's InjectRuntimeFilter can't (it never fires for anti
+    // joins — a bloom-negative row there is a guaranteed KEEP, not a
+    // guaranteed drop, so the rewrite is a routing decision the query
+    // has to make itself; see Dedup.q65). Both are codegen'd catalyst
+    // expressions (BloomFilterAggregate builds partial blooms per
+    // partition and ORs them in the merge — one pass, no shuffle of the
+    // input side beyond the agg's own exchange).
+    ("bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+      exprs =>
+        if (exprs.size >= 2)
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            exprs(0),
+            // The aggregate requires a BIGINT estimate; accept the bare
+            // integer literal a SQL call site naturally writes.
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              exprs(1), org.apache.spark.sql.types.LongType))
+        else
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            exprs(0))),
+    ("bloom_might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, _, builder) =>

@@ -787,5 +787,65 @@ object Dedup {
             |FROM hits h JOIN cnt c USING (doc_id)
             |ORDER BY h.doc_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38, q39, q57, q59)
+  /** Q65 — bloom-pruned blocklist removal: drop every train-split doc
+    * whose normalized text appears in the eval-split blocklist, with a
+    * bloom filter routing the bulk of the corpus AROUND the anti-join
+    * shuffle. This is Spark's runtime-filter machinery
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, the exact
+    * expressions `InjectRuntimeFilter` plants under shuffle joins) used
+    * explicitly, because the optimizer never plants them for ANTI joins:
+    * there a bloom-negative probe is a guaranteed KEEP, so the rewrite
+    * is a row-routing decision — `¬maybe` rows are emitted straight from
+    * the scan stage (zero shuffle, no false negatives by bloom
+    * construction), and only the `maybe` sliver pays the exact
+    * LEFT ANTI join that removes false positives. The result is
+    * bit-identical to the plain anti join (the oracle checks exactly
+    * that), while the shuffled volume drops from |corpus| to
+    * |matches| + fpp·|corpus|.
+    *
+    * Scale shape: the bloom builds distributed (per-partition partial
+    * blooms OR-merged by the aggregate) over the blocklist — at 100 TB
+    * that's a benchmark/eval set orders of magnitude smaller than the
+    * corpus — and ships to probe tasks once as a scalar-subquery result,
+    * not as a plan literal. The probed corpus table is persisted behind
+    * the bloom filter evaluation so both routing branches read the same
+    * materialization (the cappedShingleDocs/q64 barrier tradeoff) instead
+    * of re-scanning + re-hashing the corpus per branch.
+    */
+  val q65: Q = Q(
+    "q65_bloom_decontam",
+    (s, d) => {
+      GraftFunctions.register(s)
+      val tag = Tables.datasetTag(d)
+      val keyed = Tables.spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), col("source"), xxhash64(normText(col("text"))).as("k"))
+      keyed.filter(pmod(col("doc_id"), lit(10)) < 8)
+        .createOrReplaceTempView(s"g65_train_$tag")
+      val block = keyed.filter(pmod(col("doc_id"), lit(10)) >= 8).select("k")
+      block.createOrReplaceTempView(s"g65_block_$tag")
+      // Scalar subquery: the analyzer plans the bloom build as its own
+      // subquery stage whose one-row result feeds the probe expression —
+      // the same wiring InjectRuntimeFilter emits.
+      val probed = s.sql(
+        s"""SELECT doc_id, source, k,
+           |  bloom_might_contain(
+           |    (SELECT bloom_agg(k, 20000) FROM g65_block_$tag), k) AS maybe
+           |FROM g65_train_$tag""".stripMargin)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val definiteKeep = probed.filter(!col("maybe")).select("doc_id", "source")
+      val verified = probed.filter(col("maybe"))
+        .join(block, Seq("k"), "left_anti").select("doc_id", "source")
+      definiteKeep.union(verified).orderBy("doc_id")
+    },
+    Some("""WITH n AS (
+            |  SELECT doc_id, source,
+            |         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+            |  FROM documents)
+            |SELECT a.doc_id, a.source FROM n a
+            |WHERE a.doc_id % 10 < 8
+            |  AND NOT EXISTS (
+            |    SELECT 1 FROM n b WHERE b.doc_id % 10 >= 8 AND b.t = a.t)
+            |ORDER BY a.doc_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38, q39, q57, q59, q65)
 }

@@ -552,5 +552,42 @@ object TextOps {
             |       CAST(cum_before // 2048 AS BIGINT) AS bin_id
             |FROM c ORDER BY doc_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61, q63, q64)
+  /** Q66 — BPE merge-candidate scoring: the first iteration of byte-pair-
+    * encoding vocabulary induction. Count every ADJACENT token pair by
+    * occurrence (not per-doc-distinct — BPE merges by corpus frequency)
+    * and take the top 30; the winner is the pair the next merge would
+    * fuse. Pair construction is a per-row `zip_with` of the token array
+    * against its own shift — pure scan-stage codegen, no shuffle until
+    * the count — and the top-k plans as map-side partial counts → one
+    * pair-keyed exchange → TakeOrderedAndProject (per-partition heaps,
+    * driver merges 32×30 rows; the full pair dictionary is never sorted
+    * or collected — same shape as q61, which is what survives a 100 TB
+    * pair vocabulary). Deterministic tie-break on (count desc, pair asc).
+    */
+  val q66: Q = Q(
+    "q66_bpe_merges",
+    (s, d) => {
+      val tk = toks(col("text"))
+      docs(s, d)
+        .select(tk.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(30)
+    },
+    Some("""WITH toks AS (
+            |  SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+            |  FROM documents),
+            |pairs AS (
+            |  SELECT t[i.i] || ' ' || t[i.i + 1] AS pair
+            |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+            |  WHERE len(t) >= 2)
+            |SELECT pair, count(*) AS cnt FROM pairs GROUP BY 1
+            |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61, q63, q64, q66)
 }

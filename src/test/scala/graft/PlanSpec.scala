@@ -257,6 +257,31 @@ class PlanSpec extends SparkTestBase {
       s"both levels must read the persisted token table, not rescan the corpus:\n$static")
   }
 
+  test("q65: bloom probe is a scalar subquery; only the maybe-branch anti-joins") {
+    // The explicit runtime-filter shape: the bloom builds as a subquery
+    // (one-row scalar shipped to probe tasks — never a plan literal),
+    // the probe expression sits over the persisted corpus table read by
+    // BOTH routing branches, and the exact verification is a LEFT ANTI
+    // join fed only by the bloom-positive sliver.
+    val p = planString("q65_bloom_decontam")
+    assert(p.contains("bloom_might_contain") || p.contains("might_contain"),
+      s"bloom probe expression missing:\n$p")
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      s"bloom must build as a scalar subquery, not a literal:\n$p")
+    assert(p.contains("LeftAnti"), s"exact verification anti join missing:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"both routing branches must read the persisted probed table:\n$p")
+  }
+
+  test("q66: bigram top-30 plans as TakeOrderedAndProject with partial counts") {
+    // Same heavy-hitter discipline as q61, over the (much larger) pair
+    // dictionary: map-side partials, one exchange, per-partition heaps.
+    val p = planString("q66_bpe_merges")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not full-sort the pair dictionary:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial counts:\n$p")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}

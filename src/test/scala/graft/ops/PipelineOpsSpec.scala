@@ -282,6 +282,44 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bins.head == 0L && bins.zip(bins.tail).forall { case (a, b) => b >= a })
   }
 
+  test("q65: bloom-routed result is bit-identical to the plain anti join") {
+    import graft.Tables
+    // Independent ground truth on normalized STRINGS (no xxhash64): the
+    // bloom + hash-keyed routing must reproduce the exact set-difference
+    // semantics — false positives verified away, no false negatives.
+    val got = Dedup.q65.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val n = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), Dedup.normText(col("text")).as("t"))
+    val expected = n.filter(pmod(col("doc_id"), lit(10)) < 8)
+      .join(n.filter(pmod(col("doc_id"), lit(10)) >= 8).select("t"), Seq("t"), "left_anti")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected)
+    // The routing must be non-trivial in BOTH directions at this SF:
+    // something gets removed (the blocklist bites) and nearly everything
+    // keeps (the bloom's definite-keep path carries the bulk).
+    val train = n.filter(pmod(col("doc_id"), lit(10)) < 8).count()
+    assert(got.size < train, "blocklist removed nothing — fixture degenerate")
+    assert(got.size > train * 8 / 10, "kept fraction implausibly low")
+  }
+
+  test("q66: distributed bigram top-30 equals the driver-side sliding-window count") {
+    import graft.Tables
+    val got = TextOps.q66.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    Tables.documents(spark, sfDir)
+      .select(Dedup.normText(col("text"))).collect().foreach { r =>
+        val tk = r.getString(0).split(" ")
+        tk.sliding(2).filter(_.length == 2).foreach { p =>
+          val k = p.mkString(" "); counts(k) = counts.getOrElse(k, 0L) + 1
+        }
+      }
+    val expected = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(30)
+    assert(got.toSeq == expected)
+  }
+
   test("q58: one keeper per semantic cluster, keeper is the min member, edges intra-cluster") {
     val rows = Similarity.q58.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
