@@ -33,6 +33,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries that persist intermediates (q22c/q23e/q23f/q64/q65) have
+      // no post-action hook to unpersist them; without this, each one
+      // leaks a MEMORY_AND_DISK entry into the shared session for the
+      // rest of the 80+-query run. Bench does the same between queries.
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -823,13 +823,20 @@ object Dedup {
         .createOrReplaceTempView(s"g65_train_$tag")
       val block = keyed.filter(pmod(col("doc_id"), lit(10)) >= 8).select("k")
       block.createOrReplaceTempView(s"g65_block_$tag")
+      // Size the bloom from the data, not a constant: the blocklist is
+      // 20% of the corpus by construction, and the doc count comes from
+      // a metadata-cheap count over the source table. A hardcoded
+      // estimate silently degrades the false-positive rate once the
+      // blocklist outgrows it — results stay correct (the anti join
+      // verifies) but the routing win erodes unmeasured. (r5 advisor.)
+      val estItems = math.max(1024L, (Tables.documents(s, d).count() + 4) / 5)
       // Scalar subquery: the analyzer plans the bloom build as its own
       // subquery stage whose one-row result feeds the probe expression —
       // the same wiring InjectRuntimeFilter emits.
       val probed = s.sql(
         s"""SELECT doc_id, source, k,
            |  bloom_might_contain(
-           |    (SELECT bloom_agg(k, 20000) FROM g65_block_$tag), k) AS maybe
+           |    (SELECT bloom_agg(k, $estItems) FROM g65_block_$tag), k) AS maybe
            |FROM g65_train_$tag""".stripMargin)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val definiteKeep = probed.filter(!col("maybe")).select("doc_id", "source")

@@ -70,13 +70,29 @@ object Layout {
     // load-bearing instead of assumed, for fresh writes AND for dirs
     // adopted from a previous JVM. (Round-4 advisor finding.)
     def assertOneFilePerBucket(name: String, dir: String): Unit = {
-      val n = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .count(f => f.isFile && f.getName.endsWith(".parquet"))
-      if (n != NumBuckets)
+      // The invariant is per bucket ID, not a total count: two files for
+      // one bucket and none for another has the right total yet still
+      // interleaves on scan. Spark encodes the bucket id in the part-file
+      // name (part-<task>-<uuid>_<bucketId>.c000...); parse it and assert
+      // each id appears at most once. A missing id is a legitimately
+      // empty bucket (no row hashed there), not a violation.
+      val BucketId = """.*_(\d{5})(?:\.c\d+)?\..*""".r
+      val ids = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName match {
+          case BucketId(b) => b.toInt
+          case other => throw new IllegalStateException(
+            s"bucketed table $name at $dir has file '$other' with no " +
+              "parseable bucket id; cannot verify the one-file-per-bucket " +
+              "invariant that makes tune()'s bucketed-scan ordering sound")
+        })
+      val dup = ids.groupBy(identity).collect { case (b, fs) if fs.length > 1 => b }
+      if (dup.nonEmpty || ids.exists(b => b < 0 || b >= NumBuckets))
         throw new IllegalStateException(
-          s"bucketed table $name at $dir has $n parquet files for " +
-            s"$NumBuckets buckets; the one-file-per-bucket invariant that " +
-            "makes tune()'s bucketed-scan ordering sound is violated")
+          s"bucketed table $name at $dir violates one-file-per-bucket: " +
+            s"duplicate bucket ids ${dup.toSeq.sorted.mkString(",")}; ids seen " +
+            s"${ids.sorted.mkString(",")} for $NumBuckets buckets — " +
+            "tune()'s bucketed-scan ordering would silently mis-merge")
     }
     def ensure(name: String, df: DataFrame, key: String): Unit =
       if (!s.catalog.tableExists(name)) {

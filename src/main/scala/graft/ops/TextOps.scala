@@ -536,7 +536,11 @@ object TextOps {
         .select("rng", "rng_off")
       within.join(offsets, "rng")
         .select(col("doc_id"), col("n_tokens"),
-          ((col("rng_off") + col("cum_in")) / budget).cast("long").as("bin_id"))
+          // `div`, not `/`: Column./ on longs is double division before
+          // the cast — exact here only because the budget is a power of
+          // two and offsets stay under 2^53. Integer division keeps the
+          // packing math exact for any budget at any corpus size.
+          expr(s"(rng_off + cum_in) div ${budget}L").as("bin_id"))
         .orderBy("doc_id")
     },
     Some("""WITH t AS (

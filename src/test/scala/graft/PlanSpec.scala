@@ -15,6 +15,24 @@ class PlanSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Count InMemoryTableScanExec NODES in the tree (descending into the
+    * AQE wrapper, whose input plan is not a child). Counting the literal
+    * string instead is brittle: plan rendering embeds cached-plan text
+    * inside InMemoryRelation, so a Spark upgrade could change the
+    * substring count without any real plan change. (r5 advisor.)
+    */
+  private def inMemoryScanCount(plan: SparkPlan): Int = {
+    val self = plan match {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => 1
+      case _ => 0
+    }
+    val kids = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case p => p.children
+    }
+    self + kids.map(inMemoryScanCount).sum
+  }
+
   test("q01: filters and projection reach the parquet scan") {
     val p = planString("q01_filter_project")
     assert(p.contains("PushedFilters: ["), p)
@@ -251,9 +269,8 @@ class PlanSpec extends SparkTestBase {
     assert(static.contains("windowspecdefinition(rng"),
       s"corpus cumsum window must be partitioned by rng:\n$static")
     // Both join branches read the persisted token table (the parquet
-    // scan + tokenize runs once, at cache fill); FileScan mentions in
-    // the string are the InMemoryRelation's embedded cached-plan text.
-    assert("InMemoryTableScan".r.findAllIn(static).size == 2,
+    // scan + tokenize runs once, at cache fill).
+    assert(inMemoryScanCount(df.queryExecution.executedPlan) == 2,
       s"both levels must read the persisted token table, not rescan the corpus:\n$static")
   }
 
@@ -263,13 +280,14 @@ class PlanSpec extends SparkTestBase {
     // the probe expression sits over the persisted corpus table read by
     // BOTH routing branches, and the exact verification is a LEFT ANTI
     // join fed only by the bloom-positive sliver.
-    val p = planString("q65_bloom_decontam")
+    val df = SparkEntry.queries("q65_bloom_decontam")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("bloom_might_contain") || p.contains("might_contain"),
       s"bloom probe expression missing:\n$p")
     assert(p.contains("Subquery") || p.contains("subquery"),
       s"bloom must build as a scalar subquery, not a literal:\n$p")
     assert(p.contains("LeftAnti"), s"exact verification anti join missing:\n$p")
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+    assert(inMemoryScanCount(df.queryExecution.executedPlan) >= 2,
       s"both routing branches must read the persisted probed table:\n$p")
   }
 
