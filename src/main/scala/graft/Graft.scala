@@ -23,9 +23,12 @@ object Graft {
     *  - `icu.caseMappings.enabled=false`: JVM case mappings instead of
     *    ICU — identical on ASCII corpora, avoids ICU's tens-of-seconds
     *    single-threaded static init serializing every task thread.
-    *  - `legacy.parquet.nanosAsLong=true`: the events table is parquet
-    *    TIMESTAMP(NANOS), which the vectorized reader otherwise rejects
-    *    (`Tables.events` converts the long to a µs timestamp).
+    *  - `legacy.parquet.nanosAsLong=true`: events corpora have shipped as
+    *    parquet TIMESTAMP(NANOS), which the vectorized reader otherwise
+    *    rejects; under this conf they scan as longs and `Tables.events`
+    *    (type-adaptive) converts to a µs timestamp. Harmless for the
+    *    current TIMESTAMP(MICROS) corpus — the conf only affects NANOS
+    *    columns.
     *  - `legacy.bucketedTableScan.outputOrdering=true`: report per-bucket
     *    sort order from bucketed scans. Spark 3+ dropped it because
     *    multi-file buckets interleave (SPARK-28595); `Layout`'s writer

@@ -32,7 +32,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * q34a's entry is dynamic: its SQL references the sampled-key fixture
+    * the query run materialized (Verify dumps this map AFTER running the
+    * queries), so it only appears once q34a has actually run.
     */
   def oracleSql: Map[String, String] =
-    Registry.all.flatMap(q => q.sql.map(q.name -> _)).toMap
+    Registry.all.flatMap(q => q.sql.map(q.name -> _)).toMap ++
+      ops.Sampling.dynamicOracleSql
 }

@@ -28,23 +28,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a long (legacy conf) and convert to a
-    * microsecond TimestampType with exact integer division (`DIV`, i.e.
-    * floor for these positive epoch values). The raw values carry full
-    * nanosecond precision, so the sub-µs remainder is truncated — that
-    * truncation is inherent to Spark's µs TimestampType and must be kept
-    * out of oracle-visible comparisons (oracles compare at second
-    * precision). NOTE: `col("ts") / 1000L` would be double division;
-    * epoch nanos (~1.7e18) exceed double's 2^53 integer range (256 ns
-    * ulp), which put ~12% of rows off by 1 µs.
+  /** `events.ts` has shipped under two physical encodings (the corpus
+    * generator changed mid-build), so the loader is TYPE-ADAPTIVE on the
+    * scanned schema and always emits a µs `TimestampType` column:
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    * `Graft.tune`, which every entry point applies at session setup).
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    *    `Graft.tune`) it arrives as a LongType of epoch nanos, converted
+    *    here with exact integer division (`DIV`, i.e. floor for these
+    *    positive epoch values). The sub-µs remainder is truncated — that
+    *    truncation is inherent to Spark's µs TimestampType and is kept
+    *    out of oracle-visible comparisons (oracles compare at second
+    *    precision). NOTE: `col("ts") / 1000L` would be double division;
+    *    epoch nanos (~1.7e18) exceed double's 2^53 integer range (256 ns
+    *    ulp), which put ~12% of rows off by 1 µs.
+    *  - parquet TIMESTAMP(isAdjustedToUTC=false, MICROS): arrives as
+    *    TimestampNTZType; the session timezone is pinned to UTC at every
+    *    entry point, so the cast to TimestampType preserves the exact
+    *    microsecond value (identical values to the nanos path at µs
+    *    precision — no query or oracle downstream changes).
+    *
+    * Any other physical type is a corpus regeneration this loader has
+    * not been audited against — fail loudly rather than mis-convert.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts scanned as $other; expected LongType (nanosAsLong), " +
+        "TimestampNTZType or TimestampType — audit the conversion before use")
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -25,13 +25,26 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     Graft.tune(spark)
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A throwing query must NOT silently vanish from the round's
+        // correctness artifact (round 6: 12 broken queries were simply
+        // absent from the JSON and the breakage went unnoticed in-round).
+        // Leave the query dir present-but-unreadable with an error
+        // sidecar: any driver that iterates output dirs or attempts the
+        // parquet read now records an explicit err for this name.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}"
+        failed(name) = msg
+        val dir = new java.io.File(s"$outDir/$name")
+        Option(dir.listFiles()).foreach(_.foreach(_.delete())) // stale output
+        dir.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_GRAFT_ERROR.txt"), msg)
       }
       // Queries that persist intermediates (q22c/q23e/q23f/q64/q65) have
       // no post-action hook to unpersist them; without this, each one
@@ -54,6 +67,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure roll-up next to the per-query sidecars.
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: " +
+        failed.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -812,38 +812,45 @@ object Dedup {
     * materialization (the cappedShingleDocs/q64 barrier tradeoff) instead
     * of re-scanning + re-hashing the corpus per branch.
     */
+  /** Q65's core over any documents-shaped input (doc_id, source, text) —
+    * parameterized so the spec can drive it with a SYNTHESIZED cross-split
+    * duplicate (the corpus isn't guaranteed to contain one at small SF;
+    * round 6's fixture-degenerate guard tripped on exactly that). `tag`
+    * namespaces the temp views the scalar-subquery build reads.
+    */
+  def bloomDecontam(s: SparkSession, docs: DataFrame, tag: String): DataFrame = {
+    GraftFunctions.register(s)
+    val keyed = Tables.spread(docs, col("doc_id"))
+      .select(col("doc_id"), col("source"), xxhash64(normText(col("text"))).as("k"))
+    keyed.filter(pmod(col("doc_id"), lit(10)) < 8)
+      .createOrReplaceTempView(s"g65_train_$tag")
+    val block = keyed.filter(pmod(col("doc_id"), lit(10)) >= 8).select("k")
+    block.createOrReplaceTempView(s"g65_block_$tag")
+    // Size the bloom from the data, not a constant: the blocklist is
+    // 20% of the corpus by construction, and the doc count comes from
+    // a metadata-cheap count over the source table. A hardcoded
+    // estimate silently degrades the false-positive rate once the
+    // blocklist outgrows it — results stay correct (the anti join
+    // verifies) but the routing win erodes unmeasured. (r5 advisor.)
+    val estItems = math.max(1024L, (docs.count() + 4) / 5)
+    // Scalar subquery: the analyzer plans the bloom build as its own
+    // subquery stage whose one-row result feeds the probe expression —
+    // the same wiring InjectRuntimeFilter emits.
+    val probed = s.sql(
+      s"""SELECT doc_id, source, k,
+         |  bloom_might_contain(
+         |    (SELECT bloom_agg(k, $estItems) FROM g65_block_$tag), k) AS maybe
+         |FROM g65_train_$tag""".stripMargin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val definiteKeep = probed.filter(!col("maybe")).select("doc_id", "source")
+    val verified = probed.filter(col("maybe"))
+      .join(block, Seq("k"), "left_anti").select("doc_id", "source")
+    definiteKeep.union(verified).orderBy("doc_id")
+  }
+
   val q65: Q = Q(
     "q65_bloom_decontam",
-    (s, d) => {
-      GraftFunctions.register(s)
-      val tag = Tables.datasetTag(d)
-      val keyed = Tables.spread(Tables.documents(s, d), col("doc_id"))
-        .select(col("doc_id"), col("source"), xxhash64(normText(col("text"))).as("k"))
-      keyed.filter(pmod(col("doc_id"), lit(10)) < 8)
-        .createOrReplaceTempView(s"g65_train_$tag")
-      val block = keyed.filter(pmod(col("doc_id"), lit(10)) >= 8).select("k")
-      block.createOrReplaceTempView(s"g65_block_$tag")
-      // Size the bloom from the data, not a constant: the blocklist is
-      // 20% of the corpus by construction, and the doc count comes from
-      // a metadata-cheap count over the source table. A hardcoded
-      // estimate silently degrades the false-positive rate once the
-      // blocklist outgrows it — results stay correct (the anti join
-      // verifies) but the routing win erodes unmeasured. (r5 advisor.)
-      val estItems = math.max(1024L, (Tables.documents(s, d).count() + 4) / 5)
-      // Scalar subquery: the analyzer plans the bloom build as its own
-      // subquery stage whose one-row result feeds the probe expression —
-      // the same wiring InjectRuntimeFilter emits.
-      val probed = s.sql(
-        s"""SELECT doc_id, source, k,
-           |  bloom_might_contain(
-           |    (SELECT bloom_agg(k, $estItems) FROM g65_block_$tag), k) AS maybe
-           |FROM g65_train_$tag""".stripMargin)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val definiteKeep = probed.filter(!col("maybe")).select("doc_id", "source")
-      val verified = probed.filter(col("maybe"))
-        .join(block, Seq("k"), "left_anti").select("doc_id", "source")
-      definiteKeep.union(verified).orderBy("doc_id")
-    },
+    (s, d) => bloomDecontam(s, Tables.documents(s, d), Tables.datasetTag(d)),
     Some("""WITH n AS (
             |  SELECT doc_id, source,
             |         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t

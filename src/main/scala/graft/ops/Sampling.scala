@@ -23,20 +23,72 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic 10% key-hash sample of orders, aggregated per status
-    * so the result is small and layout-independent: membership =
-    * pmod(xxhash64(o_orderkey), 100) < 10. One scan, no shuffle before
-    * the final tiny aggregate — the filter is codegen'd and pushes
-    * nothing to the driver.
+  /** The 10% key-hash membership predicate: a pure function of the key,
+    * so identical on any table keyed by the same domain.
+    */
+  def hashSampled(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(100)) < 10
+
+  /** Where q34a materializes its sampled-key set for the DuckDB oracle.
+    * Dataset-tagged so a Bench run at another SF can never clobber the
+    * fixture a Verify run's oracle SQL points at; under the repo's
+    * target/ so temp-dir sweeps can't remove it between the Verify dump
+    * and the driver's DuckDB pass.
+    */
+  def q34aFixture(d: String): String =
+    s"${sys.props("user.dir")}/target/fixtures/q34a_keys_${Tables.datasetTag(d)}"
+
+  @volatile private var lastQ34aFixture: Option[String] = None
+
+  private def q34aSql(fixture: String): String =
+    s"""SELECT o.o_orderstatus,
+       |  count(DISTINCT o.o_orderkey) AS n_orders,
+       |  count(DISTINCT o.o_custkey) AS n_customers,
+       |  count(*) AS n_lineitems,
+       |  round(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_qty
+       |FROM read_parquet('$fixture/*.parquet') k
+       |JOIN orders o ON o.o_orderkey = k.o_orderkey
+       |JOIN lineitem l ON l.l_orderkey = k.o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q34a's oracle SQL, assembled at dump time (Verify writes
+    * oracle_sql.json AFTER the queries ran): DuckDB has no xxhash64, so
+    * the membership set itself is shipped as a parquet fixture and the
+    * SQL verifies everything DOWNSTREAM of membership — the per-status
+    * aggregate AND the join-consistency property (joining unsampled
+    * lineitem against the key fixture must equal Spark's both-sides-
+    * sampled join, which holds iff same-hash sampling keeps referential
+    * integrity). Membership determinism itself is SamplingSpec's job.
+    */
+  def dynamicOracleSql: Map[String, String] =
+    lastQ34aFixture.map(p => "q34a_sample_hash" -> q34aSql(p)).toMap
+
+  /** Deterministic 10% key-hash sample, now exercised across BOTH fact
+    * tables: sampled orders inner-joined to same-hash-sampled lineitem,
+    * aggregated per status. Membership = pmod(xxhash64(key), 100) < 10 —
+    * a pure function of the key, so the sample is reproducible across
+    * runs, layouts and clusters, and the two sides select matching keys
+    * (the join loses nothing vs joining the key set against raw
+    * lineitem — exactly what the oracle checks). The key set (~10% of
+    * orders' keys, tiny) is also written out as the oracle's fixture.
     */
   val q34a: Q = Q(
     "q34a_sample_hash",
     (s, d) => {
-      Tables.orders(s, d)
-        .filter(pmod(xxhash64(col("o_orderkey")), lit(100)) < 10)
+      val so = Tables.orders(s, d).filter(hashSampled(col("o_orderkey")))
+      val fixture = q34aFixture(d)
+      so.select("o_orderkey").coalesce(1)
+        .write.mode("overwrite").parquet(fixture)
+      lastQ34aFixture = Some(fixture)
+      val sl = Tables.lineitem(s, d).filter(hashSampled(col("l_orderkey")))
+        .select(col("l_orderkey"), col("l_quantity"))
+      so.join(sl, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n_sampled"),
-          countDistinct(col("o_custkey")).as("n_customers"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_lineitems"),
+          round(sum(col("l_quantity").cast("decimal(38,6)")).cast("double"), 4)
+            .as("sum_qty"))
         .orderBy("o_orderstatus")
     },
     None)

@@ -1,30 +1,72 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
-/** Pins the events ns→µs timestamp conversion: Spark's µs TimestampType
-  * value must equal floor(raw_ns / 1000) for every row. Round-1 regression:
-  * `col("ts") / 1000L` was double division and epoch nanos exceed double's
-  * 2^53 integer range, putting ~12% of rows off by 1 µs.
+/** Pins the events timestamp conversion law for WHICHEVER physical type
+  * the corpus currently ships (the generator changed encodings mid-build:
+  * TIMESTAMP(NANOS) → TIMESTAMP(MICROS), and may change again):
+  *
+  *  - nanos-as-long corpus: loader value must equal floor(raw_ns / 1000)
+  *    exactly. Round-1 regression guarded here: `col("ts") / 1000L` was
+  *    double division and epoch nanos exceed double's 2^53 integer range,
+  *    putting ~12% of rows off by 1 µs.
+  *  - µs (NTZ) corpus: loader must preserve the exact microsecond value
+  *    under the UTC session timezone (cast, no arithmetic).
+  *
+  * An unrecognized physical type must FAIL analysis loudly (the loader
+  * throws), not silently mis-convert — that failure mode is what let a
+  * corpus regeneration take down 12 queries unnoticed in round 6.
   */
 class TablesSpec extends SparkTestBase {
 
-  test("events ts is exact floor(ns/1000) microseconds") {
+  private def rawEvents = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_id"), col("ts").as("ns"))
+    spark.read.parquet(s"$sfDir/events.parquet")
+  }
+
+  test("events loader emits TimestampType matching the physical encoding exactly") {
+    val raw = rawEvents
+    // Expected epoch-µs per event, derived independently of the loader.
+    val expected = raw.schema("ts").dataType match {
+      case LongType =>        // nanos corpus: exact floor division
+        raw.select(col("event_id"), expr("ts DIV 1000").as("want_us"))
+      case TimestampNTZType => // µs corpus: value-preserving under UTC
+        raw.select(col("event_id"),
+          unix_micros(col("ts").cast(TimestampType)).as("want_us"))
+      case TimestampType =>
+        raw.select(col("event_id"), unix_micros(col("ts")).as("want_us"))
+      case other => fail(s"unaudited events.ts physical type: $other")
+    }
     val conv = Tables.events(spark, sfDir)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"))
-    val bad = raw.join(conv, "event_id")
-      .where(col("us") =!= expr("ns DIV 1000"))
+    assert(conv.schema("ts").dataType === TimestampType,
+      "loader contract: ts is always a µs TimestampType")
+    val bad = expected.join(
+        conv.select(col("event_id"), unix_micros(col("ts")).as("got_us")),
+        "event_id")
+      .where(col("got_us") =!= col("want_us"))
       .count()
     assert(bad === 0L)
   }
 
-  test("events corpus is NOT µs-aligned (sub-µs precision is real)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nonAligned = spark.read.parquet(s"$sfDir/events.parquet")
-      .where(expr("ts % 1000 != 0")).count()
-    assert(nonAligned > 0L, "corpus unexpectedly µs-aligned; conversion claims need re-checking")
+  test("precision contract matches the physical type") {
+    val raw = rawEvents
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // Sub-µs precision is real in a nanos corpus — the truncation the
+        // loader documents actually truncates something.
+        val nonAligned = raw.where(expr("ts % 1000 != 0")).count()
+        assert(nonAligned > 0L,
+          "nanos corpus unexpectedly µs-aligned; conversion claims need re-checking")
+      case TimestampNTZType | TimestampType =>
+        // µs corpus: the loader must be lossless — second-fraction spread
+        // proves values aren't being collapsed by a stray DIV/round.
+        val distinctMicros = Tables.events(spark, sfDir)
+          .select((unix_micros(col("ts")) % 1000000L).as("frac"))
+          .where(col("frac") =!= 0L).distinct().count()
+        assert(distinctMicros > 1L,
+          "µs corpus lost its sub-second spread through the loader")
+      case other => fail(s"unaudited events.ts physical type: $other")
+    }
   }
 }

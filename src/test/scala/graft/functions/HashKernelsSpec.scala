@@ -17,14 +17,17 @@ class HashKernelsSpec extends SparkTestBase {
       .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
   }
 
-  test("builder table exposes the full eleven-function surface") {
+  test("builder table exposes the full thirteen-function surface") {
     // GraftSparkExtensions injects verbatim from this table, so pinning
     // it here pins the deployment (spark.sql.extensions) surface too —
     // the round-2 advisor caught the extension drifting to 3 of 6.
+    // bloom_agg / bloom_might_contain joined in round 5 (q65's explicit
+    // bloom-routed anti-join shape).
     assert(GraftFunctions.builders.map(_._1).toSet === Set(
       "cosine_sim", "dot_product", "simhash64", "minhash_signature",
       "minhash_bands", "ngram_shingles", "ngram_shingle_hashes",
-      "ngram_repetition", "token_hashes", "count_in_set", "intersect_count"))
+      "ngram_repetition", "token_hashes", "count_in_set", "intersect_count",
+      "bloom_agg", "bloom_might_contain"))
   }
 
   test("token_hashes == transform(tokens, xxhash64), bit-exact") {

@@ -60,6 +60,35 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("q34a: fixture holds exactly the membership keys; result obeys the oracle law") {
+    val res = Sampling.q34a.fn(spark, sfDir).collect().map(_.toSeq).toSet
+    // Fixture content == the membership predicate's key set.
+    val fixture = spark.read.parquet(Sampling.q34aFixture(sfDir))
+    val got = fixture.collect().map(_.getLong(0)).toSet
+    val want = Tables.orders(spark, sfDir)
+      .filter(Sampling.hashSampled(col("o_orderkey")))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(got == want, "fixture must hold exactly the sampled order keys")
+    // The oracle law the driver's DuckDB check relies on: the both-sides-
+    // sampled join must equal fixture-keys ⋈ RAW lineitem (referential
+    // integrity of same-hash sampling).
+    val expected = Tables.orders(spark, sfDir).join(fixture, "o_orderkey")
+      .join(Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_lineitems"),
+        round(sum(col("l_quantity").cast("decimal(38,6)")).cast("double"), 4)
+          .as("sum_qty"))
+      .collect().map(_.toSeq).toSet
+    assert(res == expected)
+    // Dump-time oracle SQL exists and points at this run's fixture.
+    val sql = Sampling.dynamicOracleSql
+    assert(sql.keySet == Set("q34a_sample_hash"))
+    assert(sql("q34a_sample_hash").contains(Sampling.q34aFixture(sfDir)))
+  }
+
   test("approx_percentile within tolerance of exact percentile (q28b vs q28)") {
     def byFlag(q: graft.Q): Map[String, Seq[Double]] =
       q.fn(spark, sfDir).collect()
