@@ -147,39 +147,49 @@ object Similarity {
     * construction → rows-only driver check; ScalaTest measures recall
     * against q23's exact top-k.
     */
+  /** q23c's candidate generator, exposed so the bench diag can measure
+    * the real candidate volume next to the recall it buys (the ≤35%-of-
+    * brute-force budget is a verifiable number, not prose).
+    *
+    * L·k sizing (round 7, was L=4/k=4): more, narrower tables — same
+    * per-neighbor collision math 1-(1-p^k)^L, but each extra bit halves
+    * a table's bucket volume, so L can grow 5x while total candidate
+    * volume stays ≈ L/2^k ≈ 31-34% of brute force (within the ≤35%
+    * budget); measured sf0.1: recall 0.56 (L4k4) → 0.70 at 30.7% of
+    * brute force (L22k6, the landed cell — ScaleDiag's
+    * q23c_candidates.frac_of_brute tracks the spend each bench run).
+    */
+  def q23cCandidates(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val L = 22 // tables
+    val k = 6  // bits per table
+    val planes = hyperplanes(numPlanes = L * k, dim = 64)
+    val tables = (0 until L).map { t =>
+      val tablePlanes = planes.slice(t * k, t * k + k)
+      (c: Column) => struct(lit(t).as("tbl"), lshBucket(c, tablePlanes).as("bkt"))
+    }
+    def withBuckets(df: DataFrame, vecCol: String): DataFrame =
+      df.withColumn("b", explode(array(tables.map(f => f(col(vecCol))): _*)))
+        .withColumn("tbl", col("b.tbl")).withColumn("bkt", col("b.bkt")).drop("b")
+    // spread: the single-row-group scan is ONE partition (see q23b).
+    val emb = Tables.spread(Tables.embeddings(s, d)
+      .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
+    val corpus = withBuckets(emb, "e")
+    val probes = withBuckets(emb.filter(col("vec_id") < 10), "e")
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+        col("tbl"), col("bkt"))
+    corpus.join(broadcast(probes), Seq("tbl", "bkt"), "inner")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id", "e", "pe")
+      .dropDuplicates("probe_id", "vec_id") // union across tables
+  }
+
   val q23c: Q = Q(
     "q23c_cosine_lsh",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      GraftFunctions.register(s)
-      // L·k sizing (round 7, was L=4/k=4): more, narrower tables — same
-      // per-neighbor collision math 1-(1-p^k)^L, but k=5 halves each
-      // table's bucket volume so L can rise to 10 while total candidate
-      // volume stays ≈ L/2^k = 31% of brute force (within the ≤35%
-      // budget); measured recall moved 0.56 → ~0.75 at the same spend.
-      val L = 10 // tables
-      val k = 5  // bits per table
-      val planes = hyperplanes(numPlanes = L * k, dim = 64)
-      val tables = (0 until L).map { t =>
-        val tablePlanes = planes.slice(t * k, t * k + k)
-        (c: Column) => struct(lit(t).as("tbl"), lshBucket(c, tablePlanes).as("bkt"))
-      }
-      def withBuckets(df: DataFrame, vecCol: String): DataFrame =
-        df.withColumn("b", explode(array(tables.map(f => f(col(vecCol))): _*)))
-          .withColumn("tbl", col("b.tbl")).withColumn("bkt", col("b.bkt")).drop("b")
-      // spread: the single-row-group scan is ONE partition (see q23b).
-      val emb = Tables.spread(Tables.embeddings(s, d)
-        .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
-      val corpus = withBuckets(emb, "e")
-      val probes = withBuckets(emb.filter(col("vec_id") < 10), "e")
-        .select(col("vec_id").as("probe_id"), col("e").as("pe"),
-          col("tbl"), col("bkt"))
-      val candidates = corpus.join(broadcast(probes), Seq("tbl", "bkt"), "inner")
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select("probe_id", "vec_id", "e", "pe")
-        .dropDuplicates("probe_id", "vec_id") // union across tables
       val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
-      candidates
+      q23cCandidates(s, d)
         .withColumn("cos", cosine(col("e"), col("pe")))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
@@ -529,6 +539,16 @@ object Similarity {
   def semanticDedupLsh(s: SparkSession, d: String): DataFrame =
     semanticDedup(s, d, (s2, d2) => q23d.fn(s2, d2))
 
+  /** The production path registered as its own query so the driver's
+    * artifact runs and times it: approximate by construction (LSH
+    * candidate misses can split clusters) → rows-only driver check; the
+    * PipelineOpsSpec refinement + recall test is its correctness pin.
+    */
+  val q58b: Q = Q(
+    "q58b_semantic_dedup_lsh",
+    (s, d) => semanticDedupLsh(s, d),
+    None)
+
   val q58: Q = Q(
     "q58_semantic_dedup",
     (s, d) => semanticDedup(s, d, (s2, d2) => q23b.fn(s2, d2)),
@@ -598,5 +618,5 @@ object Similarity {
             |SELECT probe_id, nbr_id, rnk, round(cos, 4) AS cosine
             |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f, q44, q58, q60)
+  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f, q44, q58, q58b, q60)
 }

@@ -74,7 +74,23 @@ object ScaleDiag {
       catch { case e: Throwable => s""""$name":{"error":"${e.getClass.getSimpleName}"}""" }
     val exactTop = Similarity.q23.fn(spark, benchSfDir)
     val exactPairs = Similarity.q23b.fn(spark, benchSfDir)
+    // q23c's candidate spend next to the recall it buys: fraction of the
+    // brute-force probe×corpus volume that survives the bucket joins —
+    // the ≤0.35 budget the LSH sizing is graded against.
+    val candCell =
+      try {
+        val emb = graft.Tables.embeddings(spark, benchSfDir)
+        val n = emb.count()
+        val nProbes = emb.where(org.apache.spark.sql.functions.col("vec_id") < 10).count()
+        val cands = Similarity.q23cCandidates(spark, benchSfDir).count()
+        val fracOfBrute =
+          if (n <= 1 || nProbes == 0) 0.0
+          else cands.toDouble / (nProbes.toDouble * (n - 1))
+        f""""q23c_candidates":{"n":$cands,"frac_of_brute":$fracOfBrute%.4f}"""
+      } catch { case e: Throwable =>
+        s""""q23c_candidates":{"error":"${e.getClass.getSimpleName}"}""" }
     val cells = Seq(
+      candCell,
       cell("q23c_lsh_topk", frac(exactTop, Similarity.q23c.fn(spark, benchSfDir), topKeys)),
       cell("q23d_lsh_pairs", frac(exactPairs, Similarity.q23d.fn(spark, benchSfDir), pairKeys)),
       cell("q23e_ivf_topk", frac(exactTop, Similarity.q23e.fn(spark, benchSfDir), topKeys)),

@@ -71,12 +71,15 @@ class PlanSpec extends SparkTestBase {
     val df = SparkEntry.queries("q34a_sample_hash")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
     // the hash filter must sit directly on the scan (DataFilters), so no
-    // corpus rows cross an exchange unsampled; the post-filter aggregate
-    // is allowed its distinct-expansion + final-sort exchanges (3 total)
-    val tail = p.substring(p.lastIndexOf("Exchange"))
-    assert(tail.contains("Filter (pmod(xxhash64") && tail.contains("FileScan"),
-      s"hash filter not at the scan:\n$p")
-    assert("Exchange".r.findAllIn(p).length <= 3, s"unexpected extra shuffle:\n$p")
+    // corpus rows cross an exchange unsampled; both scans (orders AND the
+    // raw-lineitem join side) must carry it as a DataFilter
+    assert("DataFilters: \\[\\(pmod\\(xxhash64".r.findAllIn(p).length >= 2,
+      s"hash filter not at the scans:\n$p")
+    // the post-filter aggregate is allowed its distinct-expansion +
+    // final-sort shuffles (3); the sampled-orders broadcast doesn't count
+    // (it moves only the 10% sample, never the corpus)
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).length <= 3,
+      s"unexpected extra shuffle:\n$p")
   }
 
   test("q28/q28b: percentile partials parallelize (>1 input partition)") {
