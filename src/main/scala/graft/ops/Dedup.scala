@@ -537,6 +537,10 @@ object Dedup {
       val sigRow = ss.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).collect()(0)
       val sig = (sigRow.getLong(0),
         if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
+      // ss is materialized (eager checkpoint + the signature action), so
+      // the previous round's checkpoint blocks are dead weight — release
+      // now instead of waiting for a driver GC (see CheckpointRelease).
+      org.apache.spark.graft.CheckpointRelease.release(e)
       e = ss
       rounds += 1
       converged = prevSig.contains(sig)
@@ -561,6 +565,10 @@ object Dedup {
       .union(verts.join(e.select(col("src")), verts("id") === col("src"), "left_anti")
         .select(col("id"), col("id").as("lbl")))
       .localCheckpoint(true)
+    // labels is self-contained now; the fixpoint edge set and vertex
+    // list checkpoints have no remaining reader.
+    org.apache.spark.graft.CheckpointRelease.release(e)
+    org.apache.spark.graft.CheckpointRelease.release(verts)
     bi.unpersist()
     labels
   }
@@ -585,6 +593,9 @@ object Dedup {
         .groupBy("id").agg(min("lbl").as("lbl"), max("own").as("own"))
         .localCheckpoint(true)
       changed = next.filter(col("lbl") =!= col("own")).count()
+      // next is materialized; the previous round's checkpoint (the only
+      // LogicalRDD in labels' plan) has no remaining reader.
+      org.apache.spark.graft.CheckpointRelease.release(labels)
       labels = next.select(col("id"), col("lbl"))
       rounds += 1
     }
