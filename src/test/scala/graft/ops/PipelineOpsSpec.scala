@@ -72,6 +72,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rounds <= 11, s"expected O(log n) rounds on a chain, got $rounds")
   }
 
+  test("CC loop storage is O(1) rounds: superseded checkpoints are released") {
+    import spark.implicits._
+    // A 128-vertex chain runs ~8 star-contraction rounds, each of which
+    // localCheckpoints. Without explicit release the superseded rounds'
+    // blocks sit in the block manager until a driver GC (never, with a
+    // pinned heap) — the leak that stalled back-to-back CC queries in
+    // the bench (BASELINE §C8). Pin: after a CC run completes, at most
+    // a handful of persisted RDDs remain (final labels + the caller's
+    // edge persist window), not one per round.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (1 until 128).map(i => (i.toLong, i.toLong - 1)).toDF("src", "dst")
+    Dedup.connectedComponents(edges).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    val rounds = Dedup.lastRounds.get
+    assert(rounds >= 4, s"chain should need several rounds, got $rounds (test vacuous)")
+    assert(after - before <= 3,
+      s"CC leaked checkpoints: $before persistent RDDs before, $after after, $rounds rounds")
+  }
+
   test("minhash output equals exact output on verified pairs") {
     val exact = Dedup.q22a.fn(spark, sfDir).collect().map(_.toSeq).toSet
     val lsh = Dedup.q22b.fn(spark, sfDir).collect().map(_.toSeq).toSet
