@@ -88,14 +88,33 @@ object Tables {
         bytes.length, 42).toLong & 0xffffffffL)
   }
 
-  /** Hash-repartition with an EXPLICIT partition count (the cluster's
-    * default parallelism). `repartition(col)` without a count is advisory
-    * and AQE's byte-based coalescing will happily fold a tiny-input
-    * exchange back to ONE partition — catastrophic when the next operator
-    * explodes rows (caught live in round 2: a nested-loop join's 2M pairs
-    * streaming through a single task, 340 s of single-thread CPU). An
-    * explicit count is user-specified and AQE never coalesces it.
+  /** Widen a scan that is NARROWER than the cluster before a
+    * compute-heavy stage. Two deliberate choices:
+    *
+    *  - EXPLICIT partition count (the cluster's default parallelism):
+    *    `repartition(col)` without a count is advisory and AQE's
+    *    byte-based coalescing will happily fold a tiny-input exchange
+    *    back to ONE partition — catastrophic when the next operator
+    *    explodes rows (caught live in round 2: a nested-loop join's 2M
+    *    pairs streaming through a single task, 340 s of single-thread
+    *    CPU). An explicit count is user-specified and AQE never
+    *    coalesces it.
+    *  - CONDITIONAL on the scan actually being narrow: the test corpus
+    *    is one row group per table, which scans as ONE partition — the
+    *    regime this shuffle exists for. A 100 TB table scans as tens of
+    *    thousands of partitions, where the same unconditional shuffle
+    *    would move the whole table to fix a problem it doesn't have;
+    *    spread is for spreading COMPUTE, not key co-location (downstream
+    *    joins/aggs plan their own exchanges either way), so when the
+    *    scan is already at least cluster-wide it passes through
+    *    untouched. The check reads the planned partition count off the
+    *    physical scan — driver-side planning only, no job.
     */
-  def spread(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, c)
+  def spread(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val scanParts =
+      try df.rdd.getNumPartitions catch { case _: Throwable => 0 }
+    if (scanParts >= parallelism) df
+    else df.repartition(parallelism, c)
+  }
 }
