@@ -31,6 +31,19 @@ object Canon {
   /** Exact-sum-based average rounded to 4 dp. */
   def ravg(c: Column): Column = round(dsum(c) / count(c), 4)
 
+  /** Round a SIGNED double to 4 dp with IEEE -0.0 collapsed to +0.0.
+    * Spark's round (BigDecimal HALF_UP) returns +0.0 for tiny negatives
+    * while DuckDB's C-library round keeps the sign bit, and the driver's
+    * compare stringifies ("-0.0" != "0.0") — caught live at sf0.1 where
+    * an embedding first element rounds to zero from below (q18). The
+    * `+ 0.0` maps -0.0 to +0.0 and is the identity on every other
+    * value; neither engine constant-folds floating add-zero (doing so
+    * would be unsound for exactly this input). Oracle-side analog:
+    * `round(x, 4) + 0`. Use for any rounded column whose values can be
+    * negative; plain round is fine for inherently non-negative ones.
+    */
+  def r4z(c: Column): Column = round(c, 4) + lit(0.0)
+
   /** Second-precision UTC string form of a timestamp. */
   def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 

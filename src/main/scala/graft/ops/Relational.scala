@@ -512,17 +512,17 @@ object Relational {
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),
-          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+          graft.Canon.r4z(element_at(col("embedding"), 1).cast("double")).as("first_val"),
           round(sqrt(aggregate(embD, lit(0.0), (acc, x) => acc + x * x)), 4).as("l2_norm"),
-          round(aggregate(embD, lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 4)
+          graft.Canon.r4z(aggregate(embD, lit(0.0), (acc, x) => acc + x) / size(col("embedding")))
             .as("mean_val"))
         .orderBy("vec_id")
     },
     Some("""SELECT vec_id,
             |  CAST(len(embedding) AS BIGINT) AS dim,
-            |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+            |  round(CAST(embedding[1] AS DOUBLE), 4) + 0 AS first_val,
             |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,
-            |  round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 4) AS mean_val
+            |  round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 4) + 0 AS mean_val
             |FROM embeddings ORDER BY vec_id""".stripMargin))
 
   /** Q19 — JSON extraction from the events.props string column. */
@@ -843,9 +843,9 @@ object Relational {
           col("n").cast("long").as("n_items"),
           round(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))) / col("n"), 4)
             .as("stddev_qty"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          graft.Canon.r4z((col("n") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
             .as("corr_qty_price"))
         .orderBy("l_returnflag")
     },
@@ -861,7 +861,7 @@ object Relational {
             |SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
             |  round(sqrt(n * sxx - sx * sx) / n, 4) AS stddev_qty,
             |  round((n * sxy - sx * sy) /
-            |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) AS corr_qty_price
+            |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) + 0 AS corr_qty_price
             |FROM m ORDER BY l_returnflag""".stripMargin))
 
   val queries: Seq[Q] = Seq(

@@ -81,7 +81,7 @@ object Similarity {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
-          round(col("cos"), 4).as("cosine"))
+          graft.Canon.r4z(col("cos")).as("cosine"))
         .orderBy("probe_id", "rnk")
     },
     Some("""WITH n AS (
@@ -97,7 +97,7 @@ object Similarity {
             |  SELECT probe_id, nbr_id, cos,
             |         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rnk
             |  FROM p)
-            |SELECT probe_id, nbr_id, rnk, round(cos, 4) AS cosine
+            |SELECT probe_id, nbr_id, rnk, round(cos, 4) + 0 AS cosine
             |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin))
 
   /** Q23b — embedding near-duplicate pairs: all pairs with cosine ≥ 0.4.
@@ -599,7 +599,7 @@ object Similarity {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
-          round(col("cos"), 4).as("cosine"))
+          graft.Canon.r4z(col("cos")).as("cosine"))
         .orderBy("probe_id", "rnk")
     },
     Some("""WITH n AS (
@@ -615,7 +615,7 @@ object Similarity {
             |  SELECT probe_id, nbr_id, cos,
             |         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) AS rnk
             |  FROM p)
-            |SELECT probe_id, nbr_id, rnk, round(cos, 4) AS cosine
+            |SELECT probe_id, nbr_id, rnk, round(cos, 4) + 0 AS cosine
             |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin))
 
   val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f, q44, q58, q58b, q60)
