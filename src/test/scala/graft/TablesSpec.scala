@@ -69,4 +69,16 @@ class TablesSpec extends SparkTestBase {
       case other => fail(s"unaudited events.ts physical type: $other")
     }
   }
+
+  test("Canon.r4z collapses IEEE -0.0 and is identity elsewhere") {
+    import spark.implicits._
+    // -0.00003 rounds to zero-from-below: DuckDB's C round keeps the sign
+    // bit while Spark's BigDecimal round drops it — r4z pins BOTH paths
+    // to +0.0 so the driver's stringified compare can't see "-0.0".
+    val rows = Seq(-0.00003, -0.0, 0.0, -0.12345, 2.71828).toDF("x")
+      .select(graft.Canon.r4z(col("x")).as("r")).collect().map(_.getDouble(0))
+    assert(rows.forall(v => java.lang.Double.doubleToRawLongBits(v) !=
+      java.lang.Double.doubleToRawLongBits(-0.0)), s"negative zero survived: ${rows.toSeq}")
+    assert(rows(3) == -0.1235 && rows(4) == 2.7183, s"rounding changed: ${rows.toSeq}")
+  }
 }
