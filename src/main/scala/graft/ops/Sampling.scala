@@ -110,5 +110,54 @@ object Sampling {
     },
     None)
 
-  val queries: Seq[Q] = Seq(q34a, q34b)
+  /** Q67 — data-mixture re-weighting (the Pile/DoReMi mixture step): hit
+    * a UNIFORM target mixture over `documents.source` under a global
+    * budget of half the corpus, by downsampling each source with a
+    * per-source acceptance rate derived from its share.
+    *
+    * Everything is integer arithmetic so the oracle is exact:
+    *  - per-source threshold `thr_s = min(100000, (100000 * (N DIV 2))
+    *    DIV (K * n_s))` — a source holding more than its uniform share
+    *    of the budget is cut down to it, a smaller source is taken whole
+    *    (acceptance caps at 1: mixture sampling can't up-sample without
+    *    replacement);
+    *  - membership: `(doc_id * 48271) % 100000 < thr_s` — a pure integer
+    *    function of the key (MINSTD multiplier as the spreader), so the
+    *    sample is reproducible across runs, layouts and engines, and
+    *    ANSI-portable (unlike xxhash64, both engines compute it
+    *    bit-identically). 48271 · doc_id stays far inside int64 for any
+    *    realistic id space (< 1.9e14 ids).
+    *
+    * Scale shape: one tiny aggregate (K source rows) broadcast back onto
+    * the corpus scan; membership itself is a scan-stage predicate — no
+    * corpus shuffle, composable with every other curation filter in one
+    * pass (q41's shape).
+    */
+  val q67: Q = Q(
+    "q67_mixture_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val totals = counts.agg(sum(col("n_s")).as("n"), count(lit(1)).as("k"))
+      val rates = counts.crossJoin(totals)
+        .withColumn("thr",
+          least(lit(100000L), expr("(100000 * (n DIV 2)) DIV (k * n_s)")))
+        .select(col("source"), col("thr"))
+      docs.join(broadcast(rates), Seq("source"))
+        .filter(pmod(col("doc_id") * lit(48271L), lit(100000L)) < col("thr"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+            |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n, count(*) AS k FROM c),
+            |r AS (
+            |  SELECT c.source,
+            |         least(100000, (100000 * (t.n // 2)) // (t.k * c.n_s)) AS thr
+            |  FROM c, t)
+            |SELECT d.doc_id, d.source
+            |FROM documents d JOIN r ON d.source = r.source
+            |WHERE (d.doc_id * 48271) % 100000 < r.thr
+            |ORDER BY d.doc_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q34a, q34b, q67)
 }

@@ -89,6 +89,38 @@ class SamplingSpec extends SparkTestBase {
     assert(sql("q34a_sample_hash").contains(Sampling.q34aFixture(sfDir)))
   }
 
+  test("q67: mixture sample respects the budget, caps small sources, is key-deterministic") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = perSource.size
+    val sampled = Sampling.q67.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // Budget: at most ~half the corpus overall (integer floors only cut).
+    assert(sampled.length <= n / 2 + k,
+      s"budget exceeded: ${sampled.length} of $n docs")
+    val bySource = sampled.groupBy(_._2).view.mapValues(_.length).toMap
+    val share = n / 2 / k // uniform per-source budget
+    perSource.foreach { case (src, ns) =>
+      val got = bySource.getOrElse(src, 0)
+      if (ns <= share) {
+        // Sources under their uniform share are taken whole (thr caps at
+        // 100%): mixture sampling can't up-sample without replacement.
+        assert(got == ns, s"$src: under-share source not taken whole ($got of $ns)")
+      } else {
+        // Over-share sources land near their budget (integer-threshold
+        // granularity plus the spreader's mod-bucket noise).
+        assert(math.abs(got - share.toDouble) <= 0.25 * share + 10,
+          s"$src: got $got, want ~$share of $ns")
+      }
+    }
+    // Key-determinism: a second run selects the identical doc set.
+    val again = Sampling.q67.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(sampled.toSeq == again.toSeq, "membership must be a pure function of the key")
+  }
+
   test("approx_percentile within tolerance of exact percentile (q28b vs q28)") {
     def byFlag(q: graft.Q): Map[String, Seq[Double]] =
       q.fn(spark, sfDir).collect()
