@@ -82,6 +82,21 @@ class PlanSpec extends SparkTestBase {
       s"unexpected extra shuffle:\n$p")
   }
 
+  test("q67: mixture thresholds broadcast; the corpus never shuffles pre-filter") {
+    val df = SparkEntry.queries("q67_mixture_sample")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n$p")
+    // The join's STREAMED side (the text between the join node and its
+    // BroadcastExchange build side) must be the bare corpus scan — no
+    // exchange, so membership stays a scan-stage predicate. The K-row
+    // count aggregates inside the build side shuffle their own tiny
+    // partials; that's allowed and not part of this slice.
+    val streamed = p.substring(p.indexOf("BroadcastHashJoin"),
+      p.indexOf("BroadcastExchange"))
+    assert(streamed.contains("FileScan") && !streamed.contains("Exchange"),
+      s"corpus side not a bare scan:\n$streamed")
+  }
+
   test("q28/q28b: percentile partials parallelize (>1 input partition)") {
     val df = SparkEntry.queries("q28_percentiles")(spark, sfDir)
     val parts = df.queryExecution.toRdd.getNumPartitions
