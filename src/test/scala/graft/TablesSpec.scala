@@ -70,6 +70,64 @@ class TablesSpec extends SparkTestBase {
     }
   }
 
+  test("schema canary: every table scans with its audited column names and types") {
+    // The driver regenerates /root/testdata between rounds and has
+    // changed physical types mid-build before (events.ts NANOS → MICROS
+    // broke 12 queries and cost most of round 6 — the failure surfaced
+    // as cryptic per-query analysis errors). This canary makes the next
+    // drift a one-line diagnosis: each column lists its AUDITED types —
+    // the encodings the loaders and oracles have actually been checked
+    // against — and anything else fails here first, by name.
+    import org.apache.spark.sql.types._
+    val audited: Map[String, Map[String, Set[DataType]]] = Map(
+      "region" -> Map("r_regionkey" -> Set(IntegerType), "r_name" -> Set(StringType)),
+      "nation" -> Map("n_nationkey" -> Set(IntegerType), "n_name" -> Set(StringType),
+        "n_regionkey" -> Set(IntegerType)),
+      "customer" -> Map("c_custkey" -> Set(LongType), "c_name" -> Set(StringType),
+        "c_nationkey" -> Set(IntegerType), "c_acctbal" -> Set(DoubleType),
+        "c_mktsegment" -> Set(StringType)),
+      "supplier" -> Map("s_suppkey" -> Set(LongType), "s_name" -> Set(StringType),
+        "s_nationkey" -> Set(IntegerType), "s_acctbal" -> Set(DoubleType)),
+      "part" -> Map("p_partkey" -> Set(LongType), "p_name" -> Set(StringType),
+        "p_brand" -> Set(StringType), "p_type" -> Set(StringType),
+        "p_size" -> Set(IntegerType), "p_retailprice" -> Set(DoubleType)),
+      "orders" -> Map("o_orderkey" -> Set(LongType), "o_custkey" -> Set(LongType),
+        "o_orderstatus" -> Set(StringType), "o_totalprice" -> Set(DoubleType),
+        "o_orderdate" -> Set(TimestampType, TimestampNTZType),
+        "o_orderpriority" -> Set(StringType)),
+      "lineitem" -> Map("l_orderkey" -> Set(LongType), "l_partkey" -> Set(LongType),
+        "l_suppkey" -> Set(LongType), "l_linenumber" -> Set(IntegerType),
+        "l_quantity" -> Set(DoubleType), "l_extendedprice" -> Set(DoubleType),
+        "l_discount" -> Set(DoubleType), "l_tax" -> Set(DoubleType),
+        "l_returnflag" -> Set(StringType), "l_linestatus" -> Set(StringType),
+        "l_shipdate" -> Set(TimestampType, TimestampNTZType)),
+      "events" -> Map("event_id" -> Set(LongType),
+        // the three encodings Tables.events is audited for
+        "ts" -> Set(LongType, TimestampType, TimestampNTZType),
+        "user_id" -> Set(LongType), "event_type" -> Set(StringType),
+        "value" -> Set(DoubleType), "props" -> Set(StringType)),
+      "documents" -> Map("doc_id" -> Set(LongType), "text" -> Set(StringType),
+        "lang" -> Set(StringType), "source" -> Set(StringType),
+        "n_chars" -> Set(LongType)),
+      "embeddings" -> Map("vec_id" -> Set(LongType),
+        "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, false),
+          ArrayType(DoubleType), ArrayType(DoubleType, false)),
+        "label" -> Set(IntegerType)))
+    val drift = Tables.all.flatMap { t =>
+      val schema = Tables.load(spark, sfDir, t).schema
+      val exp = audited(t)
+      val missing = exp.keySet -- schema.fieldNames.toSet
+      val extra = schema.fieldNames.toSet -- exp.keySet
+      val wrongType = schema.fields.toSeq
+        .filter(f => exp.get(f.name).exists(ok => !ok.contains(f.dataType)))
+        .map(f => s"$t.${f.name} scans as ${f.dataType} (audited: ${exp(f.name).mkString("/")})")
+      missing.map(c => s"$t.$c missing") ++ extra.map(c => s"$t.$c unexpected") ++ wrongType
+    }
+    assert(drift.isEmpty,
+      s"testdata drifted from the audited encodings — re-audit loaders/oracles for:\n  " +
+        drift.mkString("\n  "))
+  }
+
   test("Canon.r4z collapses IEEE -0.0 and is identity elsewhere") {
     import spark.implicits._
     // -0.00003 rounds to zero-from-below: DuckDB's C round keeps the sign
