@@ -159,5 +159,81 @@ object Sampling {
             |WHERE (d.doc_id * 48271) % 100000 < r.thr
             |ORDER BY d.doc_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q34a, q34b, q67)
+  /** Q68 — quality-prioritized mixture fill (CCNet/DataComp-style
+    * quality-bucketed reweighting composed onto q67's mixture): each
+    * source's uniform budget is filled from its HIGH-quality band first,
+    * and only the unfilled remainder spills to the LOW band.
+    *
+    * The quality band reuses q30's stopword-ratio signal but as PURE
+    * INTEGER arithmetic (`stop_cnt * 100 >= n_tok * 15` ⟺ ratio ≥ 0.15)
+    * so band assignment is bit-identical cross-engine — no float
+    * comparison anywhere. Budget math is q67's integer-threshold scheme
+    * applied per (source, band): `thr_hi` targets the full share against
+    * the hi-band population; the spill `share - min(n_hi, share)` is
+    * then spread over the lo band. Membership stays the ANSI-portable
+    * `(doc_id * 48271) % 100000 < thr` spreader → fully DuckDB-oracled.
+    *
+    * Scale shape: band assignment is a scan-stage expression (the
+    * tokenizer kernel), the (source, band) aggregate is 2K rows
+    * broadcast back, and membership is a scan-stage predicate — the
+    * whole op adds zero corpus shuffles to a curation pass.
+    */
+  val q68: Q = Q(
+    "q68_quality_mixture",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val t = TextOps.toks(col("text"))
+      val banded = Tables.spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          when(graft.functions.GraftFunctions.countInSet(t, typedLit(TextOps.enStopwords))
+                 * lit(100L) >= size(t).cast("long") * lit(15L), lit("hi"))
+            .otherwise(lit("lo")).as("band"))
+      val perSource = banded.groupBy("source").agg(
+        sum(when(col("band") === "hi", lit(1L)).otherwise(lit(0L))).as("n_hi"),
+        sum(when(col("band") === "lo", lit(1L)).otherwise(lit(0L))).as("n_lo"))
+      val totals = perSource.agg(
+        sum(col("n_hi") + col("n_lo")).as("n"), count(lit(1)).as("k"))
+      val thr = perSource.crossJoin(totals)
+        .withColumn("b_s", expr("(n DIV 2) DIV k"))
+        .withColumn("thr_hi", when(col("n_hi") === 0, lit(0L))
+          .otherwise(least(lit(100000L), expr("(100000 * b_s) DIV n_hi"))))
+        .withColumn("spill", expr("b_s - least(n_hi, b_s)"))
+        .withColumn("thr_lo", when(col("n_lo") === 0, lit(0L))
+          .otherwise(least(lit(100000L), expr("(100000 * spill) DIV n_lo"))))
+        .select(col("source"), col("thr_hi"), col("thr_lo"))
+      banded.join(broadcast(thr), Seq("source"))
+        .filter(pmod(col("doc_id") * lit(48271L), lit(100000L)) <
+          when(col("band") === "hi", col("thr_hi")).otherwise(col("thr_lo")))
+        .select(col("doc_id"), col("source"), col("band"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+            |  SELECT doc_id, source,
+            |    CASE WHEN CAST(len(list_filter(
+            |           string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+            |           x -> list_contains(['the','a','of','to','and','in','is','for','on','with'], x))) AS BIGINT) * 100
+            |         >= CAST(len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) * 15
+            |         THEN 'hi' ELSE 'lo' END AS band
+            |  FROM documents),
+            |c AS (
+            |  SELECT source,
+            |    CAST(sum(CASE WHEN band = 'hi' THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+            |    CAST(sum(CASE WHEN band = 'lo' THEN 1 ELSE 0 END) AS BIGINT) AS n_lo
+            |  FROM t GROUP BY source),
+            |tot AS (SELECT CAST(sum(n_hi + n_lo) AS BIGINT) AS n, count(*) AS k FROM c),
+            |r AS (
+            |  SELECT c.source,
+            |    CASE WHEN c.n_hi = 0 THEN 0
+            |         ELSE least(100000, (100000 * ((tot.n // 2) // tot.k)) // c.n_hi) END AS thr_hi,
+            |    CASE WHEN c.n_lo = 0 THEN 0
+            |         ELSE least(100000, (100000 * (((tot.n // 2) // tot.k)
+            |                                       - least(c.n_hi, (tot.n // 2) // tot.k))) // c.n_lo) END AS thr_lo
+            |  FROM c, tot)
+            |SELECT t.doc_id, t.source, t.band
+            |FROM t JOIN r ON t.source = r.source
+            |WHERE (t.doc_id * 48271) % 100000 <
+            |      CASE WHEN t.band = 'hi' THEN r.thr_hi ELSE r.thr_lo END
+            |ORDER BY t.doc_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q34a, q34b, q67, q68)
 }

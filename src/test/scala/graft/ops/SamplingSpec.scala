@@ -121,6 +121,31 @@ class SamplingSpec extends SparkTestBase {
     assert(sampled.toSeq == again.toSeq, "membership must be a pure function of the key")
   }
 
+  test("q68: low-band spill only after the high band is exhausted") {
+    import org.apache.spark.sql.functions._
+    val t = TextOps.toks(col("text"))
+    graft.functions.GraftFunctions.register(spark)
+    val banded = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        when(graft.functions.GraftFunctions.countInSet(t, typedLit(TextOps.enStopwords))
+               * lit(100L) >= size(t).cast("long") * lit(15L), lit("hi"))
+          .otherwise(lit("lo")).as("band"))
+    val nHi = banded.filter(col("band") === "hi").groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val taken = Sampling.q68.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val hiTaken = taken.filter(_._3 == "hi").groupBy(_._2).view.mapValues(_.size).toMap
+    val loTaken = taken.filter(_._3 == "lo").groupBy(_._2).view.mapValues(_.size).toMap
+    // The fill law: a source admits ANY low-band doc only when its high
+    // band was taken whole (spill > 0 ⟺ share > n_hi ⟺ thr_hi = 100%).
+    loTaken.keys.foreach { src =>
+      assert(hiTaken.getOrElse(src, 0) == nHi.getOrElse(src, 0L).toInt,
+        s"$src spilled to lo with hi band not exhausted " +
+          s"(${hiTaken.getOrElse(src, 0)} of ${nHi.getOrElse(src, 0L)})")
+    }
+    assert(taken.nonEmpty && taken.exists(_._3 == "hi"), "vacuous fixture")
+  }
+
   test("approx_percentile within tolerance of exact percentile (q28b vs q28)") {
     def byFlag(q: graft.Q): Map[String, Seq[Double]] =
       q.fn(spark, sfDir).collect()
