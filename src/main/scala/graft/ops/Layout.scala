@@ -313,5 +313,34 @@ object Layout {
             |GROUP BY l_suppkey
             |ORDER BY l_suppkey""".stripMargin))
 
+  /** Small-file compaction — the operational fix for the 100 TB
+    * pipeline's dominant metadata pathology: incremental/streaming
+    * ingestion leaves thousands of KB-scale files per partition, and
+    * every downstream scan pays file-open + footer-read + scheduling
+    * per file (a 1M-file table can spend longer listing than reading).
+    *
+    * Rewrites a parquet dataset into `ceil(totalBytes / targetBytes)`
+    * files via `repartition(n)` — a round-robin shuffle of ONLY the
+    * compacted dataset, giving uniformly sized outputs (coalesce would
+    * be shuffle-free but inherits input skew and can collapse
+    * parallelism upstream of it; for a maintenance job that runs off
+    * the query path, uniform output wins). Returns the output file
+    * count. Content-preserving by construction (same rows, layout-only)
+    * — CompactionSpec asserts row-set equality and the file-count
+    * bound. At cluster scale this is the nightly table-maintenance job
+    * every lakehouse runs (OPTIMIZE / rewrite_data_files).
+    */
+  def compact(s: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val in = new java.io.File(inDir)
+    val totalBytes = Option(in.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    s.read.parquet(inDir).repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
   val queries: Seq[Q] = Seq(q35, q36, q43)
 }

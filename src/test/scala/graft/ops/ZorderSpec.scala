@@ -43,4 +43,28 @@ class ZorderSpec extends SparkTestBase {
     assert(zScan * 2 <= linScan,
       s"z-order read $zScan physical rows vs linear $linScan — no skipping benefit")
   }
+
+  test("compact: many small files collapse to the target count, content-identical") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val inDir = s"$base/in"
+    val outDir = s"$base/out"
+    // Simulate streaming-ingest debris: 64 tiny files of one table.
+    graft.Tables.orders(spark, sfDir).repartition(64)
+      .write.mode("overwrite").parquet(inDir)
+    val nIn = Option(new java.io.File(inDir).listFiles()).get
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nIn >= 32, s"fixture degenerate: only $nIn input files")
+    val totalBytes = Option(new java.io.File(inDir).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = math.max(totalBytes / 4, 1L) // expect ~4 output files
+    val nOut = Layout.compact(spark, inDir, outDir, target)
+    assert(nOut <= 5 && nOut >= 1, s"expected ~4 compacted files, got $nOut")
+    // Layout-only: the row multiset survives exactly (per-key counts
+    // identical in both directions).
+    val a = spark.read.parquet(inDir).groupBy("o_orderkey").count()
+    val b = spark.read.parquet(outDir).groupBy("o_orderkey").count()
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "compaction changed the row multiset")
+  }
 }
