@@ -111,9 +111,23 @@ object Tables {
     *    physical scan — driver-side planning only, no job.
     */
   def spread(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // The pass-through probe is only sound (and only cheap) on scan-ish
+    // plans: for a frame with exchanges upstream, `.rdd` under AQE can
+    // MATERIALIZE query stages at plan-build time — running real jobs
+    // from inside a utility that promises planning only. Anything
+    // shaped deeper than scan/project/filter keeps the unconditional
+    // repartition (the pre-round-7 behavior, always correct).
+    val scanish = df.queryExecution.analyzed.collectFirst {
+      case _: Join => (); case _: Aggregate => (); case _: Window => ()
+      case _: Sort => (); case _: Distinct => (); case _: Generate => ()
+      case _: RepartitionOperation => ()
+    }.isEmpty
     val scanParts =
-      try df.rdd.getNumPartitions catch { case _: Throwable => 0 }
+      if (!scanish) 0
+      else try df.rdd.getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => 0 }
     if (scanParts >= parallelism) df
     else df.repartition(parallelism, c)
   }

@@ -330,16 +330,25 @@ object Layout {
     * bound. At cluster scale this is the nightly table-maintenance job
     * every lakehouse runs (OPTIMIZE / rewrite_data_files).
     */
+  /** Recursive parquet-file walk: partitioned datasets keep their data
+    * under `key=value/` subdirectories, so a top-level listing would size
+    * them at 0 bytes and silently collapse the rewrite to one file.
+    */
+  private def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap {
+      case d if d.isDirectory => parquetFiles(d)
+      case f if f.isFile && f.getName.endsWith(".parquet") => Seq(f)
+      case _ => Seq.empty
+    }
+
   def compact(s: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L << 20): Int = {
-    val in = new java.io.File(inDir)
-    val totalBytes = Option(in.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val totalBytes = parquetFiles(new java.io.File(inDir)).map(_.length).sum
+    require(totalBytes > 0, s"no parquet data found under $inDir — refusing a blind rewrite")
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     s.read.parquet(inDir).repartition(nOut)
       .write.mode("overwrite").parquet(outDir)
-    Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty[java.io.File])
-      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    parquetFiles(new java.io.File(outDir)).size
   }
 
   val queries: Seq[Q] = Seq(q35, q36, q43)

@@ -20,8 +20,18 @@ import org.apache.spark.sql.execution.LogicalRDD
 object CheckpointRelease {
 
   /** Unpersist the checkpoint RDD(s) directly under `ds`'s plan.
-    * No-op for plans that contain no LogicalRDD (never throws: releasing
-    * storage is an optimization, not a correctness step).
+    *
+    * OWNERSHIP CONTRACT: call this only on a dataset whose checkpoint
+    * RDDs no live dataset still needs — a local checkpoint's lineage is
+    * truncated, so a released checkpoint is gone, not lazily
+    * recomputable, and a sibling still reading it fails with missing
+    * blocks. The CC fixpoint loops satisfy this by construction (each
+    * round's checkpoint has exactly one reader, the next round, which is
+    * eagerly materialized before the release).
+    *
+    * No-op for plans without a LogicalRDD; non-fatal errors are
+    * swallowed (releasing storage is an optimization), fatal ones
+    * (OOM, interrupts) propagate.
     */
   def release(ds: Dataset[_]): Unit =
     try {
@@ -29,5 +39,5 @@ object CheckpointRelease {
         case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
         case _ => ()
       }
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

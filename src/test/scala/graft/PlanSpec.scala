@@ -77,8 +77,12 @@ class PlanSpec extends SparkTestBase {
       s"hash filter not at the scans:\n$p")
     // the post-filter aggregate is allowed its distinct-expansion +
     // final-sort shuffles (3); the sampled-orders broadcast doesn't count
-    // (it moves only the 10% sample, never the corpus)
-    assert("Exchange (hash|range)partitioning".r.findAllIn(p).length <= 3,
+    // (it moves only the 10% sample, never the corpus). SinglePartition
+    // exchanges DO count — a collapsed-to-one-task aggregate or sort is
+    // exactly the pathology this suite exists to catch.
+    assert(
+      "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+        .findAllIn(p).length <= 3,
       s"unexpected extra shuffle:\n$p")
   }
 
@@ -90,9 +94,15 @@ class PlanSpec extends SparkTestBase {
     // BroadcastExchange build side) must be the bare corpus scan — no
     // exchange, so membership stays a scan-stage predicate. The K-row
     // count aggregates inside the build side shuffle their own tiny
-    // partials; that's allowed and not part of this slice.
-    val streamed = p.substring(p.indexOf("BroadcastHashJoin"),
-      p.indexOf("BroadcastExchange"))
+    // partials; that's allowed and not part of this slice. Guarded
+    // string surgery: if the build side ever prints before the streamed
+    // side (a BuildLeft flip), fail with a readable message rather than
+    // an index error.
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    val buildAt = p.indexOf("BroadcastExchange", joinAt)
+    assert(buildAt > joinAt,
+      s"expected the broadcast build side to print under the join (BuildRight):\n$p")
+    val streamed = p.substring(joinAt, buildAt)
     assert(streamed.contains("FileScan") && !streamed.contains("Exchange"),
       s"corpus side not a bare scan:\n$streamed")
   }

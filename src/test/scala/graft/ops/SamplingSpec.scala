@@ -123,14 +123,10 @@ class SamplingSpec extends SparkTestBase {
 
   test("q68: low-band spill only after the high band is exhausted") {
     import org.apache.spark.sql.functions._
-    val t = TextOps.toks(col("text"))
-    graft.functions.GraftFunctions.register(spark)
-    val banded = graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        when(graft.functions.GraftFunctions.countInSet(t, typedLit(TextOps.enStopwords))
-               * lit(100L) >= size(t).cast("long") * lit(15L), lit("hi"))
-          .otherwise(lit("lo")).as("band"))
-    val nHi = banded.filter(col("band") === "hi").groupBy("source").count().collect()
+    // Shares the production banding (Sampling.qualityBanded) so the band
+    // formula cannot drift between query and spec.
+    val nHi = Sampling.qualityBanded(spark, sfDir)
+      .filter(col("band") === "hi").groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val taken = Sampling.q68.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
