@@ -116,14 +116,23 @@ object Tables {
     // The pass-through probe is only sound (and only cheap) on scan-ish
     // plans: for a frame with exchanges upstream, `.rdd` under AQE can
     // MATERIALIZE query stages at plan-build time — running real jobs
-    // from inside a utility that promises planning only. Anything
-    // shaped deeper than scan/project/filter keeps the unconditional
-    // repartition (the pre-round-7 behavior, always correct).
-    val scanish = df.queryExecution.analyzed.collectFirst {
-      case _: Join => (); case _: Aggregate => (); case _: Window => ()
-      case _: Sort => (); case _: Distinct => (); case _: Generate => ()
-      case _: RepartitionOperation => ()
-    }.isEmpty
+    // from inside a utility that promises planning only. ALLOWLIST, not
+    // blocklist (r7 advisor: a blocklist missed Union/Expand and
+    // subquery-bearing Filters): only leaf scans plus Project/Filter/
+    // SubqueryAlias nodes whose expressions embed no subquery plan pass
+    // through; everything else keeps the unconditional repartition (the
+    // pre-round-7 behavior, always correct).
+    val scanish = {
+      import org.apache.spark.sql.catalyst.expressions.PlanExpression
+      def noSubquery(p: LogicalPlan): Boolean =
+        p.expressions.forall(e =>
+          e.collectFirst { case _: PlanExpression[_] => () }.isEmpty)
+      df.queryExecution.analyzed.collect { case p => p }.forall {
+        case _: LeafNode => true
+        case p @ (_: Project | _: Filter | _: SubqueryAlias) => noSubquery(p)
+        case _ => false
+      }
+    }
     val scanParts =
       if (!scanish) 0
       else try df.rdd.getNumPartitions

@@ -41,8 +41,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}"
         failed(name) = msg
+        // Recursive stale-output sweep: a killed run can leave a nested
+        // _temporary/ tree that a flat listFiles().delete() silently
+        // skips, letting stale data coexist with the error sidecar.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
         val dir = new java.io.File(s"$outDir/$name")
-        Option(dir.listFiles()).foreach(_.foreach(_.delete())) // stale output
+        rm(dir)
         dir.mkdirs()
         Files.writeString(Paths.get(s"$outDir/$name/_GRAFT_ERROR.txt"), msg)
       }
@@ -51,6 +58,14 @@ object Verify {
       // leaks a MEMORY_AND_DISK entry into the shared session for the
       // rest of the 80+-query run. Bench does the same between queries.
       try spark.catalog.clearCache() catch { case _: Throwable => () }
+    }
+    // q34a's oracle references a sampled-key parquet fixture; the dump is
+    // the harness's job (the Q fn stays a pure plan builder) and the
+    // fixture lives in THIS run's outDir, next to oracle_sql.json, so it
+    // travels with the artifact the driver's DuckDB pass reads.
+    try ops.Sampling.dumpQ34aOracleFixture(spark, sfDir, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] q34a fixture dump failed: ${e.getMessage}")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

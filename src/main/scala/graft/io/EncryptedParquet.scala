@@ -37,9 +37,11 @@ object EncryptedParquet {
     */
   def write(df: DataFrame, path: String, policy: EncryptionPolicy,
       kmsUrl: String, mode: String = "errorifexists",
-      zstdLevel: Int = 19, pageV2: Boolean = true): Unit = {
+      zstdLevel: Int = 19, pageV2: Boolean = true,
+      extraOptions: Map[String, String] = Map.empty): Unit = {
     df.write.mode(mode)
       .options(cryptoOptions(policy, kmsUrl, zstdLevel, pageV2))
+      .options(extraOptions)
       .parquet(path)
   }
 

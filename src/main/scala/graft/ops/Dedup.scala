@@ -163,6 +163,42 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Size-adaptive build side for the verification (and df-ordering)
+    * joins: when the materialized capped table is small, BROADCAST it so
+    * the candidate pairs never cross an exchange with full shingle
+    * arrays attached; when it is big, keep the pinned SHUFFLE_HASH.
+    *
+    * Why this exists (round-8 lead item): the r7 prefix-filter design
+    * verified candidates by shuffle-hash-joining the (da, db) pairs
+    * against the capped table TWICE — and the second join shuffles the
+    * intermediate WITH the first side's array attached, ~100× the bytes
+    * of the capped table itself (sf0.1: ~310k pairs × two ~50-element
+    * long arrays vs a 2 MB corpus table). On a warm exclusive host that
+    * volume rides the page cache and measures 3.8 s; on the contended
+    * driver box it spilled and measured 24.5 s (BENCH_r07). Broadcasting
+    * the 2 MB table removes those array-bearing shuffles entirely.
+    *
+    * The decision is EXPLICIT and measured, not an AQE guess (round 1
+    * caught AQE flipping a candidate join onto broadcasting the exploded
+    * side): the threshold is read off the persisted table's exact cached
+    * size after materialization. At 100 TB the capped table is TBs —
+    * far over any broadcast budget — so the pinned shuffle-hash path
+    * engages, exactly the plan the r7 design argued for at scale.
+    */
+  private[graft] val VerifyBroadcastMaxBytes: Long = 64L << 20
+
+  /** Materialize `docs`' persist (one count over work every caller runs
+    * anyway) and return the exact cached size in bytes. Mirrors the
+    * codebook collects in q23e/q23f: a bounded, corpus-size-independent
+    * driver action that picks a physical strategy — not a data-
+    * proportional collect.
+    */
+  private[graft] def materializedBytes(docs: DataFrame): Long = {
+    docs.count(): Unit
+    try docs.queryExecution.optimizedPlan.stats.sizeInBytes.longValue
+    catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+  }
+
   /** Q22a — exact n-gram Jaccard near-dup pairs (threshold 0.5): the
     * count-based exact set-similarity join. Explode the cached capped
     * shingle table, equi-join on shingle with a size-ratio pruning
@@ -204,18 +240,25 @@ object Dedup {
     */
   def jaccardPairs(s: SparkSession, d: String, t: Double = 0.5): DataFrame = {
     val docs = cappedShingleDocs(s, d)
-    jaccardVerify(jaccardCandidates(docs, t), docs, t)
+    val small = materializedBytes(docs) <= VerifyBroadcastMaxBytes
+    jaccardVerify(jaccardCandidates(docs, t, small), docs, t, small)
   }
 
   /** Candidate (da, db) pairs out of the prefix filter, BEFORE exact
     * verification — the quantity whose growth rate decides 100 TB
     * viability (exposed for the bench's scale diagnostics).
     */
-  private[graft] def jaccardCandidates(docs: DataFrame, t: Double): DataFrame = {
+  private[graft] def jaccardCandidates(docs: DataFrame, t: Double,
+      smallSets: Boolean = false): DataFrame = {
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // The df table is bounded by the distinct-shingle count — within a
+    // small constant of the capped table's own size — so the same
+    // size-adaptive decision applies: broadcast it when the corpus is
+    // small, shuffle-hash when it isn't.
+    val dfSide = if (smallSets) broadcast(dfTab) else dfTab.hint("shuffle_hash")
     // Shingles of each doc in ascending-df order; rarest lead the array.
-    val ordered = ex.join(dfTab.hint("shuffle_hash"), Seq("s"))
+    val ordered = ex.join(dfSide, Seq("s"))
       .groupBy("doc_id")
       .agg(transform(
         array_sort(collect_list(struct(col("df"), col("s")))),
@@ -241,17 +284,26 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact verification of candidate pairs against the full capped sets. */
-  private def jaccardVerify(cands: DataFrame, docs: DataFrame, t: Double): DataFrame =
+  /** Exact verification of candidate pairs against the full capped sets.
+    * With `smallSets` the capped table broadcasts into both joins, so the
+    * array-bearing intermediate never crosses an exchange (see
+    * VerifyBroadcastMaxBytes); otherwise both joins stay pinned
+    * shuffle-hash.
+    */
+  private def jaccardVerify(cands: DataFrame, docs: DataFrame, t: Double,
+      smallSets: Boolean = false): DataFrame = {
+    def side(df: DataFrame): DataFrame =
+      if (smallSets) broadcast(df) else df.hint("shuffle_hash")
     cands
-      .join(docs.select(col("doc_id"), col("sh").as("sa")).hint("shuffle_hash"),
+      .join(side(docs.select(col("doc_id"), col("sh").as("sa"))),
         col("da") === col("doc_id")).drop("doc_id")
-      .join(docs.select(col("doc_id"), col("sh").as("sb")).hint("shuffle_hash"),
+      .join(side(docs.select(col("doc_id"), col("sh").as("sb"))),
         col("db") === col("doc_id")).drop("doc_id")
       .withColumn("i", GraftFunctions.intersectCount(col("sa"), col("sb")))
       .withColumn("jaccard", col("i") / (size(col("sa")) + size(col("sb")) - col("i")))
       .filter(col("jaccard") >= t)
       .select(col("da"), col("db"), col("jaccard"))
+  }
 
   /** Reference formulation (count-based, no prefix filter) — the spec
     * ground truth `jaccardPairs` is asserted equal to.
@@ -344,11 +396,18 @@ object Dedup {
     "q22b_minhash_pairs",
     (s, d) => {
       val docs = cappedShingleDocs(s, d)
+      // Same size-adaptive verification side as q22a (see
+      // VerifyBroadcastMaxBytes): broadcast the small materialized capped
+      // table so candidate pairs never shuffle with arrays attached;
+      // pinned shuffle-hash once the table outgrows the broadcast budget.
+      val small = materializedBytes(docs) <= VerifyBroadcastMaxBytes
+      def side(df: DataFrame): DataFrame =
+        if (small) broadcast(df) else df.hint("shuffle_hash")
       minhashCandidates(docs, numHashes = 32, bands = 8)
-        .join(docs.select(col("doc_id"), col("sh").as("sa")).hint("shuffle_hash"),
+        .join(side(docs.select(col("doc_id"), col("sh").as("sa"))),
           col("da") === col("doc_id"))
         .drop("doc_id")
-        .join(docs.select(col("doc_id"), col("sh").as("sb")).hint("shuffle_hash"),
+        .join(side(docs.select(col("doc_id"), col("sh").as("sb"))),
           col("db") === col("doc_id"))
         .withColumn("i", GraftFunctions.intersectCount(col("sa"), col("sb")))
         .withColumn("jaccard", col("i") / (size(col("sa")) + size(col("sb")) - col("i")))

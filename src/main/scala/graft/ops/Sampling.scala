@@ -30,15 +30,6 @@ object Sampling {
   def hashSampled(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(c), lit(100)) < 10
 
-  /** Where q34a materializes its sampled-key set for the DuckDB oracle.
-    * Dataset-tagged so a Bench run at another SF can never clobber the
-    * fixture a Verify run's oracle SQL points at; under the repo's
-    * target/ so temp-dir sweeps can't remove it between the Verify dump
-    * and the driver's DuckDB pass.
-    */
-  def q34aFixture(d: String): String =
-    s"${sys.props("user.dir")}/target/fixtures/q34a_keys_${Tables.datasetTag(d)}"
-
   @volatile private var lastQ34aFixture: Option[String] = None
 
   private def q34aSql(fixture: String): String =
@@ -64,6 +55,25 @@ object Sampling {
   def dynamicOracleSql: Map[String, String] =
     lastQ34aFixture.map(p => "q34a_sample_hash" -> q34aSql(p)).toMap
 
+  /** Materialize q34a's sampled-key set for the DuckDB oracle — called by
+    * the VERIFY harness (not by the query function: the Q contract is a
+    * pure plan builder everywhere else, and an in-query write ran a real
+    * Spark job on every plan-only inspection and inside every timed bench
+    * iteration — r7 advisor finding). The fixture lands in a SIBLING of
+    * the Verify outDir (`<outDir>_fixtures`), so it travels with the run
+    * — an sbt clean or a differently-rooted driver between the dump and
+    * the DuckDB pass can no longer orphan the oracle's read path — while
+    * staying invisible to harnesses that enumerate outDir subdirectories
+    * as query results.
+    */
+  def dumpQ34aOracleFixture(s: SparkSession, d: String, outDir: String): Unit = {
+    val fixture = s"${outDir}_fixtures/q34a_keys"
+    Tables.orders(s, d).filter(hashSampled(col("o_orderkey")))
+      .select("o_orderkey").coalesce(1)
+      .write.mode("overwrite").parquet(fixture)
+    lastQ34aFixture = Some(fixture)
+  }
+
   /** Deterministic 10% key-hash sample, now exercised across BOTH fact
     * tables: sampled orders inner-joined to same-hash-sampled lineitem,
     * aggregated per status. Membership = pmod(xxhash64(key), 100) < 10 —
@@ -77,10 +87,6 @@ object Sampling {
     "q34a_sample_hash",
     (s, d) => {
       val so = Tables.orders(s, d).filter(hashSampled(col("o_orderkey")))
-      val fixture = q34aFixture(d)
-      so.select("o_orderkey").coalesce(1)
-        .write.mode("overwrite").parquet(fixture)
-      lastQ34aFixture = Some(fixture)
       val sl = Tables.lineitem(s, d).filter(hashSampled(col("l_orderkey")))
         .select(col("l_orderkey"), col("l_quantity"))
       so.join(sl, col("o_orderkey") === col("l_orderkey"))

@@ -240,10 +240,19 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
         .distinct()
+      // Verification joins are UNHINTED (r8): the build side is the bare
+      // embeddings scan, whose file-size statistics are accurate at
+      // planning time — Catalyst broadcasts it at bench scale (so the
+      // candidate pairs never shuffle with vectors attached — the second
+      // join would otherwise move the pair×vector intermediate, ~L× the
+      // corpus bytes) and falls back to a shuffled join once the corpus
+      // outgrows the broadcast threshold. Only the bucket SELF-join stays
+      // pinned shuffle-hash (its exploded-side size estimates are the
+      // round-1 AQE trap).
       cands
-        .join(emb.select(col("vec_id"), col("e").as("ea")).hint("shuffle_hash"),
+        .join(emb.select(col("vec_id"), col("e").as("ea")),
           col("va") === col("vec_id")).drop("vec_id")
-        .join(emb.select(col("vec_id"), col("e").as("eb")).hint("shuffle_hash"),
+        .join(emb.select(col("vec_id"), col("e").as("eb")),
           col("vb") === col("vec_id")).drop("vec_id")
         .withColumn("cos", cosine(col("ea"), col("eb")))
         // Equivalent to round(cos,4) >= 0.4 without per-candidate
@@ -453,8 +462,12 @@ object Similarity {
         .filter(col("prank") <= 256)
         .select(col("probe_id"), col("vec_id"), col("pe"))
       val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+      // Unhinted exact-refine join (r8): the persisted corpus side carries
+      // accurate (scan-derived) size stats, so Catalyst broadcasts it at
+      // bench scale and the 256-per-probe pool never shuffles; a corpus
+      // over the broadcast threshold falls back to a shuffled join.
       pool
-        .join(emb.hint("shuffle_hash"), Seq("vec_id"))
+        .join(emb, Seq("vec_id"))
         .withColumn("cos", cosine(col("e"), col("pe")))
         .withColumn("rnk", row_number().over(wT).cast("long"))
         .filter(col("rnk") <= 5)

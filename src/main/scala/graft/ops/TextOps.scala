@@ -142,9 +142,20 @@ object TextOps {
             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
   /** Language-ID over the corpus: predicted language counts vs the labeled
-    * lang column (confusion pairs). Heuristic ⇒ rows-only driver check;
-    * the ScalaTest spec pins behavior on crafted sentences.
+    * lang column (confusion pairs). Heuristic but fully DETERMINISTIC
+    * (r8): every step is IEEE double division of small integers plus a
+    * lexicographic (score, lang) argmax, so the whole query is
+    * expressible in DuckDB — `max(ROW(score, lang))` reproduces
+    * `array_max` over (score, lang) structs bit-for-bit, ties resolved to
+    * the lexicographically largest language in both engines. Promoted
+    * from rows-only to hash-checked. The ScalaTest spec still pins
+    * per-sentence behavior on crafted inputs.
     */
+  private def langProfileValues: String =
+    langProfiles.toSeq.sortBy(_._1).map { case (l, p) =>
+      s"('$l', [${p.map(w => s"'$w'").mkString(",")}])"
+    }.mkString(", ")
+
   val q32: Q = Q(
     "q32_langid",
     (s, d) => {
@@ -154,7 +165,21 @@ object TextOps {
         .agg(count(lit(1)).as("n"))
         .orderBy("labeled", "predicted")
     },
-    None)
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, lang AS labeled,
+            |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS tk
+            |  FROM documents),
+            |s AS (
+            |  SELECT t.doc_id, t.labeled,
+            |    max(ROW(CAST(len(list_filter(t.tk, x -> list_contains(p.prof, x))) AS DOUBLE) / len(t.tk), p.lang)) AS best
+            |  FROM t, (VALUES $langProfileValues) p(lang, prof)
+            |  GROUP BY 1, 2),
+            |pred AS (
+            |  SELECT labeled,
+            |    CASE WHEN best[1] > 0 THEN best[2] ELSE 'und' END AS predicted
+            |  FROM s)
+            |SELECT labeled, predicted, count(*) AS n
+            |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   /** Document fingerprints: rolling hash per doc + duplicate-fingerprint
     * groups (fingerprint equality ⇔ normalized token-sequence equality).

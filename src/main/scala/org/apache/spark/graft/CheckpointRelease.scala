@@ -19,15 +19,25 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object CheckpointRelease {
 
-  /** Unpersist the checkpoint RDD(s) directly under `ds`'s plan.
+  /** Unpersist the checkpoint RDD directly under `ds`'s plan.
     *
     * OWNERSHIP CONTRACT: call this only on a dataset whose checkpoint
-    * RDDs no live dataset still needs — a local checkpoint's lineage is
+    * RDD no live dataset still needs — a local checkpoint's lineage is
     * truncated, so a released checkpoint is gone, not lazily
     * recomputable, and a sibling still reading it fails with missing
     * blocks. The CC fixpoint loops satisfy this by construction (each
     * round's checkpoint has exactly one reader, the next round, which is
     * eagerly materialized before the release).
+    *
+    * SAFETY VALVE (r7 advisor): the release fires only when the plan
+    * holds EXACTLY ONE LogicalRDD — the shape every legitimate call site
+    * has (a dataset that IS a checkpoint, possibly under a Project). A
+    * plan embedding several checkpoints means the caller passed a
+    * composite (e.g. a caller-checkpointed edge set joined in), where a
+    * blanket unpersist would irrecoverably drop a still-live sibling's
+    * blocks; refusing to act degrades to the pre-release behavior (blocks
+    * freed by the ContextCleaner at the next driver GC) instead of
+    * corrupting it.
     *
     * No-op for plans without a LogicalRDD; non-fatal errors are
     * swallowed (releasing storage is an optimization), fatal ones
@@ -35,9 +45,7 @@ object CheckpointRelease {
     */
   def release(ds: Dataset[_]): Unit =
     try {
-      ds.queryExecution.analyzed.foreach {
-        case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
+      val rdds = ds.queryExecution.analyzed.collect { case lr: LogicalRDD => lr.rdd }
+      if (rdds.size == 1) rdds.head.unpersist(blocking = false)
     } catch { case scala.util.control.NonFatal(_) => () }
 }

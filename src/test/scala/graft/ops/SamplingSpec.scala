@@ -62,8 +62,12 @@ class SamplingSpec extends SparkTestBase {
 
   test("q34a: fixture holds exactly the membership keys; result obeys the oracle law") {
     val res = Sampling.q34a.fn(spark, sfDir).collect().map(_.toSeq).toSet
+    // The fixture dump is the VERIFY harness's job (the Q fn is a pure
+    // plan builder — r7 advisor); replicate the harness call here.
+    val outDir = java.nio.file.Files.createTempDirectory("graft-q34a-").toString
+    Sampling.dumpQ34aOracleFixture(spark, sfDir, outDir)
     // Fixture content == the membership predicate's key set.
-    val fixture = spark.read.parquet(Sampling.q34aFixture(sfDir))
+    val fixture = spark.read.parquet(s"${outDir}_fixtures/q34a_keys")
     val got = fixture.collect().map(_.getLong(0)).toSet
     val want = Tables.orders(spark, sfDir)
       .filter(Sampling.hashSampled(col("o_orderkey")))
@@ -86,7 +90,7 @@ class SamplingSpec extends SparkTestBase {
     // Dump-time oracle SQL exists and points at this run's fixture.
     val sql = Sampling.dynamicOracleSql
     assert(sql.keySet == Set("q34a_sample_hash"))
-    assert(sql("q34a_sample_hash").contains(Sampling.q34aFixture(sfDir)))
+    assert(sql("q34a_sample_hash").contains(s"${outDir}_fixtures/q34a_keys"))
   }
 
   test("q67: mixture sample respects the budget, caps small sources, is key-deterministic") {
