@@ -796,6 +796,72 @@ object Relational {
             |       ELSE o_totalprice END AS o_totalprice
             |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** Q71 — snapshot diff / CDC classification: given two corpus
+    * snapshots, classify every key as added / removed / changed /
+    * unchanged and emit per-class counts with a key checksum — the audit
+    * every incremental-ingestion pipeline runs before a q52-style merge
+    * (q52 APPLIES a delta; q71 is how the delta is derived and sanity-
+    * checked from full snapshots). The "new" snapshot is synthesized
+    * from `documents` by deterministic key arithmetic (%13 mutated text,
+    * %17 dropped, %19 re-added under an offset key) so the oracle can
+    * rebuild both sides relationally.
+    *
+    * Shape at 100 TB: ONE full-outer sort-merge join on the key — both
+    * snapshots shuffle once on doc_id, the per-class aggregate map-side
+    * combines to 4 rows. Change detection compares the payload inside
+    * the join row (no second pass, no hashing job); on a real pipeline
+    * the `text <> text` residual becomes a content-hash compare so only
+    * (key, hash) ever shuffles — the plan is unchanged.
+    */
+  /** Per-key diff classification between two snapshots with columns
+    * (`key`, `payload`): one row per key with status ∈ {added, removed,
+    * changed, unchanged}. One full-outer sort-merge join on the key.
+    */
+  def classifyDiff(oldDf: DataFrame, newDf: DataFrame,
+      key: String, payload: String): DataFrame = {
+    val o = oldDf.as("o")
+    val n = newDf.as("n")
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .select(
+        coalesce(col(s"o.$key"), col(s"n.$key")).as(key),
+        when(col(s"o.$key").isNull, "added")
+          .when(col(s"n.$key").isNull, "removed")
+          .when(col(s"o.$payload") =!= col(s"n.$payload"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  val q71: Q = Q(
+    "q71_snapshot_diff",
+    (s, d) => {
+      val cur = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val nxt = cur
+        .filter(pmod(col("doc_id"), lit(17)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(13)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .union(cur.filter(pmod(col("doc_id"), lit(19)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      classifyDiff(cur, nxt, "doc_id", "text")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_doc_id"))
+        .orderBy("status")
+    },
+    Some("""WITH oldv AS (SELECT doc_id, text FROM documents),
+            |newv AS (
+            |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+            |  FROM documents WHERE doc_id % 17 <> 0
+            |  UNION ALL
+            |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 19 = 0),
+            |j AS (
+            |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+            |    CASE WHEN o.doc_id IS NULL THEN 'added'
+            |         WHEN n.doc_id IS NULL THEN 'removed'
+            |         WHEN o.text <> n.text THEN 'changed'
+            |         ELSE 'unchanged' END AS status
+            |  FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+            |SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+            |FROM j GROUP BY status ORDER BY status""".stripMargin))
+
   /** Q53 — histogram: fixed-width value binning + bucket counts, the
     * profiling primitive every ingestion pipeline runs. The bucket
     * function is plain arithmetic (floor of value/width) so both engines
@@ -867,5 +933,5 @@ object Relational {
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
-    q48, q49, q50, q52, q53, q54)
+    q48, q49, q50, q52, q53, q54, q71)
 }

@@ -631,5 +631,82 @@ object Similarity {
             |SELECT probe_id, nbr_id, rnk, round(cos, 4) + 0 AS cosine
             |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f, q44, q58, q58b, q60)
+  /** Q70 — int8 scalar quantization audit: per-vector symmetric
+    * quantization (scale = max|x|/127, q = round(x/scale) ∈ [-127,127])
+    * with a per-label census of reconstruction error, scale, and clip
+    * saturation. This is the compression step a 100 TB embedding store
+    * runs before ANN serving — int8 cuts the corpus 4× and the census is
+    * how you validate the cut is safe per shard/label before swapping it
+    * in. Shape: pure per-row array expressions (no shuffle) into one
+    * 10-group aggregate — embarrassingly parallel; at scale the only
+    * exchange carries 10 pre-combined rows. Every arithmetic step is a
+    * fixed left-to-right IEEE double sequence (cast→abs→max→round→mul→
+    * sub→square→ordered fold), so Spark's HOF eval and DuckDB's list
+    * lambdas produce bit-identical doubles and the oracle hash-matches.
+    */
+  /** Per-vector symmetric int8 scale: max|x| / 127 (q = round(x/scale)
+    * lands in [-127, 127], the max-magnitude element exactly on ±127).
+    */
+  def quantScale(e: Column): Column =
+    array_max(transform(e, x => abs(x))) / lit(127.0)
+
+  /** The int8 code vector (as doubles — Spark arrays are homogeneous and
+    * the census arithmetic stays in the double domain either way).
+    */
+  def quantVec(e: Column, scale: Column): Column =
+    transform(e, x => round(x / scale, 0))
+
+  /** Per-element squared reconstruction error (x - round(x/scale)·scale)². */
+  def quantSqErr(e: Column, scale: Column): Column =
+    transform(transform(e, x => x - round(x / scale, 0) * scale), y => y * y)
+
+  /** Mean squared reconstruction error of the whole vector — ordered
+    * left-to-right fold, bit-identical to DuckDB's list_sum.
+    */
+  def quantMse(e: Column, scale: Column): Column =
+    aggregate(quantSqErr(e, scale), lit(0.0), (acc, y) => acc + y) / size(e)
+
+  /** Count of saturated (|q| = 127) codes — the clip census. */
+  def quantSaturated(e: Column, scale: Column): Column =
+    size(filter(quantVec(e, scale), y => abs(y) >= 127)).cast("long")
+
+  val q70: Q = Q(
+    "q70_quantize_embed",
+    (s, d) => {
+      // spread on vec_id (high-cardinality), not label (10 values → 10
+      // partitions max); vec_id is dropped after the repartition.
+      val emb = Tables.spread(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), dbl(col("embedding")).as("e")),
+        col("vec_id"))
+      emb.withColumn("scale", quantScale(col("e")))
+        .filter(col("scale") > 0)
+        .withColumn("mse", quantMse(col("e"), col("scale")))
+        .withColumn("n_sat", quantSaturated(col("e"), col("scale")))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          graft.Canon.ravg(col("mse") * lit(1000000)).as("avg_mse_e6"),
+          graft.Canon.ravg(col("scale") * lit(1000)).as("avg_scale_e3"),
+          sum(col("n_sat")).as("n_saturated"))
+        .orderBy("label")
+    },
+    Some("""WITH q AS (
+            |  SELECT label, CAST(embedding AS DOUBLE[]) AS e,
+            |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+            |  FROM embeddings),
+            |f AS (SELECT * FROM q WHERE scale > 0),
+            |r AS (
+            |  SELECT label, scale,
+            |    list_sum(list_transform(list_transform(e, x -> x - round(x / scale) * scale), y -> y * y)) / len(e) AS mse,
+            |    len(list_filter(list_transform(e, x -> round(x / scale)), y -> abs(y) >= 127)) AS n_sat
+            |  FROM f)
+            |SELECT label,
+            |  count(*) AS n_vecs,
+            |  round(CAST(sum(CAST(mse * 1000000 AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_mse_e6,
+            |  round(CAST(sum(CAST(scale * 1000 AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_scale_e3,
+            |  CAST(sum(n_sat) AS BIGINT) AS n_saturated
+            |FROM r GROUP BY label ORDER BY label""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f, q44, q58, q58b, q60, q70)
 }

@@ -186,5 +186,61 @@ object StreamingOps {
             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
             |GROUP BY 1, 2 ORDER BY bucket, segment""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q25, q26, q27, q55, q62)
+  /** Q69 — the per-session detail table (gaps-and-islands sessionization):
+    * one row per session with start/end/size/value, the declarative
+    * spelling of the semantics StatefulOps implements imperatively
+    * (flatMapGroupsWithState streaming / flatMapGroups batch) and q27
+    * rolls up per user. StatefulOpsSpec pins all three definitions equal.
+    *
+    * Shape at 100 TB: ONE shuffle of events on user_id feeds both window
+    * functions (lag and the running break-sum share the same
+    * partitioning+ordering, so Catalyst plans a single Window node over a
+    * single sort); the final per-session groupBy exchanges only the
+    * map-side-combined session rows, O(sessions) ≪ O(events). Session
+    * numbering is per-user (`session_seq`), so no global ordering or
+    * single-partition stage exists anywhere. Gap arithmetic is integer
+    * microseconds (`unix_micros` / DuckDB `epoch_us`) — no sub-second
+    * truncation lottery. A session = maximal run with inter-event gap
+    * < 30 min; ties on ts break by event_id (same convention as q27).
+    */
+  val q69: Q = Q(
+    "q69_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.spread(
+        Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+        col("user_id"))
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val prevUs = lag(us, 1).over(ord)
+      val brk = when(prevUs.isNull || us - prevUs >= lit(1800000000L), 1).otherwise(0)
+      e.withColumn("brk", brk)
+        .withColumn("session_seq",
+          sum(col("brk")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          fmtTs(min(col("ts"))).as("session_start"),
+          fmtTs(max(col("ts"))).as("session_end"),
+          count(lit(1)).as("n_events"),
+          r4z(dsum(col("value"))).as("total_value"))
+        .orderBy("user_id", "session_seq")
+    },
+    Some("""WITH o AS (
+            |  SELECT user_id, event_id, ts, value,
+            |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+            |  FROM events),
+            |m AS (
+            |  SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000 THEN 1 ELSE 0 END AS brk
+            |  FROM o),
+            |s AS (
+            |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+            |  FROM m)
+            |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+            |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+            |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+            |  count(*) AS n_events,
+            |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) + 0 AS total_value
+            |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q25, q26, q27, q55, q62, q69)
 }

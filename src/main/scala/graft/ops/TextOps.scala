@@ -290,6 +290,91 @@ object TextOps {
             |SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 3
             |ORDER BY doc_id, rnk""".stripMargin))
 
+  /** BM25 query-term set — chosen from the corpus vocabulary with a
+    * spread of document frequencies so idf actually differentiates.
+    */
+  val bm25Terms: Seq[String] = Seq("spark", "vector", "merge", "window", "fast")
+
+  /** Q72 — BM25 ranked retrieval (k1=1.2, b=0.75): the lexical ranking
+    * function behind every retrieval/RAG candidate generator, scoring the
+    * corpus against a fixed query-term set and returning the top-20. q42
+    * derives tf-idf features for given probe docs; q72 inverts the
+    * direction — it RANKS the whole corpus for a query.
+    *
+    * Shape at 100 TB: doc length (dl) is a per-row `size(tokens)` — no
+    * shuffle; the corpus-wide scalars (N, avgdl) are a 1-row aggregate;
+    * tokens are filtered to the query terms AT THE SCAN (isInCollection
+    * projection), so only O(docs × |query|) rows ever reach the tf/df
+    * aggregates; df (≤|query| rows), avgdl and N broadcast back against
+    * the tf table. The final top-20 is TakeOrderedAndProject — no global
+    * sort. Ranking uses the 4-dp-rounded score with doc_id tiebreak
+    * (q42's convention) so sub-rounding libm `ln` disagreement cannot
+    * reorder; the per-doc term-score sum is decimal-exact on both
+    * engines, immune to partition arrival order.
+    */
+  /** BM25 (k1=1.2, b=0.75) scores of every document in `docsDf` (columns
+    * `doc_id`, `text`) against a query-term set. Returns (doc_id, score)
+    * for docs matching ≥1 term; score is the 4-dp-rounded decimal-exact
+    * sum of per-term contributions. See q72 for the scale shape.
+    */
+  def bm25(docsDf: DataFrame, terms: Seq[String]): DataFrame = {
+    val base = docsDf.select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("dl", size(col("tk")))
+    val gl = base.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl").cast("decimal(38,6)")).cast("double") / count(lit(1))).as("avgdl"))
+    val qt = base.select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+      .filter(col("term").isInCollection(terms))
+    val tf = qt.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfT = qt.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(gl))
+      .withColumn("tscore",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tscore").cast("decimal(38,6)")).cast("double"), 4).as("score"))
+  }
+
+  val q72: Q = Q(
+    "q72_bm25",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = bm25(docs(s, d), bm25Terms)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+      // rank the 20 survivors; the single-partition window is over ≤20
+      // rows (same bounded-window convention as the q61 top list).
+      byDoc
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .select(col("rnk"), col("doc_id"), col("score"))
+        .orderBy("rnk")
+    },
+    Some("""WITH dld AS (
+            |  SELECT doc_id, len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS dl
+            |  FROM documents),
+            |gl AS (SELECT count(*) AS n,
+            |              CAST(sum(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avgdl FROM dld),
+            |tok AS (
+            |  SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+            |  FROM documents),
+            |qt AS (SELECT doc_id, term FROM tok WHERE term IN ('spark', 'vector', 'merge', 'window', 'fast')),
+            |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+            |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM qt) GROUP BY term),
+            |sc AS (
+            |  SELECT tf.doc_id,
+            |    ln(1.0 + (gl.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+            |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dld.dl / gl.avgdl)) AS tscore
+            |  FROM tf JOIN df USING (term) JOIN dld ON tf.doc_id = dld.doc_id CROSS JOIN gl),
+            |byd AS (
+            |  SELECT doc_id, round(CAST(sum(CAST(tscore AS DECIMAL(38,6))) AS DOUBLE), 4) AS score
+            |  FROM sc GROUP BY doc_id),
+            |top AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM byd)
+            |SELECT rnk, doc_id, score FROM top WHERE rnk <= 20 ORDER BY rnk""".stripMargin))
+
   /** PII patterns shared by the scrub operator and its oracle — kept to
     * syntax with identical semantics in Java regex and DuckDB (RE2):
     * character classes, explicit quantifiers, no lookaround.
@@ -618,5 +703,5 @@ object TextOps {
             |SELECT pair, count(*) AS cnt FROM pairs GROUP BY 1
             |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61, q63, q64, q66)
+  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61, q63, q64, q66, q72)
 }

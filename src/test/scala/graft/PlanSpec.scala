@@ -328,6 +328,56 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_"), s"no map-side partial counts:\n$p")
   }
 
+  test("q69: both window passes share one event sort and one user exchange") {
+    // lag and the running break-sum use the same (partition, order): the
+    // break-sum's Window node stacks directly on lag's (it consumes brk,
+    // so they can't fuse into one node) with NO second sort and NO second
+    // exchange of the event stream — the expensive movement happens once.
+    val p = planString("q69_sessionize")
+    val eventSorts = p.split("\n").count(l => l.contains("Sort [") && l.contains("ts#"))
+    assert(eventSorts == 1, s"expected one per-partition event sort, got $eventSorts:\n$p")
+    // exchanges: the deliberate source spread, the window partitioning
+    // (AQE may reuse the spread's), the post-combine session aggregate,
+    // and the final presentation range sort — never a second event-stream
+    // hash exchange between the Window nodes.
+    val between = p.split("\n").dropWhile(!_.contains("Window ["))
+      .takeWhile(l => !l.contains("lag("))
+    assert(!between.exists(_.contains("Exchange")),
+      s"exchange between the two window passes:\n${between.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q71: snapshot diff is one full-outer sort-merge join, no broadcast of a snapshot") {
+    // Both sides are corpus-scale snapshots: a broadcast would OOM at
+    // 100 TB; full-outer equi-join must plan as SortMergeJoin.
+    val p = planString("q71_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"expected full-outer sort-merge join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"a snapshot side must not broadcast:\n$p")
+  }
+
+  test("q72: BM25 statistics broadcast; top-20 is TakeOrderedAndProject") {
+    val p = planString("q72_bm25")
+    // df-table and global-scalar joins: broadcast (both are tiny);
+    // the ranked cut must not globally sort the scored corpus.
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"corpus statistics must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not full-sort the scored corpus:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q70: quantization census is scan → project → one aggregate exchange") {
+    // Per-row array math must not shuffle: the only exchanges are the
+    // deliberate source spread and the 10-group aggregate.
+    val p = planString("q70_quantize_embed")
+    val exchanges = p.split("\n").count(_.contains("Exchange "))
+    assert(exchanges <= 3, s"unexpected shuffles ($exchanges):\n$p")
+    assert(p.contains("partial_"), s"census must map-side combine:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}
