@@ -708,5 +708,106 @@ object Similarity {
             |  CAST(sum(n_sat) AS BIGINT) AS n_saturated
             |FROM r GROUP BY label ORDER BY label""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f, q44, q58, q58b, q60, q70)
+  /** Reciprocal-rank fusion of two ranked candidate lists (columns
+    * (`doc_id`, rank)): RRF(d) = Σ 1/(60 + rank_i(d)), candidates absent
+    * from a list contribute 0 for it. Returns (doc_id, rrf) with the
+    * fused score rounded to 6 dp (the ordering key — rank gaps at depth
+    * k differ by ~1/k², so 6 dp preserves strictly more resolution than
+    * any candidate set bounded at a few hundred needs).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame): DataFrame = {
+    val ar = a.toDF("doc_id", "ra")
+    val br = b.toDF("doc_id", "rb")
+    ar.join(br, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)), 6).as("rrf"))
+  }
+
+  /** Q73 — hybrid retrieval (the RAG candidate generator): BM25 lexical
+    * top-100 and dense-cosine top-100 (probe = vector 0) fused by
+    * reciprocal-rank fusion, final top-10. This is the standard two-
+    * retriever shape: each modality cuts its own candidates FIRST
+    * (TakeOrderedAndProject — never a global sort or a global rank of
+    * the corpus), and all rank/fusion arithmetic happens on the ≤200-row
+    * candidate union (bounded single-partition windows, same convention
+    * as q72's top-20 ranking). At 100 TB each retriever side is exactly
+    * its standalone plan (q72 / q23) and the fusion cost is O(k).
+    *
+    * Determinism: lexical candidates order on the 4-dp-rounded BM25
+    * score (doc_id tiebreak); dense candidates on the raw cosine double
+    * (bit-identical cross-engine, q23's convention); fusion on the
+    * 6-dp-rounded RRF sum, a two-term left-to-right IEEE sum of exact
+    * divisions.
+    */
+  val q73: Q = Q(
+    "q73_hybrid_rrf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(s)
+      val k = 100
+      val lex = TextOps.bm25(
+          Tables.spread(Tables.documents(s, d), col("doc_id")), TextOps.bm25Terms)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+        .withColumn("rl",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rl"))
+      val emb = Tables.spread(Tables.embeddings(s, d)
+        .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
+      val probe = emb.filter(col("vec_id") === 0).select(col("e").as("pe"))
+      val den = emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(probe))
+        .select(col("vec_id").as("doc_id"), cosine(col("e"), col("pe")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(k)
+        .withColumn("rd",
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rd"))
+      rrfFuse(lex, den)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("rnk"), col("doc_id"), col("rrf"))
+        .orderBy("rnk")
+    },
+    Some("""WITH dld AS (
+            |  SELECT doc_id, len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS dl
+            |  FROM documents),
+            |gl AS (SELECT count(*) AS n,
+            |              CAST(sum(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avgdl FROM dld),
+            |tok AS (
+            |  SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+            |  FROM documents),
+            |qt AS (SELECT doc_id, term FROM tok WHERE term IN ('spark', 'vector', 'merge', 'window', 'fast')),
+            |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+            |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM qt) GROUP BY term),
+            |sc AS (
+            |  SELECT tf.doc_id,
+            |    ln(1.0 + (gl.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2
+            |      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dld.dl / gl.avgdl)) AS tscore
+            |  FROM tf JOIN df USING (term) JOIN dld ON tf.doc_id = dld.doc_id CROSS JOIN gl),
+            |byd AS (
+            |  SELECT doc_id, round(CAST(sum(CAST(tscore AS DECIMAL(38,6))) AS DOUBLE), 4) AS score
+            |  FROM sc GROUP BY doc_id),
+            |lex AS (SELECT doc_id, rl FROM (
+            |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rl FROM byd) WHERE rl <= 100),
+            |nv AS (
+            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+            |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            |  FROM embeddings),
+            |pr AS (SELECT e, nrm FROM nv WHERE vec_id = 0),
+            |den0 AS (
+            |  SELECT nv.vec_id AS doc_id, list_dot_product(nv.e, pr.e) / (nv.nrm * pr.nrm) AS cos
+            |  FROM nv, pr WHERE nv.vec_id <> 0),
+            |den AS (SELECT doc_id, rd FROM (
+            |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rd FROM den0) WHERE rd <= 100),
+            |fused AS (
+            |  SELECT coalesce(l.doc_id, dn.doc_id) AS doc_id,
+            |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.rl), 0.0)
+            |        + coalesce(CAST(1 AS DOUBLE) / (60 + dn.rd), 0.0), 6) AS rrf
+            |  FROM lex l FULL OUTER JOIN den dn ON l.doc_id = dn.doc_id),
+            |r AS (SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk FROM fused)
+            |SELECT rnk, doc_id, rrf FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f, q44, q58, q58b, q60, q70, q73)
 }

@@ -133,5 +133,53 @@ object Sources {
             |FROM orders GROUP BY o_orderpriority, o_orderstatus
             |ORDER BY o_orderpriority, o_orderstatus""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q46, q47, q51)
+  private val evoDirs = new ConcurrentHashMap[String, (String, String)]()
+
+  /** Two generations of the documents table, written once per JVM: the
+    * v1 writer emitted (doc_id, lang); the v2 writer added `n_chars`.
+    * Even-keyed docs land in v1, odd-keyed in v2 — so a merged read sees
+    * both schemas interleaved, the real shape of a long-lived dataset.
+    */
+  private[ops] def evolvedDocs(s: SparkSession, d: String): (String, String) =
+    evoDirs.computeIfAbsent(Tables.datasetTag(d), tag => {
+      val base = Tables.documents(s, d)
+      val dir = shmDir(s"$tag/docs_evolved")
+      val (v1, v2) = (s"$dir/v1", s"$dir/v2")
+      if (!new java.io.File(v1, "_SUCCESS").exists())
+        base.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(v1)
+      if (!new java.io.File(v2, "_SUCCESS").exists())
+        base.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(v2)
+      (v1, v2)
+    })
+
+  /** Q74 — schema-evolution read: `mergeSchema` over the v1+v2 parquet
+    * generations yields the union schema with v1 rows null in the added
+    * column; the aggregate separates evolved coverage (`n_with_chars`,
+    * `total_chars` count/sum only v2 rows via null semantics) from the
+    * full population (`n_docs`). Oracle reproduces the generation split
+    * relationally from the source table. At 100 TB this is the standard
+    * additive-column migration: no rewrite of old data, scans pay one
+    * footer-merge planning pass, and readers see one logical schema.
+    */
+  val q74: Q = Q(
+    "q74_schema_evolution",
+    (s, d) => {
+      val (v1, v2) = evolvedDocs(s, d)
+      s.read.option("mergeSchema", "true").parquet(v1, v2)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_with_chars"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+            |  count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_with_chars,
+            |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS total_chars
+            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q46, q47, q51, q74)
 }

@@ -328,6 +328,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_"), s"no map-side partial counts:\n$p")
   }
 
+  test("q11: rank filter plans a WindowGroupLimit below the Window") {
+    // Spark's InferWindowGroupLimit turns `filter(rn <= 3)` into a
+    // per-partition top-k limit that runs BEFORE the full window — at
+    // scale the sort buffers k rows per key instead of every order of
+    // every customer. If this silently stops firing (a non-rank-like
+    // window expr added to q11 would do it), per-key data explodes again.
+    val p = planString("q11_window_rank")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter no longer pushes as WindowGroupLimit:\n$p")
+  }
+
+  test("q73: each retriever cuts its candidates with TakeOrderedAndProject") {
+    // Both modality sides must bound themselves BEFORE fusion: two
+    // top-k operators, no global sort of a corpus-scale relation.
+    val p = planString("q73_hybrid_rrf")
+    val cuts = p.split("\n").count(_.contains("TakeOrderedAndProject"))
+    assert(cuts >= 2, s"expected two candidate cuts, got $cuts:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q69: both window passes share one event sort and one user exchange") {
     // lag and the running break-sum use the same (partition, order): the
     // break-sum's Window node stacks directly on lag's (it consumes brk,

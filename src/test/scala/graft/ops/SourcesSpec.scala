@@ -42,4 +42,25 @@ class SourcesSpec extends SparkTestBase {
     assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty,
       "ORC copy must round-trip rows exactly")
   }
+
+  test("mergeSchema read unifies the two document generations") {
+    val (v1, v2) = Sources.evolvedDocs(spark, sfDir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    // union schema, with the v2-only column nullable
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars"))
+    assert(merged.schema("n_chars").nullable)
+    val docs = Tables.documents(spark, sfDir)
+    assert(merged.count() == docs.count(), "no row lost across generations")
+    // v1 (even-keyed) rows read the added column as null; v2 rows carry it
+    assert(merged.filter(col("n_chars").isNull &&
+      pmod(col("doc_id"), lit(2)) === 1).count() == 0)
+    assert(merged.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .filter(col("n_chars").isNotNull).count() == 0)
+    // and the carried values are the source table's, exactly
+    val v2back = merged.filter(col("n_chars").isNotNull)
+      .select(col("doc_id"), col("n_chars"))
+    val v2want = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("n_chars"))
+    assert(v2back.exceptAll(v2want).isEmpty && v2want.exceptAll(v2back).isEmpty)
+  }
 }
