@@ -862,6 +862,38 @@ object Relational {
             |SELECT status, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             |FROM j GROUP BY status ORDER BY status""".stripMargin))
 
+  /** Q75 — latest-record compaction: one surviving row per key = the
+    * newest event per (user_id, event_type) — the CDC/changelog
+    * compaction every upsert table and feature store runs (q52 merges a
+    * delta in; q75 collapses an append log to current state). Spelled as
+    * rank-1 over a per-key descending time order, which Spark plans with
+    * a WindowGroupLimit (PlanSpec): each task keeps ONE buffered row per
+    * key ahead of the full sort, so per-key state is O(1) regardless of
+    * update fan-in. One shuffle on the (high-cardinality) key pair;
+    * deterministic tiebreak on event_id for equal timestamps.
+    */
+  val q75: Q = Q(
+    "q75_latest_compaction",
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.spread(Tables.events(s, d), col("user_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          Canon.fmtTs(col("ts")).as("ts"), col("value"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id,
+            |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value
+            |FROM (
+            |  SELECT *, row_number() OVER (
+            |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+            |  FROM events)
+            |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
+
   /** Q53 — histogram: fixed-width value binning + bucket counts, the
     * profiling primitive every ingestion pipeline runs. The bucket
     * function is plain arithmetic (floor of value/width) so both engines
@@ -933,5 +965,5 @@ object Relational {
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
-    q48, q49, q50, q52, q53, q54, q71)
+    q48, q49, q50, q52, q53, q54, q71, q75)
 }

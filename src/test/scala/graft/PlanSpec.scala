@@ -339,6 +339,12 @@ class PlanSpec extends SparkTestBase {
       s"rank filter no longer pushes as WindowGroupLimit:\n$p")
   }
 
+  test("q75: latest-record compaction plans a WindowGroupLimit (O(1) per-key state)") {
+    val p = planString("q75_latest_compaction")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-1 compaction must push a per-key group limit:\n$p")
+  }
+
   test("q73: each retriever cuts its candidates with TakeOrderedAndProject") {
     // Both modality sides must bound themselves BEFORE fusion: two
     // top-k operators, no global sort of a corpus-scale relation.

@@ -41,6 +41,32 @@ class QuantizeSpec extends SparkTestBase {
     }
   }
 
+  test("int8-quantized cosine top-10 keeps recall >= 0.9 vs exact") {
+    // The operational claim behind q70: serving ANN from the 4×-smaller
+    // int8 corpus must not meaningfully change the neighbors. Top-10 by
+    // cosine over dequantized vectors vs exact, 20 probes, mean recall.
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("scale", quantScale(col("e")))
+      .withColumn("dq", transform(quantVec(col("e"), col("scale")), q => q * col("scale")))
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("e").as("pe"), col("dq").as("pdq"))
+    val w = (c: String) => Window.partitionBy("pid").orderBy(col(c).desc, col("vec_id").asc)
+    val joined = emb.join(broadcast(probes), col("vec_id") =!= col("pid"))
+    def top10(scoreCol: org.apache.spark.sql.Column, byCol: String) =
+      joined.withColumn(byCol, scoreCol)
+        .withColumn("rnk", row_number().over(w(byCol)))
+        .filter(col("rnk") <= 10)
+        .select(col("pid"), col("vec_id"))
+        .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = top10(cosine(col("e"), col("pe")), "s_exact")
+    val quant = top10(cosine(col("dq"), col("pdq")), "s_quant")
+    val recalls = exact.keys.map(p => (exact(p) & quant(p)).size / 10.0)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"quantized recall degraded to $mean")
+  }
+
   test("q70 corpus census invariants") {
     val out = Similarity.q70.fn(spark, sfDir).collect()
     assert(out.length == 10) // one row per label
