@@ -351,5 +351,72 @@ object Layout {
     parquetFiles(new java.io.File(outDir)).size
   }
 
-  val queries: Seq[Q] = Seq(q35, q36, q43)
+  /** Shard expression shared by the q77 census and the shard writer:
+    * `md5("shard:" || doc_id)` → first two hex nibbles → 0..255 → mod
+    * nShards. A pure function of the key (seeded by the literal prefix),
+    * so the assignment is reproducible across runs, layouts, engines and
+    * cluster sizes — re-running the export after an upstream refresh
+    * moves only the documents that actually changed, and any consumer
+    * can recompute a doc's shard without a lookup table. 256 buckets mod
+    * 64 is exactly uniform over the hash nibbles.
+    */
+  def shardOf(key: Column, nShards: Int = 64): Column =
+    (conv(substring(md5(concat(lit("shard:"), key.cast("string"))), 1, 2),
+      16, 10).cast("long") % nShards).as("shard")
+
+  /** Q77 — deterministic training-shard census: the final step of every
+    * pretraining-data pipeline is writing the curated corpus as N
+    * stable shards, and this query IS the shard manifest — per shard:
+    * document count, total chars (token proxy), an order-independent
+    * id checksum, and the id range. Feeds the balance check (shard
+    * skew = straggler data-loader workers) and makes an export
+    * verifiable: re-running the census after a write proves the shards
+    * landed complete (checksums match) without re-reading payloads.
+    *
+    * Plan at scale: the hash is scan-stage codegen; the census is one
+    * map-side-combined aggregate exchanging ≤ nShards rows per task —
+    * no corpus shuffle at any size. The companion writer
+    * (`writeTrainShards`) does pay the one shuffle that co-locates each
+    * shard, exactly once, at write time.
+    */
+  val q77: Q = Q(
+    "q77_train_shards",
+    (s, d) => {
+      Tables.spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), col("n_chars"), shardOf(col("doc_id")))
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("id_checksum"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("shard")
+    },
+    Some("""WITH s AS (
+            |  SELECT doc_id, n_chars,
+            |    ((strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+            |     (strpos('0123456789abcdef', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 64 AS shard
+            |  FROM documents)
+            |SELECT shard, count(*) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+            |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            |FROM s GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Write `df` as nShards deterministic hash shards: one directory per
+    * shard (`shard=K/`), rows within each shard sorted by the shard key
+    * for reproducible byte-identical re-exports. One shuffle total
+    * (`repartition(nShards, shard)` — each output task owns whole
+    * shards), then a partitioned write; training loaders address shards
+    * by directory and stream them in key order.
+    */
+  def writeTrainShards(df: DataFrame, keyCol: String, outDir: String,
+      nShards: Int = 64): Unit =
+    df.withColumn("shard", shardOf(col(keyCol), nShards))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(keyCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  val queries: Seq[Q] = Seq(q35, q36, q43, q77)
 }

@@ -894,6 +894,46 @@ object Relational {
             |  FROM events)
             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
 
+  /** Q78 — SCD type-2 history build: turn the append-only events
+    * changelog into slowly-changing-dimension validity intervals — each
+    * (user_id, event_type) observation holds from its own timestamp
+    * until the next observation of the same key (`valid_to` null = the
+    * current version). The third member of the CDC triad: q52 merges a
+    * delta into a dimension, q75 collapses a changelog to current
+    * state, q78 keeps EVERY version addressable by time — the shape
+    * point-in-time training-feature joins (and warehouse dim-history
+    * tables) are built on. One window (`lead` over the key, ordered by
+    * ts with a deterministic event_id tiebreak) = one shuffle on the
+    * high-cardinality key, no self-join (the naive formulation is an
+    * ordered self-join — strictly worse). Interval length is exposed in
+    * integer microseconds (`unix_micros` both sides) so the oracle
+    * compares exactly; timestamps travel as formatted strings per the
+    * repo's canonical convention.
+    */
+  val q78: Q = Q(
+    "q78_scd2_history",
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.spread(Tables.events(s, d), col("user_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), col("ts"), lead(col("ts"), 1).over(w).as("next_ts"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"),
+          Canon.fmtTs(col("ts")).as("valid_from"),
+          Canon.fmtTs(col("next_ts")).as("valid_to"),
+          (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("duration_us"),
+          col("next_ts").isNull.as("is_current"))
+        .orderBy("user_id", "event_type", "valid_from", "event_id")
+    },
+    Some("""SELECT user_id, event_type, event_id, value,
+            |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+            |  strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+            |  epoch_us(lead(ts) OVER w) - epoch_us(ts) AS duration_us,
+            |  (lead(ts) OVER w IS NULL) AS is_current
+            |FROM events
+            |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+            |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin))
+
   /** Q53 — histogram: fixed-width value binning + bucket counts, the
     * profiling primitive every ingestion pipeline runs. The bucket
     * function is plain arithmetic (floor of value/width) so both engines
@@ -965,5 +1005,5 @@ object Relational {
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
-    q48, q49, q50, q52, q53, q54, q71, q75)
+    q48, q49, q50, q52, q53, q54, q71, q75, q78)
 }

@@ -703,5 +703,141 @@ object TextOps {
             |SELECT pair, count(*) AS cnt FROM pairs GROUP BY 1
             |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61, q63, q64, q66, q72)
+  /** Q76 — reference-corpus LM familiarity filter: the KenLM-perplexity
+    * curation shape (train a small LM on a trusted reference corpus,
+    * score the crawl against it, drop what the LM finds alien) with the
+    * LM realized as exact bigram counts over the trusted slice
+    * (source = src0) instead of a smoothed external model — the join
+    * topology and the keep/drop decision are identical, and count-based
+    * scoring keeps the whole query integer-exact for the oracle. Per
+    * document: adjacent-bigram count, out-of-vocabulary bigram count
+    * (never seen in the reference slice), mean reference frequency of
+    * its bigrams, and a keep flag (≤ half the bigrams OOV — compared in
+    * integers, `2·n_oov ≤ n_bigrams`, so no float threshold crosses
+    * engines).
+    *
+    * Plan at scale: bigram generation is scan-stage `zip_with` codegen
+    * (q66's kernel); the reference count table builds from a
+    * predicate-pushed slice of the same scan (source filter reaches the
+    * parquet reader — no persist needed, the re-read touches only the
+    * reference partition's row groups); scoring is ONE shuffle join on
+    * the bigram key with map-side partial counts, then a doc_id
+    * re-aggregation. Nothing broadcasts by hint: at 100 TB the
+    * reference count table is GBs and AQE picks the shuffle join; at
+    * bench scale it broadcasts itself. A production KenLM swap replaces
+    * the count join with a broadcast model lookup — strictly cheaper,
+    * same surrounding plan.
+    */
+  /** The q76 body as a library entry: score `docsDf` (doc_id, source,
+    * text) against the bigram counts of its `refSource` slice.
+    */
+  def lmFamiliarity(docsDf: DataFrame, refSource: String = "src0"): DataFrame = {
+      val tk = toks(col("text"))
+      val bi = docsDf
+        .select(col("doc_id"), col("source"), tk.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(zip_with(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => concat_ws(" ", a, b))).as("pair"))
+      val ref = bi.filter(col("source") === refSource)
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      bi.join(ref, Seq("pair"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+          round(sum(coalesce(col("cnt"), lit(0L))).cast("double") /
+            count(lit(1)), 4).as("familiarity"))
+        .withColumn("keep", lit(2) * col("n_oov") <= col("n_bigrams"))
+        .orderBy("doc_id")
+  }
+
+  val q76: Q = Q(
+    "q76_lm_familiarity",
+    (s, d) => lmFamiliarity(docs(s, d)),
+    Some("""WITH toks AS (
+            |  SELECT doc_id, source,
+            |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+            |  FROM documents),
+            |bi AS (
+            |  SELECT doc_id, source, t[i.i] || ' ' || t[i.i + 1] AS pair
+            |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+            |  WHERE len(t) >= 2),
+            |ref AS (SELECT pair, count(*) AS cnt FROM bi WHERE source = 'src0' GROUP BY 1)
+            |SELECT b.doc_id,
+            |  count(*) AS n_bigrams,
+            |  CAST(sum(CASE WHEN ref.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+            |  round(CAST(sum(coalesce(ref.cnt, 0)) AS DOUBLE) / count(*), 4) AS familiarity,
+            |  (2 * sum(CASE WHEN ref.cnt IS NULL THEN 1 ELSE 0 END) <= count(*)) AS keep
+            |FROM bi b LEFT JOIN ref ON b.pair = ref.pair
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q79 — dataset-card generation: the corpus-level stats block every
+    * published training set ships (docs, per-language and per-source
+    * composition, size, length quantiles, duplication rate), emitted as
+    * one long-format (metric, dim, v) table so the schema survives
+    * adding metrics. Three scans total: the scalar block is ONE
+    * aggregate computing six metrics in a single pass (count, sum,
+    * three exact percentiles, normalized-text distinct rate) unpivoted
+    * via map+explode — not six jobs — plus one grouped count per
+    * breakdown dimension. All map-side-combined aggregates, output
+    * O(langs+sources); percentiles are rounded to 4 dp so both engines'
+    * linear interpolation compares exactly. At 100 TB the exact
+    * percentile becomes the only expensive member (it shuffles the
+    * value column); swap `percentile` → `percentile_approx` there — the
+    * card's schema and every other metric are unchanged.
+    */
+  val q79: Q = Q(
+    "q79_dataset_card",
+    (s, d) => {
+      val base = docs(s, d)
+      val scalars = base.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          sum(col("n_chars")).cast("double").as("chars_total"),
+          round(percentile(col("n_chars"), lit(0.5)), 4).as("chars_p50"),
+          round(percentile(col("n_chars"), lit(0.9)), 4).as("chars_p90"),
+          round(percentile(col("n_chars"), lit(0.99)), 4).as("chars_p99"),
+          round(lit(1.0) -
+            countDistinct(Dedup.normText(col("text"))).cast("double") /
+            count(lit(1)), 4).as("exact_dup_rate"))
+        .select(explode(map(
+          lit("n_docs"), col("n_docs"),
+          lit("chars_total"), col("chars_total"),
+          lit("chars_p50"), col("chars_p50"),
+          lit("chars_p90"), col("chars_p90"),
+          lit("chars_p99"), col("chars_p99"),
+          lit("exact_dup_rate"), col("exact_dup_rate"))).as(Seq("metric", "v")))
+        .select(col("metric"), lit("all").as("dim"), col("v"))
+      def breakdown(dim: String, metric: String) =
+        base.groupBy(col(dim).as("dim"))
+          .agg(count(lit(1)).cast("double").as("v"))
+          .select(lit(metric).as("metric"), col("dim"), col("v"))
+      scalars
+        .unionAll(breakdown("lang", "n_docs_by_lang"))
+        .unionAll(breakdown("source", "n_docs_by_source"))
+        .orderBy("metric", "dim")
+    },
+    Some("""SELECT 'n_docs' AS metric, 'all' AS dim, CAST(count(*) AS DOUBLE) AS v FROM documents
+            |UNION ALL
+            |SELECT 'chars_total', 'all', CAST(sum(n_chars) AS DOUBLE) FROM documents
+            |UNION ALL
+            |SELECT 'chars_p50', 'all', round(quantile_cont(n_chars, 0.5), 4) FROM documents
+            |UNION ALL
+            |SELECT 'chars_p90', 'all', round(quantile_cont(n_chars, 0.9), 4) FROM documents
+            |UNION ALL
+            |SELECT 'chars_p99', 'all', round(quantile_cont(n_chars, 0.99), 4) FROM documents
+            |UNION ALL
+            |SELECT 'exact_dup_rate', 'all',
+            |  round(1.0 - CAST(count(DISTINCT regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS DOUBLE) / count(*), 4)
+            |FROM documents
+            |UNION ALL
+            |SELECT 'n_docs_by_lang', lang, CAST(count(*) AS DOUBLE) FROM documents GROUP BY lang
+            |UNION ALL
+            |SELECT 'n_docs_by_source', source, CAST(count(*) AS DOUBLE) FROM documents GROUP BY source
+            |ORDER BY metric, dim""".stripMargin))
+
+  val queries: Seq[Q] =
+    Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61, q63, q64, q66, q72, q76, q79)
 }
