@@ -404,6 +404,52 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
   }
 
+  test("q76: reference slice filter pushes to the scan; count join is unhinted") {
+    val p = planString("q76_lm_familiarity")
+    // The reference bigram table must build from a predicate-pushed slice
+    // of the documents scan, not a post-explode filter of the full corpus.
+    assert(p.contains("EqualTo(source,src0)"),
+      s"reference-source filter not pushed into the parquet scan:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial counts:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q77: shard census is scan → hash-project → one tiny aggregate exchange") {
+    // The manifest must never shuffle the corpus: only the deliberate
+    // source spread, the <=64-row aggregate exchange, and the
+    // presentation sort are allowed — and no join anywhere.
+    val p = planString("q77_train_shards")
+    val exchanges = p.split("\n").count(_.contains("Exchange "))
+    assert(exchanges <= 3, s"unexpected shuffles ($exchanges):\n$p")
+    assert(p.contains("partial_"), s"census must map-side combine:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("q78: SCD2 intervals plan ONE window over one key exchange, no self-join") {
+    val p = planString("q78_scd2_history")
+    val windows = p.split("\n").count(_.contains("Window ["))
+    assert(windows == 1, s"expected exactly one Window node, got $windows:\n$p")
+    assert(!p.contains("Join"),
+      s"lead-window formulation must not plan a self-join:\n$p")
+    // one key exchange for the window; spread + final presentation sort
+    // are the only other movement
+    val exchanges = p.split("\n").count(_.contains("Exchange "))
+    assert(exchanges <= 3, s"unexpected shuffles ($exchanges):\n$p")
+  }
+
+  test("q79: dataset-card scalar block is one pass; every aggregate map-side combines") {
+    val p = planString("q79_dataset_card")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"card is unions of aggregates, no join:\n$p")
+    // six scalar metrics must come from a single aggregate (Expand for
+    // the distinct-count), not six separate jobs: count the union's
+    // input aggregates — 1 scalar block + 2 breakdowns = 3 final aggs.
+    val finals = p.split("\n").count(l =>
+      l.contains("HashAggregate") && !l.contains("partial_"))
+    assert(finals <= 4, s"scalar metrics split into too many aggregates ($finals):\n$p")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}
