@@ -931,5 +931,67 @@ object Dedup {
             |    SELECT 1 FROM n b WHERE b.doc_id % 10 >= 8 AND b.t = a.t)
             |ORDER BY a.doc_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38, q39, q57, q59, q65)
+  /** Q80 — cross-document chunk-level dedup (the RefinedWeb/CCNet
+    * "line-level" repetition pass adapted to unpunctuated text): split
+    * each document into consecutive 16-token chunks, find chunks that
+    * occur in MORE THAN ONE distinct document, and report per document
+    * the duplicated-chunk fraction plus an integer-decided keep flag
+    * (2·n_dup ≤ n_chunks). Complements the family: q21 drops whole-doc
+    * exact dups, q22 near-dups, q45 WITHIN-doc repetition — q80 catches
+    * boilerplate shared ACROSS documents (headers, license blocks,
+    * navigation chrome) that whole-doc identity misses. Within-doc
+    * repeats alone do not mark a chunk duplicated (distinct-doc count,
+    * not occurrence count).
+    *
+    * Plan at scale: chunking is scan-stage `transform`/`slice` codegen
+    * (zero shuffle); the chunk→distinct-doc-count table and the
+    * score-back join shuffle on the chunk key with map-side partials —
+    * the q22-family volume, sub-quadratic by construction. At 100 TB
+    * the chunk key travels as a 64-bit hash (the q59 convention:
+    * string-keyed oracle, hash-keyed production — the kernel is
+    * available in functions/TextHashes); here the string key keeps the
+    * whole query portably oracle-checkable.
+    */
+  /** The q80 body as a library entry: per-doc duplicated-chunk census of
+    * `docsDf` (doc_id, text) at `W`-token chunk width.
+    */
+  def chunkDedup(docsDf: DataFrame, W: Int = 16): DataFrame = {
+      val tk = tokens(col("text"))
+      val ch = docsDf
+        .select(col("doc_id"), tk.as("tk"))
+        .filter(size(col("tk")) >= 1)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), ceil(size(col("tk")) / W.toDouble).cast("int") - 1),
+          i => concat_ws(" ", slice(col("tk"), i * W + lit(1), lit(W))))).as("chunk"))
+      val dup = ch.groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      ch.join(dup, Seq("chunk"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          round(sum(when(col("nd") > 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 4).as("dup_frac"))
+        .withColumn("keep", lit(2) * col("n_dup_chunks") <= col("n_chunks"))
+        .orderBy("doc_id")
+  }
+
+  val q80: Q = Q(
+    "q80_chunk_dedup",
+    (s, d) => chunkDedup(Tables.spread(Tables.documents(s, d), col("doc_id"))),
+    Some("""WITH toks AS (
+            |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+            |  FROM documents),
+            |ch AS (
+            |  SELECT doc_id, array_to_string(t[CAST(c.c*16+1 AS BIGINT):CAST(c.c*16+16 AS BIGINT)], ' ') AS chunk
+            |  FROM toks, LATERAL (SELECT unnest(range(0, CAST(ceil(len(t)/16.0) AS BIGINT))) AS c) c
+            |  WHERE len(t) >= 1),
+            |d AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+            |SELECT ch.doc_id, count(*) AS n_chunks,
+            |  CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+            |  round(CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac,
+            |  (2 * sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) <= count(*)) AS keep
+            |FROM ch JOIN d USING (chunk) GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38, q39, q57, q59, q65, q80)
 }

@@ -838,6 +838,58 @@ object TextOps {
             |SELECT 'n_docs_by_source', source, CAST(count(*) AS DOUBLE) FROM documents GROUP BY source
             |ORDER BY metric, dim""".stripMargin))
 
+  /** Q81 — source-overlap matrix: pairwise vocabulary Jaccard between
+    * every pair of corpus sources — the composition-analysis step before
+    * mixing (q67/q68): near-identical sources are double-counted mass, a
+    * near-zero-overlap source is a domain the mixture must not drown.
+    * Built from the distinct (source, term) incidence table: per-source
+    * vocab sizes plus a term self-join (s1 < s2) for intersections, then
+    * |A∩B| / (|A|+|B|−|A∩B|) rounded to 4 dp. The incidence table is
+    * persisted — it feeds three consumers (sizes, both join sides) and
+    * must be tokenized once, not three times.
+    *
+    * Scale: incidence is O(sources × vocab); the self-join fans out per
+    * term by the number of sources containing it — bounded by the SOURCE
+    * count (hundreds at 100 TB), never by docs, so the output and the
+    * shuffle stay O(sources² + incidence). Per-term source lists could
+    * equivalently aggregate to arrays first (explode-pairs) — same
+    * volume, and the join form keeps map-side partial counts.
+    */
+  /** The q81 body as a library entry over any (source, text) frame. */
+  def sourceOverlap(docsDf: DataFrame): DataFrame = {
+      val vocab = docsDf
+        .select(col("source"), explode(toks(col("text"))).as("term"))
+        .distinct()
+        .persist()
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = vocab.as("a")
+        .join(vocab.as("b"),
+          col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("x"), col("s1") === col("x.source"))
+        .join(sizes.as("y"), col("s2") === col("y.source"))
+        .select(col("s1"), col("s2"), col("inter"),
+          round(col("inter").cast("double") /
+            (col("x.n") + col("y.n") - col("inter")), 4).as("jaccard"))
+        .orderBy("s1", "s2")
+  }
+
+  val q81: Q = Q(
+    "q81_source_overlap",
+    (s, d) => sourceOverlap(docs(s, d)),
+    Some("""WITH toks AS (
+            |  SELECT source, unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+            |  FROM documents),
+            |v AS (SELECT DISTINCT source, term FROM toks),
+            |sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+            |i AS (SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+            |      FROM v a JOIN v b ON a.term = b.term AND a.source < b.source GROUP BY 1, 2)
+            |SELECT s1, s2, inter, round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 4) AS jaccard
+            |FROM i JOIN sz x ON i.s1 = x.source JOIN sz y ON i.s2 = y.source
+            |ORDER BY s1, s2""".stripMargin))
+
   val queries: Seq[Q] =
-    Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61, q63, q64, q66, q72, q76, q79)
+    Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61, q63, q64, q66, q72, q76, q79, q81)
 }
