@@ -962,6 +962,74 @@ object Relational {
     * with no precision lottery. Per-row products are IEEE doubles on both
     * engines, so the decimal cast sees identical inputs.
     */
+  /** Q82 — per-group z-score anomaly census: the data-quality monitor
+    * every ingestion pipeline runs on its numeric columns — per
+    * event_type, the mean/σ profile plus how many observations sit
+    * beyond 3σ and how extreme the worst one is. Moments use q54's
+    * decimal-exact convention (order-independent Σv/Σv² in
+    * DECIMAL(38,6), ONE cast to double) so the profile — and therefore
+    * every row's z-score — is bit-identical across engines; the final
+    * max is order-independent by nature.
+    *
+    * Plan at scale: pass 1 aggregates the K-row profile (map-side
+    * combined); pass 2 re-scans with the profile joined back — K rows,
+    * AQE broadcasts — and counts threshold crossings, again map-side
+    * combined. Two scans, zero corpus shuffle: the windowed
+    * alternative (`avg over (partition by type)`) would shuffle every
+    * event to compute the same 5 numbers.
+    */
+  /** The q82 body over any (event_type, value) frame; `spreadDf` is the
+    * profile-pass input (spread for parallelism), `scanDf` the re-scan.
+    */
+  def valueOutliers(spreadDf: DataFrame, scanDf: DataFrame): DataFrame = {
+      val v = col("value")
+      val prof = spreadDf
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(v.cast(Dec)).cast("double").as("s1"),
+          sum((v * v).cast(Dec)).cast("double").as("s2"))
+        .select(col("event_type"), col("n"),
+          (col("s1") / col("n")).as("mean"),
+          (sqrt(col("n") * col("s2") - col("s1") * col("s1")) / col("n")).as("sigma"))
+      scanDf
+        .join(prof, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(first(col("mean")), 4).as("mean_value"),
+          round(first(col("sigma")), 4).as("sigma_value"),
+          sum(when(abs(v - col("mean")) > lit(3.0) * col("sigma"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          // σ=0 (constant group) would ANSI-fault the division; a
+          // constant group has zero deviation by definition.
+          round(max(when(col("sigma") === 0.0, lit(0.0))
+            .otherwise(abs(v - col("mean")) / col("sigma"))), 4).as("max_abs_z"))
+        .orderBy("event_type")
+  }
+
+  val q82: Q = Q(
+    "q82_value_outliers",
+    (s, d) => valueOutliers(
+      Tables.spread(Tables.events(s, d), col("event_id")),
+      Tables.events(s, d)),
+    Some("""WITH m AS (
+            |  SELECT event_type,
+            |    CAST(count(*) AS DOUBLE) AS n,
+            |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+            |    CAST(sum(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+            |  FROM events GROUP BY event_type),
+            |p AS (
+            |  SELECT event_type, s1 / n AS mean, sqrt(n * s2 - s1 * s1) / n AS sigma
+            |  FROM m)
+            |SELECT e.event_type, count(*) AS n_events,
+            |  round(any_value(p.mean), 4) AS mean_value,
+            |  round(any_value(p.sigma), 4) AS sigma_value,
+            |  CAST(sum(CASE WHEN abs(e.value - p.mean) > 3.0 * p.sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+            |  round(max(CASE WHEN p.sigma = 0 THEN 0.0 ELSE abs(e.value - p.mean) / p.sigma END), 4) AS max_abs_z
+            |FROM events e JOIN p USING (event_type)
+            |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin))
+
   val q54: Q = Q(
     "q54_moment_stats",
     (s, d) => {
@@ -1005,5 +1073,5 @@ object Relational {
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
-    q48, q49, q50, q52, q53, q54, q71, q75, q78)
+    q48, q49, q50, q52, q53, q54, q71, q75, q78, q82)
 }
