@@ -265,5 +265,41 @@ object Sampling {
             |      CASE WHEN t.band = 'hi' THEN r.thr_hi ELSE r.thr_lo END
             |ORDER BY t.doc_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q34a, q34b, q67, q68)
+  /** Q83 — deterministic k-per-group exemplars: exactly 3 documents per
+    * source, chosen by ranking each group on a seeded key hash
+    * (md5("pick:"‖doc_id)) — a uniform-without-replacement draw that is
+    * a pure function of the key, so the exemplar set is stable across
+    * runs, layouts and cluster sizes (the fixed-k counterpart to q34a's
+    * fixed-FRACTION hash sample; the per-group quota q34b's Bernoulli
+    * draw cannot guarantee). The production uses: human-eval panels,
+    * few-shot prompt pools, per-source debugging samples.
+    *
+    * Scale: rank-≤k over a per-key hash order plans as a
+    * WindowGroupLimit (PlanSpec) — each task keeps a k-row heap per
+    * group ahead of the sort, so the shuffle moves O(groups·k) rows
+    * per partition, not the corpus; same mechanism as q75's rank-1.
+    */
+  val q83: Q = Q(
+    "q83_group_exemplars",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(md5(concat(lit("pick:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      Tables.spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          row_number().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+        .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "rnk")
+    },
+    Some("""SELECT source, rnk, doc_id, n_chars
+            |FROM (
+            |  SELECT source, doc_id, n_chars,
+            |    row_number() OVER (PARTITION BY source
+            |      ORDER BY md5('pick:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+            |  FROM documents)
+            |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q34a, q34b, q67, q68, q83)
 }

@@ -450,6 +450,13 @@ class PlanSpec extends SparkTestBase {
     assert(finals <= 4, s"scalar metrics split into too many aggregates ($finals):\n$p")
   }
 
+  test("q83: k-per-group exemplars plan a WindowGroupLimit (O(k) per-group state)") {
+    val p = planString("q83_group_exemplars")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=3 filter not pushed into a WindowGroupLimit:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}
