@@ -809,5 +809,71 @@ object Similarity {
             |r AS (SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk FROM fused)
             |SELECT rnk, doc_id, rrf FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q23, q23b, q23c, q23d, q23e, q23f, q44, q58, q58b, q60, q70, q73)
+  /** Q84 — embedding drift monitor: per-label L2 distance between the
+    * centroids of two corpus snapshots (here the deterministic vec_id
+    * parity split; in production, last month's export vs today's) — the
+    * standing data-quality check that triggers ANN index rebuilds and
+    * embedding-model retraining ("has the distribution under label k
+    * moved?"). Every accumulation that crosses rows is decimal-exact so
+    * the result is order-independent and oracle-comparable: components
+    * are rounded to 6 dp and summed in DECIMAL(38,6) for the centroids
+    * (one cast to double for the mean), and the 64 per-dimension
+    * squared deltas are rounded to 12 dp and summed in DECIMAL(38,12)
+    * before the final sqrt — the q54 moment convention extended to
+    * vector data.
+    *
+    * Plan at scale: posexplode is scan-stage (rows × dim, no shuffle);
+    * the centroid aggregate shuffles O(labels × dim × 2) combined rows
+    * — map-side partials do the heavy reduction; the delta join and
+    * final aggregate touch only the K×dim centroid table. Corpus bytes
+    * cross no exchange.
+    */
+  /** The q84 body over any (label, old_snap, embedding) frame. */
+  def embeddingDrift(snapsDf: DataFrame): DataFrame = {
+      val comp = snapsDf
+        .select(col("label"), col("old_snap"), posexplode(col("embedding")))
+        .select(col("label"), col("old_snap"), col("pos"),
+          round(col("col").cast("double"), 6).as("c"))
+      val cent = comp.groupBy("label", "old_snap", "pos")
+        .agg((sum(col("c").cast("decimal(38,6)")).cast("double") /
+          count(lit(1))).as("m"))
+      cent.as("a")
+        .join(cent.as("b"),
+          col("a.label") === col("b.label") && col("a.pos") === col("b.pos") &&
+            col("a.old_snap") && !col("b.old_snap"))
+        .select(col("a.label").as("label"),
+          (col("a.m") - col("b.m")).as("dc"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("dim"),
+          round(sqrt(sum(round(col("dc") * col("dc"), 12)
+            .cast("decimal(38,12)")).cast("double")), 4).as("centroid_drift"))
+        .orderBy("label")
+  }
+
+  val q84: Q = Q(
+    "q84_embedding_drift",
+    (s, d) => embeddingDrift(
+      Tables.spread(Tables.embeddings(s, d), col("vec_id"))
+        .select(col("label"), (col("vec_id") % 2 === 0).as("old_snap"),
+          col("embedding"))),
+    Some("""WITH comp AS (
+            |  SELECT label, (vec_id % 2 = 0) AS old_snap,
+            |    unnest(range(0, len(embedding))) AS pos,
+            |    round(CAST(unnest(embedding) AS DOUBLE), 6) AS c
+            |  FROM embeddings),
+            |cent AS (
+            |  SELECT label, old_snap, pos,
+            |    CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS m
+            |  FROM comp GROUP BY 1, 2, 3),
+            |d AS (
+            |  SELECT a.label, (a.m - b.m) AS dc
+            |  FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
+            |  WHERE a.old_snap AND NOT b.old_snap)
+            |SELECT label, count(*) AS dim,
+            |  round(sqrt(CAST(sum(CAST(round(dc * dc, 12) AS DECIMAL(38,12))) AS DOUBLE)), 4) AS centroid_drift
+            |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val queries: Seq[Q] =
+    Seq(q23, q23b, q23c, q23d, q23e, q23f, q44, q58, q58b, q60, q70, q73, q84)
 }
