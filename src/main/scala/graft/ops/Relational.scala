@@ -934,6 +934,96 @@ object Relational {
             |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
             |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin))
 
+  /** Q85 — ordered funnel analysis: how many users progressed
+    * signup → click → purchase IN THAT TIME ORDER (a later stage counts
+    * only if its first occurrence is strictly after the previous
+    * stage's) — the product-analytics staple, and the shape sequential
+    * pattern mining takes in SQL. One conditional-min aggregate per
+    * user (map-side combined, one user-key shuffle), then a K-column
+    * boolean cascade and a single global census row — no self-join, no
+    * window: the naive per-stage-join formulation shuffles the event
+    * log three times, this shuffles it once.
+    */
+  /** The q85 body over any (user_id, event_type, ts) frame. */
+  def funnel(eventsDf: DataFrame): DataFrame = {
+      def firstTs(t: String) =
+        min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+      val f = eventsDf
+        .groupBy("user_id")
+        .agg(firstTs("signup"), firstTs("click"), firstTs("purchase"))
+      val s1 = col("t_signup").isNotNull
+      val s2 = s1 && col("t_click").isNotNull && col("t_click") > col("t_signup")
+      val s3 = s2 && col("t_purchase").isNotNull && col("t_purchase") > col("t_click")
+      f.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(s1, 1L).otherwise(0L)).as("stage_signup"),
+        sum(when(s2, 1L).otherwise(0L)).as("stage_click_after"),
+        sum(when(s3, 1L).otherwise(0L)).as("stage_purchase_after"))
+  }
+
+  val q85: Q = Q(
+    "q85_funnel",
+    (s, d) => funnel(Tables.spread(Tables.events(s, d), col("user_id"))),
+    Some("""WITH f AS (
+            |  SELECT user_id,
+            |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+            |    min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+            |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+            |  FROM events GROUP BY user_id),
+            |s AS (
+            |  SELECT
+            |    (t1 IS NOT NULL) AS s1,
+            |    (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1) AS s2,
+            |    (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+            |     AND t3 IS NOT NULL AND t3 > t2) AS s3
+            |  FROM f)
+            |SELECT count(*) AS n_users,
+            |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS stage_signup,
+            |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS stage_click_after,
+            |  CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase_after
+            |FROM s""".stripMargin))
+
+  /** Q86 — weekly cohort retention: users bucketed by their first-ever
+    * activity week (Monday-aligned epoch-week index — pure integer date
+    * arithmetic, identical cross-engine), counted as active in each
+    * later week they appear — the cohort matrix every growth dashboard
+    * renders. First-seen table is one user-key aggregate; activity
+    * joins back on the user key (K-row first-seen side at bench scale
+    * broadcasts via AQE, shuffles at 10^9 users — unhinted); the
+    * DISTINCT collapses repeat activity per (user, week) with map-side
+    * partials before the final O(cohorts × offsets) census.
+    */
+  /** The q86 body over any (user_id, ts) frame. */
+  def retentionCohorts(eventsDf: DataFrame): DataFrame = {
+      val weekIdx = floor(
+        datediff(col("ts").cast("date"), lit("1970-01-05").cast("date")) / 7)
+        .cast("long")
+      val wk = eventsDf
+        .select(col("user_id"), weekIdx.as("week_idx"))
+      val first = wk.groupBy("user_id").agg(min("week_idx").as("cohort_week"))
+      wk.join(first, Seq("user_id"))
+        .select(col("user_id"), col("cohort_week"),
+          (col("week_idx") - col("cohort_week")).as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+  }
+
+  val q86: Q = Q(
+    "q86_retention_cohorts",
+    (s, d) => retentionCohorts(Tables.spread(Tables.events(s, d), col("user_id"))),
+    Some("""WITH wk AS (
+            |  SELECT user_id,
+            |    date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS week_idx
+            |  FROM events),
+            |first AS (SELECT user_id, min(week_idx) AS cohort_week FROM wk GROUP BY 1),
+            |act AS (
+            |  SELECT DISTINCT w.user_id, f.cohort_week, w.week_idx - f.cohort_week AS week_offset
+            |  FROM wk w JOIN first f ON w.user_id = f.user_id)
+            |SELECT cohort_week, week_offset, count(*) AS n_active
+            |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** Q53 — histogram: fixed-width value binning + bucket counts, the
     * profiling primitive every ingestion pipeline runs. The bucket
     * function is plain arithmetic (floor of value/width) so both engines
@@ -1073,5 +1163,5 @@ object Relational {
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
-    q48, q49, q50, q52, q53, q54, q71, q75, q78, q82)
+    q48, q49, q50, q52, q53, q54, q71, q75, q78, q82, q85, q86)
 }
