@@ -1024,6 +1024,41 @@ object Relational {
             |SELECT cohort_week, week_offset, count(*) AS n_active
             |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Q87 — event-transition matrix (clickstream path analysis): counts
+    * and row-normalized probabilities of adjacent event-type
+    * transitions per user in time order — the first-order Markov model
+    * behind "what do users do after an error?" and the input to
+    * journey/path mining. One lag-window per user (single user-key
+    * shuffle, q78's exchange), then a K²-row count aggregate; the
+    * probability normalizer is a window over the K-row count table —
+    * the second window touches 25 rows, not the log. Deterministic
+    * (ts, event_id) ordering; p = n / Σ_row n is one integer-ratio
+    * division, exact cross-engine.
+    */
+  val q87: Q = Q(
+    "q87_event_transitions",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val t = Tables.spread(Tables.events(s, d), col("user_id"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val counts = t.groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("prev")), 4))
+        .orderBy("prev", "next")
+    },
+    Some("""WITH o AS (
+            |  SELECT user_id, event_type,
+            |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            |  FROM events)
+            |SELECT prev, event_type AS next, count(*) AS n,
+            |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY prev), 4) AS p
+            |FROM o WHERE prev IS NOT NULL
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   /** Q53 — histogram: fixed-width value binning + bucket counts, the
     * profiling primitive every ingestion pipeline runs. The bucket
     * function is plain arithmetic (floor of value/width) so both engines
@@ -1163,5 +1198,5 @@ object Relational {
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
-    q48, q49, q50, q52, q53, q54, q71, q75, q78, q82, q85, q86)
+    q48, q49, q50, q52, q53, q54, q71, q75, q78, q82, q85, q86, q87)
 }
