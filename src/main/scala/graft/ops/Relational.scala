@@ -998,10 +998,15 @@ object Relational {
       val weekIdx = floor(
         datediff(col("ts").cast("date"), lit("1970-01-05").cast("date")) / 7)
         .cast("long")
+      // First-seen week via a window min, not an aggregate+join-back:
+      // the join formulation scans and user-shuffles the log TWICE
+      // (once for the first-seen table, once for the probe side); the
+      // window computes cohort_week on the single user-key exchange the
+      // query already pays — log bytes cross exactly one shuffle.
       val wk = eventsDf
         .select(col("user_id"), weekIdx.as("week_idx"))
-      val first = wk.groupBy("user_id").agg(min("week_idx").as("cohort_week"))
-      wk.join(first, Seq("user_id"))
+      wk.withColumn("cohort_week",
+          min(col("week_idx")).over(Window.partitionBy("user_id")))
         .select(col("user_id"), col("cohort_week"),
           (col("week_idx") - col("cohort_week")).as("week_offset"))
         .distinct()

@@ -834,9 +834,15 @@ object Similarity {
         .select(col("label"), col("old_snap"), posexplode(col("embedding")))
         .select(col("label"), col("old_snap"), col("pos"),
           round(col("col").cast("double"), 6).as("c"))
+      // The centroid table feeds BOTH sides of the delta self-join;
+      // without the persist the corpus-wide posexplode/aggregate subtree
+      // is duplicated and the corpus is scanned and exploded twice. The
+      // persisted table is O(labels × dim × 2) rows — trivially cached
+      // at any corpus size.
       val cent = comp.groupBy("label", "old_snap", "pos")
         .agg((sum(col("c").cast("decimal(38,6)")).cast("double") /
           count(lit(1))).as("m"))
+        .persist()
       cent.as("a")
         .join(cent.as("b"),
           col("a.label") === col("b.label") && col("a.pos") === col("b.pos") &&

@@ -457,6 +457,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q86: cohort assignment is a window min — one log shuffle, no self-join") {
+    val p = planString("q86_retention_cohorts")
+    assert(p.split("\n").count(_.contains("Window [")) == 1, p)
+    assert(!p.contains("Join"),
+      s"first-seen join-back would scan and shuffle the log twice:\n$p")
+  }
+
+  test("q84: both delta-join sides read the persisted centroid table, not the corpus") {
+    val df = SparkEntry.queries("q84_embedding_drift")(spark, sfDir)
+    val scans = inMemoryScanCount(df.queryExecution.executedPlan)
+    assert(scans >= 2,
+      s"expected both self-join sides on the cached centroids, got $scans cache scans:\n" +
+        df.queryExecution.executedPlan)
+  }
+
+  test("q85/q87: single user-key pass — no self-join of the event log") {
+    Seq("q85_funnel", "q87_event_transitions").foreach { q =>
+      val p = planString(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q shuffles the log through a join:\n$p")
+    }
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}
