@@ -247,5 +247,78 @@ object Multimodal {
     },
     None)
 
-  val queries: Seq[Q] = Seq(q40)
+  private val assetDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def shmDir(suffix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite)
+      new java.io.File(shm, "graft-assets") else
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-assets")
+    new java.io.File(base, suffix).toString
+  }
+
+  /** Asset-store export fixture: the first 240 media assets written as
+    * individual REAL .png/.jpeg/.wav files by the EXECUTORS
+    * (foreachPartition — one object per asset to the shared store;
+    * /dev/shm locally, a DFS/object-store prefix on a cluster — the
+    * driver never holds the corpus). Built once per dataset generation
+    * (keyed by `Tables.datasetTag`, the Sources/Layout staleness rule).
+    */
+  private[ops] def assetDir(s: SparkSession, d: String): String =
+    assetDirs.computeIfAbsent(Tables.datasetTag(d), tag => {
+      val dir = shmDir(s"$tag/assets")
+      val marker = new java.io.File(dir, "_SUCCESS")
+      if (!marker.exists()) {
+        new java.io.File(dir).mkdirs()
+        val out = dir
+        mediaTable(s, d).filter(_.doc_id < 240).foreachPartition {
+          (it: Iterator[MediaRecord]) =>
+            it.foreach { r =>
+              val f = new java.io.File(out, s"${r.doc_id}.${r.format}")
+              val os = new java.io.FileOutputStream(f)
+              try os.write(r.media) finally os.close()
+            }
+        }
+        marker.createNewFile(): Unit
+      }
+      dir
+    })
+
+  /** Q88 — `binaryFile` source ingestion: the multimodal pipeline's real
+    * entry point. Assets land in an object store as loose media files,
+    * Spark's binaryFile format lists and reads them in parallel
+    * (path/length/content rows, hidden `_`/`.` files skipped), identity
+    * and format are recovered from the object key, and the SAME decode +
+    * feature kernels as q40 run downstream — per-format census over the
+    * store. BinarySourceSpec pins ingestion fidelity: this census is
+    * row-identical to the one computed from the in-memory media table
+    * the files were exported from (encode → store → list → read →
+    * decode is lossless end to end). Rows-only in the driver gate
+    * (DuckDB reads no media), law-pinned by the spec.
+    */
+  val q88: Q = Q(
+    "q88_binary_source",
+    (s, d) => {
+      import s.implicits._
+      val dir = assetDir(s, d)
+      val recs = s.read.format("binaryFile").load(dir)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (path, bytes) =>
+          val fname = path.substring(path.lastIndexOf('/') + 1)
+          val dot = fname.lastIndexOf('.')
+          MediaRecord(fname.substring(0, dot).toLong, fname.substring(dot + 1),
+            0, 0, bytes)
+        }
+      extractFeatures(recs).toDF()
+        .groupBy("format")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(col("mean_byte")), 2).as("avg_mean_byte"),
+          round(avg(col("byte_entropy")), 2).as("avg_entropy"))
+        .orderBy("format")
+    },
+    None)
+
+  val queries: Seq[Q] = Seq(q40, q88)
 }
