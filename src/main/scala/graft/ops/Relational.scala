@@ -1064,6 +1064,60 @@ object Relational {
             |FROM o WHERE prev IS NOT NULL
             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Q89 — temporal quantile drift: per event_type, compare the value
+    * distribution's p50/p90 between the early and late half of the time
+    * range — the numeric-data drift monitor (q84 watches embeddings,
+    * q82 watches single observations; q89 watches the DISTRIBUTION move
+    * over time, the signal that retriggers threshold retuning). The
+    * split point is the time-range midpoint from a 1-row bounds
+    * aggregate (integer-µs midpoint, broadcast back); both halves'
+    * exact percentiles come from ONE grouped aggregate over a single
+    * scan — `percentile(CASE half)` null-skipping, not two passes or a
+    * pivot join. Deltas subtract the already-4-dp-rounded quantiles so
+    * the comparison is exact cross-engine. At 100 TB: swap exact
+    * percentile for percentile_approx (q79's documented trade), same
+    * shape otherwise.
+    */
+  val q89: Q = Q(
+    "q89_quantile_drift",
+    (s, d) => {
+      val ev = Tables.spread(Tables.events(s, d), col("event_id"))
+      // floor-div the µs midpoint explicitly: Spark's `/` on longs is
+      // true division (double); the sum is < 2^53 so the floor is exact
+      // and matches DuckDB's integer `//`.
+      val bounds = ev.agg(
+        floor((min(unix_micros(col("ts"))) + max(unix_micros(col("ts")))) / lit(2L))
+          .cast("long").as("tmid"))
+      def q(late: Boolean, p: Double) = round(percentile(
+        when(if (late) col("late") else !col("late"), col("value")), lit(p)), 4)
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("late", unix_micros(col("ts")) > col("tmid"))
+        .groupBy("event_type")
+        .agg(
+          q(late = false, 0.5).as("p50_early"),
+          q(late = true, 0.5).as("p50_late"),
+          round(q(late = true, 0.5) - q(late = false, 0.5), 4).as("delta_p50"),
+          q(late = false, 0.9).as("p90_early"),
+          q(late = true, 0.9).as("p90_late"),
+          sum(when(col("late"), 0L).otherwise(1L)).as("n_early"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (
+            |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS tmid FROM events),
+            |h AS (
+            |  SELECT event_type, value, (epoch_us(ts) > b.tmid) AS late FROM events, b)
+            |SELECT event_type,
+            |  round(quantile_cont(CASE WHEN NOT late THEN value END, 0.5), 4) AS p50_early,
+            |  round(quantile_cont(CASE WHEN late THEN value END, 0.5), 4) AS p50_late,
+            |  round(round(quantile_cont(CASE WHEN late THEN value END, 0.5), 4)
+            |      - round(quantile_cont(CASE WHEN NOT late THEN value END, 0.5), 4), 4) AS delta_p50,
+            |  round(quantile_cont(CASE WHEN NOT late THEN value END, 0.9), 4) AS p90_early,
+            |  round(quantile_cont(CASE WHEN late THEN value END, 0.9), 4) AS p90_late,
+            |  CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_early,
+            |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            |FROM h GROUP BY 1 ORDER BY 1""".stripMargin))
+
   /** Q53 — histogram: fixed-width value binning + bucket counts, the
     * profiling primitive every ingestion pipeline runs. The bucket
     * function is plain arithmetic (floor of value/width) so both engines
@@ -1203,5 +1257,5 @@ object Relational {
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
-    q48, q49, q50, q52, q53, q54, q71, q75, q78, q82, q85, q86, q87)
+    q48, q49, q50, q52, q53, q54, q71, q75, q78, q82, q85, q86, q87, q89)
 }
