@@ -993,5 +993,65 @@ object Dedup {
             |  (2 * sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) <= count(*)) AS keep
             |FROM ch JOIN d USING (chunk) GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38, q39, q57, q59, q65, q80)
+  /** Q94 — sorted-neighborhood near-dup candidates: the third blocking
+    * discipline beside q22a's shingle-prefix filter and q22b's banded
+    * LSH. Documents sharing a 16-char normalized-prefix block are
+    * ordered by (n_chars, doc_id) within the block and each is compared
+    * ONLY to its immediate neighbor — the classic sorted-neighborhood
+    * method (w=2), which catches the truncation/append dup family
+    * (same opening, grown tail) at O(n) comparisons instead of
+    * O(block²). Verification is exact distinct-token Jaccard ≥ 0.5 —
+    * set sizes only, so the whole op is portably oracle-checkable (no
+    * hashing).
+    *
+    * Plan at scale: blocking key + token set are scan-stage
+    * expressions; the window shuffles once on the block key and sorts
+    * per block (blocks are prefix-sharded — no global sort); the
+    * neighbor compare is a `lead`, not a join. Skewed blocks (a viral
+    * boilerplate prefix) bound the per-task sort at the hottest
+    * block's size — the documented mitigation is lengthening the
+    * prefix, which re-shards hot blocks.
+    */
+  /** The q94 body over any (doc_id, text, n_chars) frame. */
+  def snmCandidates(docsDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docsDf.select(col("doc_id"), col("n_chars"),
+      substring(normText(col("text")), 1, 16).as("blk"),
+      array_distinct(tokens(col("text"))).as("tok"))
+    val w = Window.partitionBy("blk").orderBy(col("n_chars"), col("doc_id"))
+    base
+      .select(col("blk"), col("doc_id"), col("tok"),
+        lead(col("doc_id"), 1).over(w).as("b_id"),
+        lead(col("tok"), 1).over(w).as("b_tok"))
+      .filter(col("b_id").isNotNull)
+      .select(col("doc_id").as("a_id"), col("b_id"),
+        size(array_intersect(col("tok"), col("b_tok"))).as("inter"),
+        size(col("tok")).as("na"), size(col("b_tok")).as("nb"))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jac") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jac"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val q94: Q = Q(
+    "q94_snm_candidates",
+    (s, d) => snmCandidates(Tables.spread(Tables.documents(s, d), col("doc_id"))),
+    Some("""WITH base AS (
+            |  SELECT doc_id, n_chars,
+            |    substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 16) AS blk,
+            |    list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+            |  FROM documents),
+            |p AS (
+            |  SELECT doc_id, tok,
+            |    lead(doc_id) OVER w AS b_id, lead(tok) OVER w AS b_tok
+            |  FROM base WINDOW w AS (PARTITION BY blk ORDER BY n_chars, doc_id)),
+            |j AS (
+            |  SELECT doc_id AS a_id, b_id,
+            |    round(CAST(len(list_intersect(tok, b_tok)) AS DOUBLE) /
+            |      (len(tok) + len(b_tok) - len(list_intersect(tok, b_tok))), 4) AS jac
+            |  FROM p WHERE b_id IS NOT NULL)
+            |SELECT a_id, b_id, jac FROM j WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38, q39, q57, q59, q65, q80, q94)
 }

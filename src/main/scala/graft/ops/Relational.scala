@@ -1254,8 +1254,262 @@ object Relational {
             |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4) + 0 AS corr_qty_price
             |FROM m ORDER BY l_returnflag""".stripMargin))
 
+  /** Q90 — peak rolling 7-day activity per user: a time-RANGE window
+    * (count + exact decimal sum over [t−7d, t]) reduced to each user's
+    * maximum — the burst-detection / rate-limit-audit primitive (q12's
+    * ROWS frame counts a fixed number of neighbors; a RANGE frame over
+    * event time answers "how much in any trailing week?"). One shuffle
+    * on the user key; the frame is evaluated streamingly per partition
+    * (Spark's window range frames keep a sliding buffer bounded by the
+    * densest 7-day burst per user, not the user's history). Sums
+    * accumulate in DECIMAL(38,6) so the rolling values are exact and
+    * order-independent; the max is taken on the exact decimal and cast
+    * once at the end.
+    */
+  /** The q90 body over any (user_id, ts, value) frame. */
+  def rollingPeak(eventsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"))
+      .rangeBetween(-604800000000L, 0L) // 7 days in µs, inclusive
+    eventsDf
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+      .select(col("user_id"),
+        count(lit(1)).over(w).as("cnt"),
+        sum(col("value").cast(Dec)).over(w).as("vsum"))
+      .groupBy("user_id")
+      .agg(max(col("cnt")).as("peak_n"),
+        round(max(col("vsum")).cast("double"), 4).as("peak_value"))
+      .orderBy("user_id")
+  }
+
+  val q90: Q = Q(
+    "q90_rolling_peak",
+    (s, d) => rollingPeak(Tables.spread(Tables.events(s, d), col("user_id"))),
+    Some("""WITH r AS (
+            |  SELECT user_id,
+            |    count(*) OVER w AS cnt,
+            |    sum(CAST(value AS DECIMAL(38,6))) OVER w AS vsum
+            |  FROM events
+            |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+            |               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+            |SELECT user_id, max(cnt) AS peak_n,
+            |  round(CAST(max(vsum) AS DOUBLE), 4) AS peak_value
+            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q91 — per-type value trend: the OLS slope of `value` against event
+    * time, in value-per-day — the metric-drift detector that catches a
+    * gradual move q89's half-split quantiles smear out. Computed from
+    * five decimal-exact moments (q54's discipline: sums accumulate in
+    * DECIMAL — order-independent, so the slope is bit-identical
+    * cross-engine; the closed form is then evaluated in IEEE double in
+    * the same operation order both sides). Time enters as INTEGER
+    * seconds since the corpus minimum (a broadcast 1-row bounds
+    * aggregate, q89's shape) so x² sums stay inside DECIMAL(38,6) at
+    * any realistic scale. One map-side-combined aggregate over one
+    * scan; output is O(types).
+    */
+  /** The q91 body over any (event_type, ts, value) frame. */
+  def trendSlope(eventsDf: DataFrame): DataFrame = {
+    val ev = eventsDf
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"), col("value"))
+    val bounds = ev.agg(min(col("tus")).as("tmin"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("xs", expr("(tus - tmin) DIV 1000000"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("xs")).cast("double").as("sx"),
+        sum(col("value").cast(Dec)).cast("double").as("sy"),
+        sum(col("xs").cast("decimal(18,0)") * col("value").cast("decimal(18,6)"))
+          .cast("double").as("sxy"),
+        sum((col("xs") * col("xs")).cast(Dec)).cast("double").as("sxx"))
+      .select(col("event_type"), col("n").cast("long").as("n_events"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")) * lit(86400.0), 6)
+          .as("slope_per_day"))
+      .orderBy("event_type")
+  }
+
+  val q91: Q = Q(
+    "q91_trend_slope",
+    (s, d) => trendSlope(Tables.spread(Tables.events(s, d), col("event_id"))),
+    Some("""WITH b AS (SELECT min(epoch_us(ts)) AS tmin FROM events),
+            |e AS (SELECT event_type, (epoch_us(ts) - b.tmin) // 1000000 AS xs, value
+            |      FROM events, b),
+            |m AS (
+            |  SELECT event_type,
+            |    CAST(count(*) AS DOUBLE) AS n,
+            |    CAST(sum(xs) AS DOUBLE) AS sx,
+            |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+            |    CAST(sum(CAST(xs AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+            |    CAST(sum(CAST(xs * xs AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+            |  FROM e GROUP BY 1)
+            |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+            |  round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0, 6) AS slope_per_day
+            |FROM m ORDER BY 1""".stripMargin))
+
+  /** Q92 — tumbling-window dedup census: how many events survive
+    * keep-first-per-(user, type, hour) dedup — the batch twin of the
+    * streaming `dropDuplicates`-within-watermark stage (retry storms,
+    * heartbeat spam, double-fired trackers). The kept count per type is
+    * `count(DISTINCT (user, hour))` — NO window function at all: the
+    * naive row_number()=1 formulation shuffles and sorts every event,
+    * while the distinct-aggregate form map-side-combines to the
+    * (user, hour) key space first. Window id is integer floor-division
+    * of epoch-µs (identical cross-engine).
+    */
+  /** The q92 body over any (user_id, event_type, ts) frame. */
+  def windowDedupCensus(eventsDf: DataFrame): DataFrame =
+    eventsDf
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("wid", expr("tus DIV 3600000000"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id"), col("wid")).as("n_kept"))
+      .withColumn("keep_ratio",
+        round(col("n_kept").cast("double") / col("n_events"), 4))
+      .orderBy("event_type")
+
+  val q92: Q = Q(
+    "q92_window_dedup",
+    (s, d) => windowDedupCensus(Tables.spread(Tables.events(s, d), col("event_id"))),
+    Some("""WITH e AS (
+            |  SELECT event_type, user_id, epoch_us(ts) // 3600000000 AS wid
+            |  FROM events)
+            |SELECT event_type, count(*) AS n_events,
+            |  count(DISTINCT (user_id, wid)) AS n_kept,
+            |  round(CAST(count(DISTINCT (user_id, wid)) AS DOUBLE) / count(*), 4) AS keep_ratio
+            |FROM e GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q93 — order-insensitive table checksum: a per-group integrity
+    * fingerprint (additive + XOR over a per-row integer mix) for
+    * replication / migration verification — "did every row survive the
+    * copy?" without sorting or moving the table (the lakehouse
+    * anti-entropy check). The row mix is PURE INTEGER arithmetic over
+    * key, measure (exact cents via floor×100 — floor of a double is
+    * deterministic), code point and epoch seconds, so both engines
+    * compute bit-identical hashes; both aggregates are commutative →
+    * layout- and order-independent, map-side combined, O(groups)
+    * output. Magnitudes are bounded (row mix < 2^55, additive sum mod
+    * 1e9+7 over 10^12 rows < 2^63) so ANSI arithmetic never overflows.
+    */
+  /** The q93 body over any orders-shaped frame. */
+  def tableChecksum(ordersDf: DataFrame): DataFrame =
+    ordersDf
+      .select(col("o_orderstatus"),
+        (col("o_orderkey") * lit(2654435761L)
+          + col("o_custkey") * lit(40503L)
+          + floor(col("o_totalprice") * lit(100.0)).cast("long") * lit(97L)
+          + ascii(col("o_orderpriority")).cast("long") * lit(1315423911L)
+          // o_orderdate scans as TIMESTAMP_NTZ; the cast is value-
+          // preserving under the engine's pinned UTC session.
+          + expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000")
+            * lit(7L)).as("h"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h") % lit(1000000007L)).as("checksum_sum"),
+        expr("bit_xor(h)").as("checksum_xor"))
+      .orderBy("o_orderstatus")
+
+  val q93: Q = Q(
+    "q93_table_checksum",
+    (s, d) => tableChecksum(Tables.spread(Tables.orders(s, d), col("o_orderkey"))),
+    Some("""WITH h AS (
+            |  SELECT o_orderstatus,
+            |    o_orderkey * 2654435761 + o_custkey * 40503
+            |    + CAST(floor(o_totalprice * 100.0) AS BIGINT) * 97
+            |    + CAST(ascii(o_orderpriority) AS BIGINT) * 1315423911
+            |    + (epoch_us(o_orderdate) // 1000000) * 7 AS h
+            |  FROM orders)
+            |SELECT o_orderstatus, count(*) AS n_rows,
+            |  CAST(sum(h % 1000000007) AS BIGINT) AS checksum_sum,
+            |  CAST(bit_xor(h) AS BIGINT) AS checksum_xor
+            |FROM h GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q95 — last-touch attribution: each purchase is credited to the
+    * user's most recent PRIOR non-purchase event — the marketing-
+    * attribution staple and the canonical "most recent preceding fact"
+    * point-in-time join (same shape as as-of feature lookup, spelled as
+    * one window instead of a range self-join). The carrier is
+    * `last(..., ignoreNulls)` over ROWS UNBOUNDED PRECEDING..1
+    * PRECEDING — evaluated streamingly per user partition with O(1)
+    * state (the last non-null seen), one shuffle on the user key; the
+    * naive formulation is an inequality self-join that explodes
+    * per-user quadratically.
+    */
+  /** The q95 body over any (user_id, event_type, ts, event_id, value) frame. */
+  def lastTouch(eventsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    eventsDf
+      .withColumn("attr",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("attr"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), rsum(col("value")).as("revenue"))
+      .orderBy("channel")
+  }
+
+  val q95: Q = Q(
+    "q95_last_touch",
+    (s, d) => lastTouch(Tables.spread(Tables.events(s, d), col("user_id"))),
+    Some("""WITH a AS (
+            |  SELECT event_type, value,
+            |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+            |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+            |  FROM events)
+            |SELECT coalesce(attr, 'none') AS channel,
+            |  count(*) AS n_purchases,
+            |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue
+            |FROM a WHERE event_type = 'purchase'
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q96 — per-stratum equal-frequency deciles: ntile(10) within each
+    * order status over (price, key) — the monotone-binning step behind
+    * score calibration, price-band features and drift dashboards
+    * (q53's histogram bins by VALUE; q96 bins by RANK, so every bucket
+    * holds the same population). The window partitions by status, so
+    * each stratum sorts independently on its own shuffle key — the
+    * per-key-sort shape. At 100 TB strata are large: swap exact ntile
+    * for bucketing against approx-percentile cut points (q28b's sketch)
+    * — same output schema, documented trade. Deterministic tiebreak on
+    * the key; bucket stats use exact decimal sums.
+    */
+  /** The q96 body over any orders-shaped frame. */
+  def decileStats(ordersDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    ordersDf
+      .select(col("o_orderstatus"), col("o_totalprice"),
+        ntile(10).over(w).cast("long").as("decile"))
+      .groupBy("o_orderstatus", "decile")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 4).as("lo"),
+        round(max(col("o_totalprice")), 4).as("hi"),
+        ravg(col("o_totalprice")).as("avg_price"))
+      .orderBy("o_orderstatus", "decile")
+  }
+
+  val q96: Q = Q(
+    "q96_decile_stats",
+    (s, d) => decileStats(Tables.spread(Tables.orders(s, d), col("o_orderkey"))),
+    Some("""WITH t AS (
+            |  SELECT o_orderstatus, o_totalprice,
+            |    ntile(10) OVER (PARTITION BY o_orderstatus
+            |                    ORDER BY o_totalprice, o_orderkey) AS decile
+            |  FROM orders)
+            |SELECT o_orderstatus, decile, count(*) AS n,
+            |  round(min(o_totalprice), 4) AS lo,
+            |  round(max(o_totalprice), 4) AS hi,
+            |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+            |        / count(o_totalprice), 4) AS avg_price
+            |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
-    q48, q49, q50, q52, q53, q54, q71, q75, q78, q82, q85, q86, q87, q89)
+    q48, q49, q50, q52, q53, q54, q71, q75, q78, q82, q85, q86, q87, q89,
+    q90, q91, q92, q93, q95, q96)
 }

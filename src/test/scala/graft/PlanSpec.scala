@@ -480,6 +480,57 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q90/q95: one window over one user-key exchange, no self-join") {
+    Seq("q90_rolling_peak", "q95_last_touch").foreach { q =>
+      val p = planString(q)
+      assert(p.split("\n").count(_.contains("Window [")) == 1,
+        s"$q: expected exactly one Window node:\n$p")
+      assert(!p.contains("Join"), s"$q must not self-join the log:\n$p")
+    }
+  }
+
+  test("q91: moment aggregate map-side combines; bounds side broadcasts") {
+    val p = planString("q91_trend_slope")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row bounds aggregate must broadcast, not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q92: windowed-dedup census is window-function-free (distinct aggregate)") {
+    val p = planString("q92_window_dedup")
+    assert(!p.contains("Window ["),
+      s"census must use count(DISTINCT), not a row_number sort:\n$p")
+    assert(p.contains("partial_"), s"no map-side partials:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q93: checksum is scan → project → one aggregate exchange, no sort") {
+    val p = planString("q93_table_checksum")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), s"checksum aggregates must map-side combine:\n$p")
+    // order-insensitivity means no Sort below the aggregate (the final
+    // 3-row presentation sort is the only one allowed)
+    val sorts = p.split("\n").count(_.contains("Sort ["))
+    assert(sorts <= 1, s"checksum must not sort the table ($sorts sorts):\n$p")
+  }
+
+  test("q94: SNM neighbor compare is a per-block window, not a join") {
+    val p = planString("q94_snm_candidates")
+    assert(p.split("\n").count(_.contains("Window [")) == 1, p)
+    assert(!p.contains("Join"),
+      s"sorted-neighborhood must compare via lead(), not a self-join:\n$p")
+  }
+
+  test("q96: decile window partitions by stratum (no single-partition global sort)") {
+    val p = planString("q96_decile_stats")
+    val winLines = p.split("\n").filter(_.contains("Window ["))
+    assert(winLines.length == 1, p)
+    // partition spec present ⇒ not a global (empty-partition) window
+    assert(winLines.head.contains("o_orderstatus"),
+      s"ntile window must partition by the stratum key:\n${winLines.head}")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+
+/** Laws for the round-8 event-analytics additions on crafted streams:
+  * q90's trailing-7-day RANGE frame (inclusive boundary), q92's
+  * tumbling-hour dedup census, q95's last-touch attribution carry, and
+  * q91's slope recovery on exactly-linear data.
+  */
+class EventOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int = 0, m: Int = 0) =
+    Timestamp.valueOf(f"2024-03-$day%02d $h%02d:$m%02d:00")
+
+  test("q90: events 7 days apart share a window (inclusive); 8 days apart do not") {
+    val rows = Seq(
+      // user 1: three events inside one week → peak 3
+      (1L, ts(1), 1.0), (1L, ts(2), 2.0), (1L, ts(3), 4.0),
+      // user 2: exactly 7*86400s apart — RANGE is inclusive → peak 2
+      (2L, ts(1), 1.0), (2L, ts(8), 1.0),
+      // user 3: 8 days apart → never together
+      (3L, ts(1), 5.0), (3L, ts(9), 7.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Relational.rollingPeak(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((3L, 7.0)))
+    assert(out(2L)._1 == 2L, "7-day boundary must be inclusive")
+    assert(out(3L) == ((1L, 7.0)), "8-day gap: windows never merge; peak value is the larger singleton")
+  }
+
+  test("q92: same (user, type, hour) collapses; an hour boundary splits") {
+    val rows = Seq(
+      (1L, "click", ts(1, 10, 5)), (1L, "click", ts(1, 10, 50)), // same hour → 1 kept
+      (1L, "click", ts(1, 11, 1)),                               // next hour → kept
+      (2L, "click", ts(1, 10, 5))                                // other user → kept
+    ).toDF("user_id", "event_type", "ts")
+    val r = Relational.windowDedupCensus(rows).collect().head
+    assert(r.getAs[Long]("n_events") == 4 && r.getAs[Long]("n_kept") == 3)
+  }
+
+  test("q95: purchases credit the most recent prior non-purchase; carry crosses purchases") {
+    val rows = Seq(
+      (1L, "view", ts(1), 10L, 0.0),
+      (1L, "purchase", ts(2), 11L, 5.0),  // → view
+      (1L, "purchase", ts(3), 12L, 7.0),  // still → view (carry crosses the purchase)
+      (2L, "purchase", ts(1), 20L, 3.0),  // no prior → none
+      (2L, "click", ts(2), 21L, 0.0),
+      (2L, "purchase", ts(3), 22L, 9.0)   // → click
+    ).toDF("user_id", "event_type", "ts", "event_id", "value")
+    val out = Relational.lastTouch(rows).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("view") == ((2L, 12.0)), "both purchases attribute to the pre-purchase view")
+    assert(out("none") == ((1L, 3.0)))
+    assert(out("click") == ((1L, 9.0)))
+  }
+
+  test("q91: exactly-linear values recover the slope; constants give zero") {
+    // value = 2.5 per day, sampled hourly over 3 days
+    val lin = (0 until 72).map { h =>
+      ("lin", Timestamp.valueOf(f"2024-03-01 ${0}%02d:00:00").toInstant
+        .plusSeconds(h * 3600L), 2.5 * h / 24.0)
+    }.map { case (t, i, v) => (t, Timestamp.from(i), v) }
+    val const = (0 until 10).map(h => ("const", ts(1, h), 42.0))
+    val out = Relational.trendSlope((lin ++ const).toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out("lin") - 2.5) < 1e-6, s"slope ${out("lin")} != 2.5/day")
+    assert(out("const") == 0.0)
+  }
+}
