@@ -1507,9 +1507,224 @@ object Relational {
             |        / count(o_totalprice), 4) AS avg_price
             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Q97 — full star-schema join (the TPC-H Q5 shape): revenue by
+    * nation for one region and one order year, through
+    * lineitem⋈orders⋈customer⋈supplier⋈nation⋈region with the classic
+    * local-supplier condition (customer and supplier share a nation).
+    * The engine-stress query: six relations, two fact-fact shuffles,
+    * and a dimension chain that must BROADCAST (nation, region — and
+    * supplier, small enough for AQE to pick up unhinted), with the
+    * date and region filters pushed into the scans so the fact volume
+    * is cut before the first exchange. Q03/q04 exercise single joins;
+    * q97 is the composition Catalyst has to order well.
+    */
+  val q97: Q = Q(
+    "q97_star_join",
+    (s, d) => {
+      val li = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(rsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n.n_name,
+            |  round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE), 4) AS revenue,
+            |  count(*) AS n_items
+            |FROM lineitem l
+            |JOIN orders o ON l.l_orderkey = o.o_orderkey
+            |JOIN customer c ON o.o_custkey = c.c_custkey
+            |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+            |JOIN nation n ON s.s_nationkey = n.n_nationkey
+            |JOIN region r ON n.n_regionkey = r.r_regionkey
+            |WHERE r.r_name = 'ASIA'
+            |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin))
+
+  /** Q99 — association rules over per-user-hour event baskets: pairwise
+    * co-occurrence support, directional confidence and lift — classic
+    * market-basket mining, reshaped for behavioral telemetry ("errors
+    * co-occur with purchases 2.3× above independence"). Baskets =
+    * DISTINCT (user, hour, type); the pair join keys on the BASKET, so
+    * fanout per basket is bounded by the type alphabet (≤ K²), never
+    * the corpus — the classic a-priori candidate step without the
+    * exponential itemset lattice (pairs only). Type totals (K rows)
+    * and the basket count (1 row) broadcast back; every ratio is
+    * integer-count division, exact cross-engine.
+    */
+  /** The q99 body over any (user_id, event_type, ts) frame. */
+  def assocRules(eventsDf: DataFrame): DataFrame = {
+    val items = eventsDf
+      .select(col("user_id"), expr("unix_micros(ts) DIV 3600000000").as("wid"),
+        col("event_type"))
+      .distinct()
+    val totals = items.select(col("user_id"), col("wid")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val tc = items.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val pairs = items.as("x").join(items.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.wid") === col("y.wid") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(tc.select(col("event_type").as("a"), col("n_t").as("n_a"))), Seq("a"))
+      .join(broadcast(tc.select(col("event_type").as("b"), col("n_t").as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_a"), 4).as("conf_a_to_b"),
+        round(col("n_ab").cast("double") * col("n_baskets") /
+          (col("n_a") * col("n_b")), 4).as("lift"))
+      .orderBy("a", "b")
+  }
+
+  val q99: Q = Q(
+    "q99_assoc_rules",
+    (s, d) => assocRules(Tables.spread(Tables.events(s, d), col("event_id"))),
+    Some("""WITH i AS (
+            |  SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS wid, event_type
+            |  FROM events),
+            |tot AS (SELECT count(*) AS n_baskets
+            |        FROM (SELECT DISTINCT user_id, wid FROM i)),
+            |tc AS (SELECT event_type, count(*) AS n_t FROM i GROUP BY 1),
+            |p AS (
+            |  SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_ab
+            |  FROM i x JOIN i y ON x.user_id = y.user_id AND x.wid = y.wid
+            |                   AND x.event_type < y.event_type
+            |  GROUP BY 1, 2)
+            |SELECT p.a, p.b, p.n_ab,
+            |  round(CAST(p.n_ab AS DOUBLE) / ta.n_t, 4) AS conf_a_to_b,
+            |  round(CAST(p.n_ab AS DOUBLE) * tot.n_baskets / (ta.n_t * tb.n_t), 4) AS lift
+            |FROM p JOIN tc ta ON p.a = ta.event_type
+            |       JOIN tc tb ON p.b = tb.event_type, tot
+            |ORDER BY 1, 2""".stripMargin))
+
+  /** Q100 — referential-integrity audit: orphan counts for every
+    * foreign-key edge of the star schema (lineitem→orders/part/supplier,
+    * orders→customer, customer→nation) — the post-ingest /
+    * post-migration data-quality gate (q93 checks a table against
+    * itself over time; q100 checks tables against each other). Each
+    * edge is one LEFT ANTI join reduced to a count: the anti join
+    * shuffles on the key (or broadcasts when the parent is a dim), no
+    * row wider than the key ever moves, and a clean corpus costs one
+    * scan per edge. Zeros are the expected steady state — the spec
+    * proves the audit bites on a synthesized orphan.
+    */
+  /** One FK edge as a library entry: orphan count of `child.key` not
+    * present in `parent.pkey`.
+    */
+  def orphanCount(child: DataFrame, key: String, parent: DataFrame,
+      pkey: String, name: String): DataFrame =
+    child.select(col(key).as("k"))
+      .join(parent.select(col(pkey).as("k")).distinct(), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit(name).as("fk"), col("n_orphans"))
+
+  val q100: Q = Q(
+    "q100_fk_audit",
+    (s, d) => {
+      val li = Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+      orphanCount(li, "l_orderkey", Tables.orders(s, d), "o_orderkey",
+          "lineitem.l_orderkey->orders")
+        .unionAll(orphanCount(li, "l_partkey", Tables.part(s, d), "p_partkey",
+          "lineitem.l_partkey->part"))
+        .unionAll(orphanCount(li, "l_suppkey", Tables.supplier(s, d), "s_suppkey",
+          "lineitem.l_suppkey->supplier"))
+        .unionAll(orphanCount(Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", "orders.o_custkey->customer"))
+        .unionAll(orphanCount(Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey", "customer.c_nationkey->nation"))
+        .orderBy("fk")
+    },
+    Some("""SELECT 'lineitem.l_orderkey->orders' AS fk,
+            |  CAST((SELECT count(*) FROM lineitem l
+            |        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+            |UNION ALL
+            |SELECT 'lineitem.l_partkey->part',
+            |  CAST((SELECT count(*) FROM lineitem l
+            |        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+            |UNION ALL
+            |SELECT 'lineitem.l_suppkey->supplier',
+            |  CAST((SELECT count(*) FROM lineitem l
+            |        WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+            |UNION ALL
+            |SELECT 'orders.o_custkey->customer',
+            |  CAST((SELECT count(*) FROM orders o
+            |        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+            |UNION ALL
+            |SELECT 'customer.c_nationkey->nation',
+            |  CAST((SELECT count(*) FROM customer c
+            |        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+            |ORDER BY fk""".stripMargin))
+
+  /** Q102 — RFM customer segmentation: per customer the classic
+    * recency / frequency / monetary triple from the order history,
+    * scored into SEGMENT-RELATIVE quintiles (ntile(5) partitioned by
+    * market segment — scores answer "is this customer strong FOR ITS
+    * SEGMENT", and the window stays per-key-sorted, never a global
+    * single-partition sort; q96's discipline applied three times over
+    * ONE segment exchange), composed into the familiar r·100+f·10+m
+    * code and censused per (segment, code). Monetary ranks on the
+    * exact DECIMAL sum (order-independent), recency on integer epoch
+    * µs, and all ties break on the customer key — fully deterministic
+    * cross-engine. One orders aggregate, one customer join (dim side —
+    * AQE broadcasts), one window exchange, one census aggregate.
+    */
+  /** The q102 body over orders- and customer-shaped frames. */
+  def rfmSegments(ordersDf: DataFrame, customerDf: DataFrame): DataFrame = {
+    val per = ordersDf.groupBy("o_custkey")
+      .agg(max(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))")).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(Dec)).as("mon"))
+    val j = per.join(customerDf.select(col("c_custkey"), col("c_mktsegment")),
+      col("o_custkey") === col("c_custkey"))
+    def quint(m: Column) = ntile(5).over(
+      Window.partitionBy("c_mktsegment").orderBy(m, col("o_custkey"))).cast("long")
+    j.select(col("c_mktsegment"),
+        quint(col("last_us")).as("r"), quint(col("freq")).as("f"),
+        quint(col("mon")).as("m"))
+      .groupBy(col("c_mktsegment"),
+        (col("r") * 100L + col("f") * 10L + col("m")).as("rfm_code"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment", "rfm_code")
+  }
+
+  val q102: Q = Q(
+    "q102_rfm_segments",
+    (s, d) => rfmSegments(Tables.spread(Tables.orders(s, d), col("o_orderkey")),
+      Tables.customer(s, d)),
+    Some("""WITH per AS (
+            |  SELECT o_custkey, max(epoch_us(o_orderdate)) AS last_us,
+            |    count(*) AS freq, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS mon
+            |  FROM orders GROUP BY 1),
+            |j AS (
+            |  SELECT c.c_mktsegment, p.o_custkey, p.last_us, p.freq, p.mon
+            |  FROM per p JOIN customer c ON p.o_custkey = c.c_custkey),
+            |t AS (
+            |  SELECT c_mktsegment,
+            |    ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY last_us, o_custkey) AS r,
+            |    ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY freq, o_custkey) AS f,
+            |    ntile(5) OVER (PARTITION BY c_mktsegment ORDER BY mon, o_custkey) AS m
+            |  FROM j)
+            |SELECT c_mktsegment, r * 100 + f * 10 + m AS rfm_code,
+            |  count(*) AS n_customers
+            |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
     q48, q49, q50, q52, q53, q54, q71, q75, q78, q82, q85, q86, q87, q89,
-    q90, q91, q92, q93, q95, q96)
+    q90, q91, q92, q93, q95, q96, q97, q99, q100, q102)
 }

@@ -301,5 +301,36 @@ object Sampling {
             |  FROM documents)
             |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q34a, q34b, q67, q68, q83)
+  /** Q101 — deterministic weighted sample (priority sampling, Duffield/
+    * Lund/Thorup): k=50 documents drawn with inclusion probability
+    * rising with weight (n_chars), via priority = pseudo-uniform / w
+    * taken k-smallest. The pseudo-uniform is q67's ANSI-portable MINSTD
+    * spreader ((doc_id·48271) mod 1e5, +1 to stay positive), scaled to
+    * integer fixed-point before the divide — ALL integer arithmetic, so
+    * the drawn set is bit-identical across engines, runs, layouts and
+    * cluster sizes (the weighted counterpart to q34a's uniform hash
+    * sample and q83's fixed-k exemplars; a seeded-RNG reservoir can't
+    * survive a re-run incrementally). Top-k by (priority, doc_id) plans
+    * as TakeOrderedAndProject — per-partition 50-row heaps, no global
+    * sort.
+    */
+  val q101: Q = Q(
+    "q101_weighted_sample",
+    (s, d) => {
+      Tables.spread(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("((pmod(doc_id * 48271, 100000) + 1) * 1000000) DIV n_chars")
+            .as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(50)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source, n_chars, priority FROM (
+            |  SELECT doc_id, source, n_chars,
+            |    (((doc_id * 48271) % 100000 + 1) * 1000000) // n_chars AS priority
+            |  FROM documents
+            |  ORDER BY priority, doc_id LIMIT 50)
+            |ORDER BY doc_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q34a, q34b, q67, q68, q83, q101)
 }

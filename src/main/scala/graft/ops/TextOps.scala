@@ -890,6 +890,88 @@ object TextOps {
             |FROM i JOIN sz x ON i.s1 = x.source JOIN sz y ON i.s2 = y.source
             |ORDER BY s1, s2""".stripMargin))
 
+  /** Q98 — curation filter waterfall: the survival census every corpus
+    * pipeline dashboard leads with — how many documents remain after
+    * each cumulative curation stage (length ≥ 100 chars → lang=en →
+    * hi stopword-quality band → low repetition). Stage predicates are
+    * the engine's own curation signals (q41's length/lang gates, q68's
+    * integer stopword band, q45's distinct-token ratio spelled as an
+    * integer cross-multiplication) so the waterfall is exactly
+    * oracle-checkable. ONE corpus scan: all four cumulative flags are
+    * scan-stage expressions feeding a single map-side-combined
+    * aggregate; the 5-row unpivot is q79's map+explode idiom. At
+    * 100 TB this is the free byproduct of the curation pass itself —
+    * the flags are the filters.
+    */
+  /** The q98 body over any (text, lang, n_chars) frame. */
+  def filterWaterfall(docsDf: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val flags = docsDf
+      .select(col("n_chars"), col("lang"),
+        graft.functions.GraftFunctions.countInSet(t, typedLit(enStopwords))
+          .cast("long").as("sc"),
+        size(t).cast("long").as("nt"),
+        size(array_distinct(t)).cast("long").as("ndis"))
+      .select(
+        (col("n_chars") >= 100).as("s1"),
+        (col("n_chars") >= 100 && col("lang") === "en").as("s2"),
+        (col("n_chars") >= 100 && col("lang") === "en" &&
+          col("sc") * 100L >= col("nt") * 15L).as("s3"),
+        (col("n_chars") >= 100 && col("lang") === "en" &&
+          col("sc") * 100L >= col("nt") * 15L &&
+          col("ndis") * 2L >= col("nt")).as("s4"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    flags
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(col("s1")).as("c1"), cnt(col("s2")).as("c2"),
+        cnt(col("s3")).as("c3"), cnt(col("s4")).as("c4"))
+      .select(col("n_docs"), explode(map(
+        lit("00_total"), col("n_docs"),
+        lit("10_length"), col("c1"),
+        lit("20_lang_en"), col("c2"),
+        lit("30_quality"), col("c3"),
+        lit("40_repetition"), col("c4"))).as(Seq("stage", "n_surviving")))
+      .select(col("stage"), col("n_surviving"),
+        round(col("n_surviving").cast("double") / col("n_docs"), 4).as("frac"))
+      .orderBy("stage")
+  }
+
+  val q98: Q = Q(
+    "q98_filter_waterfall",
+    (s, d) => filterWaterfall(docs(s, d)),
+    Some("""WITH t AS (
+            |  SELECT n_chars, lang,
+            |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS tk
+            |  FROM documents),
+            |f AS (
+            |  SELECT
+            |    (n_chars >= 100) AS s1,
+            |    (n_chars >= 100 AND lang = 'en') AS s2,
+            |    (n_chars >= 100 AND lang = 'en'
+            |     AND CAST(len(list_filter(tk, x -> list_contains(['the','a','of','to','and','in','is','for','on','with'], x))) AS BIGINT) * 100
+            |         >= CAST(len(tk) AS BIGINT) * 15) AS s3,
+            |    (n_chars >= 100 AND lang = 'en'
+            |     AND CAST(len(list_filter(tk, x -> list_contains(['the','a','of','to','and','in','is','for','on','with'], x))) AS BIGINT) * 100
+            |         >= CAST(len(tk) AS BIGINT) * 15
+            |     AND CAST(len(list_distinct(tk)) AS BIGINT) * 2 >= CAST(len(tk) AS BIGINT)) AS s4
+            |  FROM t),
+            |a AS (
+            |  SELECT count(*) AS n,
+            |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+            |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+            |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+            |    CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+            |  FROM f)
+            |SELECT stage, n_surviving, round(CAST(n_surviving AS DOUBLE) / n, 4) AS frac
+            |FROM (
+            |  SELECT '00_total' AS stage, n AS n_surviving, n FROM a
+            |  UNION ALL SELECT '10_length', c1, n FROM a
+            |  UNION ALL SELECT '20_lang_en', c2, n FROM a
+            |  UNION ALL SELECT '30_quality', c3, n FROM a
+            |  UNION ALL SELECT '40_repetition', c4, n FROM a)
+            |ORDER BY stage""".stripMargin))
+
   val queries: Seq[Q] =
-    Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61, q63, q64, q66, q72, q76, q79, q81)
+    Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61, q63, q64, q66, q72,
+      q76, q79, q81, q98)
 }

@@ -531,6 +531,52 @@ class PlanSpec extends SparkTestBase {
       s"ntile window must partition by the stratum key:\n${winLines.head}")
   }
 
+  test("q97: star join broadcasts the dimension chain and pushes both filters") {
+    val p = planString("q97_star_join")
+    val bhj = p.split("\n").count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2, s"nation/region (and ideally supplier) must broadcast, got $bhj BHJ:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)")
+      || p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date filter not pushed to the orders scan:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"), s"region filter not pushed:\n$p")
+  }
+
+  test("q98: waterfall is one scan — no join, map-side-combined aggregate") {
+    val p = planString("q98_filter_waterfall")
+    assert(!p.contains("Join"), s"waterfall must be a single-pass census:\n$p")
+    assert(p.contains("partial_"), s"no map-side partials:\n$p")
+  }
+
+  test("q99: pair join keys on the basket; totals/type counts broadcast") {
+    val p = planString("q99_assoc_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row totals frame joins via broadcast, never a shuffle
+    assert(p.contains("BroadcastExchange"), s"K-row sides must broadcast:\n$p")
+  }
+
+  test("q100: every FK edge audits via a left-anti join (no inner/outer rewrite)") {
+    val p = planString("q100_fk_audit")
+    val anti = p.split("\n").count(_.contains("LeftAnti"))
+    assert(anti == 5, s"expected 5 anti joins (one per FK edge), got $anti:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q101: weighted top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = planString("q101_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q102: all three quintile windows partition by the segment key") {
+    val p = planString("q102_rfm_segments")
+    val wins = p.split("\n").filter(_.contains("Window ["))
+    assert(wins.length == 3, s"expected 3 Window nodes (r/f/m):\n$p")
+    wins.foreach(w => assert(w.contains("c_mktsegment"),
+      s"quintile window must partition by segment (no global ntile):\n$w"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}
