@@ -1722,9 +1722,111 @@ object Relational {
             |  count(*) AS n_customers
             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Q103 — time-weighted average (TWAP): per event_type the mean of
+    * `value` weighted by how long each observation was current (the
+    * interval to the next same-type event) — the correct average for
+    * irregularly-sampled telemetry (gauges, prices, queue depths),
+    * where the plain mean (q02) over-weights bursty periods. One
+    * lead-window on the type key (q78's interval idiom), then one
+    * aggregate: weights are integer µs, the value×duration products
+    * accumulate in DECIMAL — order-independent, exact cross-engine;
+    * the final divide is one IEEE double op. The last observation per
+    * type has no successor and is excluded (open interval), spec-pinned.
+    */
+  /** The q103 body over any (event_type, ts, event_id, value) frame. */
+  def twap(eventsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("tus"), col("event_id"))
+    eventsDf
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("value"))
+      .withColumn("dur", lead(col("tus"), 1).over(w) - col("tus"))
+      .filter(col("dur").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur")).as("span_us"),
+        // (25,6)×(13,0) → DECIMAL(38,6): wide enough for month-long
+        // gaps (dur ≤ 13 digits µs) without overflowing DuckDB's
+        // fixed-width product (its (18,6)×(18,0) multiply stays in
+        // int64 and faulted on sparse low-SF corpora).
+        round(sum(col("value").cast("decimal(25,6)") *
+            col("dur").cast("decimal(13,0)")).cast("double") /
+          sum(col("dur")).cast("double"), 4).as("twap"))
+      .orderBy("event_type")
+  }
+
+  val q103: Q = Q(
+    "q103_twap",
+    (s, d) => twap(Tables.spread(Tables.events(s, d), col("event_id"))),
+    Some("""WITH iv AS (
+            |  SELECT event_type, value,
+            |    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dur
+            |  FROM events
+            |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id))
+            |SELECT event_type, count(*) AS n_intervals,
+            |  CAST(sum(dur) AS BIGINT) AS span_us,
+            |  round(CAST(sum(CAST(value AS DECIMAL(25,6)) * CAST(dur AS DECIMAL(13,0))) AS DOUBLE)
+            |        / CAST(sum(dur) AS DOUBLE), 4) AS twap
+            |FROM iv WHERE dur IS NOT NULL
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Q104 — revenue concentration (the Pareto/ABC analysis): within
+    * each market segment, the number of top customers needed to reach
+    * 50% and 80% of segment revenue — "do 20% of customers drive 80%
+    * of revenue?", the whale-detection census. Customers rank by exact
+    * DECIMAL spend (descending, key tiebreak) inside a segment
+    * partition; the running share is a cumulative DECIMAL sum compared
+    * by integer-like cross-multiplication (cum·100 ≥ total·50 — no
+    * float threshold anywhere until the final reporting division), so
+    * the crossover ranks are bit-identical cross-engine. One orders
+    * aggregate, one dim join, one segment-partitioned window, one
+    * census aggregate — q96's per-stratum window discipline.
+    */
+  /** The q104 body over orders- and customer-shaped frames. */
+  def revenueConcentration(ordersDf: DataFrame, customerDf: DataFrame): DataFrame = {
+    val per = ordersDf.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(Dec)).as("spend"))
+      .join(customerDf.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("spend").desc, col("o_custkey"))
+    val ranked = per.select(col("c_mktsegment"), col("spend"),
+      row_number().over(w).cast("long").as("rnk"),
+      sum(col("spend")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+      sum(col("spend")).over(Window.partitionBy("c_mktsegment")).as("total"))
+    ranked.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        min(when(col("cum") * 100 >= col("total") * 50, col("rnk"))).as("rank_p50"),
+        min(when(col("cum") * 100 >= col("total") * 80, col("rnk"))).as("rank_p80"),
+        round(sum(col("spend")).cast("double"), 4).as("segment_revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q104: Q = Q(
+    "q104_revenue_concentration",
+    (s, d) => revenueConcentration(
+      Tables.spread(Tables.orders(s, d), col("o_orderkey")), Tables.customer(s, d)),
+    Some("""WITH per AS (
+            |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,6))) AS spend
+            |  FROM orders GROUP BY 1),
+            |j AS (
+            |  SELECT c.c_mktsegment, p.o_custkey, p.spend
+            |  FROM per p JOIN customer c ON p.o_custkey = c.c_custkey),
+            |r AS (
+            |  SELECT c_mktsegment, spend,
+            |    row_number() OVER w AS rnk,
+            |    sum(spend) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            |    sum(spend) OVER (PARTITION BY c_mktsegment) AS total
+            |  FROM j
+            |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, o_custkey))
+            |SELECT c_mktsegment, count(*) AS n_customers,
+            |  min(CASE WHEN cum * 100 >= total * 50 THEN rnk END) AS rank_p50,
+            |  min(CASE WHEN cum * 100 >= total * 80 THEN rnk END) AS rank_p80,
+            |  round(CAST(sum(spend) AS DOUBLE), 4) AS segment_revenue
+            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
     q48, q49, q50, q52, q53, q54, q71, q75, q78, q82, q85, q86, q87, q89,
-    q90, q91, q92, q93, q95, q96, q97, q99, q100, q102)
+    q90, q91, q92, q93, q95, q96, q97, q99, q100, q102, q103, q104)
 }

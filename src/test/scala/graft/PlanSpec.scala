@@ -577,6 +577,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q103: TWAP is one lead-window on the type key, no self-join") {
+    val p = planString("q103_twap")
+    assert(p.split("\n").count(_.contains("Window [")) == 1, p)
+    assert(!p.contains("Join"), s"interval weighting must use lead(), not a self-join:\n$p")
+  }
+
+  test("q104: concentration windows all partition by segment; dim join broadcasts") {
+    val p = planString("q104_revenue_concentration")
+    val wins = p.split("\n").filter(_.contains("Window ["))
+    assert(wins.nonEmpty && wins.forall(_.contains("c_mktsegment")),
+      s"cumulative windows must be segment-partitioned, never global:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}

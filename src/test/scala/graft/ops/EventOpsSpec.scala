@@ -57,6 +57,35 @@ class EventOpsSpec extends SparkTestBase {
     assert(out("click") == ((1L, 9.0)))
   }
 
+  test("q103: TWAP weights by holding time and drops the open last interval") {
+    val rows = Seq(
+      // value 10 held 1h, then 20 held 3h, then a final observation
+      // whose interval is open (no successor) and must not count
+      (1L, "gauge", ts(1, 0), 10.0),
+      (2L, "gauge", ts(1, 1), 20.0),
+      (3L, "gauge", ts(1, 4), 99.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+    val r = Relational.twap(rows).collect().head
+    assert(r.getAs[Long]("n_intervals") == 2)
+    assert(r.getAs[Long]("span_us") == 4L * 3600L * 1000000L)
+    assert(r.getAs[Double]("twap") == (10.0 * 1 + 20.0 * 3) / 4.0,
+      "TWAP must weight by interval length, not observation count")
+  }
+
+  test("q104: concentration ranks cross at the exact cumulative-share boundary") {
+    val ords = Seq(
+      (1L, 1L, 50.0), (2L, 2L, 30.0), (3L, 3L, 10.0), (4L, 4L, 10.0)
+    ).map { case (o, c, p) => (o, c, "O", p, "2024-01-01 00:00:00", "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val cust = (1L to 4L).map(c => (c, "SEG")).toDF("c_custkey", "c_mktsegment")
+    val r = Relational.revenueConcentration(ords, cust).collect().head
+    assert(r.getAs[Long]("n_customers") == 4)
+    assert(r.getAs[Long]("rank_p50") == 1, "50 of 100 is reached by the top customer alone (inclusive ≥)")
+    assert(r.getAs[Long]("rank_p80") == 2, "80 of 100 needs the top two")
+    assert(r.getAs[Double]("segment_revenue") == 100.0)
+  }
+
   test("q91: exactly-linear values recover the slope; constants give zero") {
     // value = 2.5 per day, sampled hourly over 3 days
     val lin = (0 until 72).map { h =>
