@@ -1824,9 +1824,101 @@ object Relational {
             |  round(CAST(sum(spend) AS DOUBLE), 4) AS segment_revenue
             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Q105 — join-key skew profile: the pre-join diagnostic that decides
+    * whether a key needs q37's salting — per-key frequency census of
+    * the fact join key reduced to the numbers an engineer (or an
+    * auto-tuner) reads: key count, hottest key and its share, exact
+    * p50/p99 of the per-key frequency, and the max/mean skew ratio.
+    * Two map-side-combined aggregates (key census → 1-row profile), no
+    * join, no window; the hottest key comes from a struct-max (q32's
+    * argmax idiom — deterministic tiebreak on the key). At 100 TB the
+    * exact percentiles swap for percentile_approx (q79's trade) and
+    * the census is the same shuffle the join itself would pay.
+    */
+  /** The q105 body over any single-key frame (pass the key pre-aliased `k`). */
+  def keySkewProfile(keyed: DataFrame): DataFrame = {
+    val kc = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+    kc.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(struct(col("cnt"), col("k"))).as("top"),
+        round(percentile(col("cnt"), lit(0.5)), 4).as("p50_cnt"),
+        round(percentile(col("cnt"), lit(0.99)), 4).as("p99_cnt"))
+      .select(col("n_rows"), col("n_keys"),
+        col("top.k").as("hot_key"), col("top.cnt").as("hot_cnt"),
+        round(col("top.cnt").cast("double") * col("n_keys") / col("n_rows"), 4)
+          .as("skew_ratio"),
+        round(col("top.cnt").cast("double") / col("n_rows"), 6).as("hot_share"),
+        col("p50_cnt"), col("p99_cnt"))
+  }
+
+  val q105: Q = Q(
+    "q105_key_skew_profile",
+    (s, d) => keySkewProfile(
+      Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+        .select(col("l_orderkey").as("k"))),
+    Some("""WITH kc AS (
+            |  SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+            |p AS (
+            |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+            |    max(struct_pack(cnt := cnt, k := k)) AS top,
+            |    round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+            |    round(quantile_cont(cnt, 0.99), 4) AS p99_cnt
+            |  FROM kc)
+            |SELECT n_rows, n_keys, top.k AS hot_key, top.cnt AS hot_cnt,
+            |  round(CAST(top.cnt AS DOUBLE) * n_keys / n_rows, 4) AS skew_ratio,
+            |  round(CAST(top.cnt AS DOUBLE) / n_rows, 6) AS hot_share,
+            |  p50_cnt, p99_cnt
+            |FROM p""".stripMargin))
+
+  /** Q106 — column profile census (the ANALYZE TABLE shape): per column
+    * of the events table, exact distinct count and null count in long
+    * format — the statistics block a cost-based optimizer, a data
+    * catalog, or a completeness monitor reads. ONE pass: a single
+    * aggregate carries every metric (Spark plans the multi-distinct via
+    * Expand — one scan, K× expanded rows, still map-side combined),
+    * unpivoted with q79's array-of-structs explode. At 100 TB each
+    * exact distinct swaps for approx_count_distinct (HLL, q10b's
+    * documented trade) with the same output schema.
+    */
+  /** The q106 body over any events-shaped frame. */
+  def columnProfile(eventsDf: DataFrame): DataFrame = {
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    val metrics = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"d_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c"))
+    }
+    eventsDf.agg(metrics.head, metrics.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(s"d_$c").as("n_distinct"),
+          col(s"n_$c").as("n_null"))): _*)).as("p"))
+      .select(col("p.column"), col("p.n_distinct"), col("p.n_null"))
+      .orderBy("column")
+  }
+
+  val q106: Q = Q(
+    "q106_column_profile",
+    (s, d) => columnProfile(Tables.spread(Tables.events(s, d), col("event_id"))),
+    Some("""SELECT 'event_id' AS "column", count(DISTINCT event_id) AS n_distinct,
+            |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+            |FROM events
+            |UNION ALL
+            |SELECT 'user_id', count(DISTINCT user_id),
+            |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+            |UNION ALL
+            |SELECT 'event_type', count(DISTINCT event_type),
+            |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+            |UNION ALL
+            |SELECT 'value', count(DISTINCT value),
+            |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+            |UNION ALL
+            |SELECT 'props', count(DISTINCT props),
+            |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+            |ORDER BY "column"""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
     q48, q49, q50, q52, q53, q54, q71, q75, q78, q82, q85, q86, q87, q89,
-    q90, q91, q92, q93, q95, q96, q97, q99, q100, q102, q103, q104)
+    q90, q91, q92, q93, q95, q96, q97, q99, q100, q102, q103, q104, q105, q106)
 }

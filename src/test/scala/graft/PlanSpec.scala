@@ -591,6 +591,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q105: skew census map-side combines; no join, no window") {
+    val p = planString("q105_key_skew_profile")
+    assert(p.contains("partial_"), s"key census must map-side combine:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window ["), p)
+  }
+
+  test("q106: multi-distinct profile is ONE scan (Expand), not five") {
+    val df = SparkEntry.queries("q106_column_profile")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), s"multi-count-distinct should plan via Expand:\n$p")
+    val scans = p.split("\n").count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"profile must read the table once, got $scans scans:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}

@@ -143,6 +143,31 @@ class IntegritySpec extends SparkTestBase {
       s"aligned recency/frequency/monetary must produce the diagonal: $out")
   }
 
+  test("q105: skew profile finds the hot key and its exact share") {
+    // key 7 appears 6 times, keys 1..4 once each → 10 rows, 5 keys
+    val keyed = (Seq.fill(6)(7L) ++ Seq(1L, 2L, 3L, 4L)).toDF("k")
+    val r = Relational.keySkewProfile(keyed).collect().head
+    assert(r.getAs[Long]("n_rows") == 10 && r.getAs[Long]("n_keys") == 5)
+    assert(r.getAs[Long]("hot_key") == 7L && r.getAs[Long]("hot_cnt") == 6L)
+    assert(r.getAs[Double]("skew_ratio") == 3.0, "max/mean = 6/(10/5)")
+    assert(r.getAs[Double]("hot_share") == 0.6)
+  }
+
+  test("q106: column profile counts distincts and nulls per column exactly") {
+    val df = Seq(
+      (1L, 10L, "a", Some(1.0), Some("{}")),
+      (2L, 10L, "a", None, Some("{}")),
+      (3L, 11L, "b", Some(2.0), None)
+    ).toDF("event_id", "user_id", "event_type", "value", "props")
+    val out = Relational.columnProfile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("event_id") == ((3L, 0L)))
+    assert(out("user_id") == ((2L, 0L)))
+    assert(out("event_type") == ((2L, 0L)))
+    assert(out("value") == ((2L, 1L)), "distinct skips nulls; null counted separately")
+    assert(out("props") == ((1L, 1L)))
+  }
+
   test("q94: truncation dup in one block is caught; cross-block pairs never compare") {
     val common = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
