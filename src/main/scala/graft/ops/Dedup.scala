@@ -1015,6 +1015,7 @@ object Dedup {
   /** The q94 body over any (doc_id, text, n_chars) frame. */
   def snmCandidates(docsDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(docsDf.sparkSession)
     val base = docsDf.select(col("doc_id"), col("n_chars"),
       substring(normText(col("text")), 1, 16).as("blk"),
       array_distinct(tokens(col("text"))).as("tok"))
@@ -1025,7 +1026,9 @@ object Dedup {
         lead(col("tok"), 1).over(w).as("b_tok"))
       .filter(col("b_id").isNotNull)
       .select(col("doc_id").as("a_id"), col("b_id"),
-        size(array_intersect(col("tok"), col("b_tok"))).as("inter"),
+        // the codegen'd set-intersection kernel — same counter the q22
+        // Jaccard paths use (inputs are already distinct)
+        GraftFunctions.intersectCount(col("tok"), col("b_tok")).as("inter"),
         size(col("tok")).as("na"), size(col("b_tok")).as("nb"))
       .withColumn("jac", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 4))

@@ -1319,7 +1319,10 @@ object Relational {
         count(lit(1)).cast("double").as("n"),
         sum(col("xs")).cast("double").as("sx"),
         sum(col("value").cast(Dec)).cast("double").as("sy"),
-        sum(col("xs").cast("decimal(18,0)") * col("value").cast("decimal(18,6)"))
+        // (13,0)×(25,6): q103's widening — DuckDB's (18,0)×(18,6)
+        // product stays in int64 and overflows once xs·value·1e6
+        // crosses 2^63 (multi-year spans × large values).
+        sum(col("xs").cast("decimal(13,0)") * col("value").cast("decimal(25,6)"))
           .cast("double").as("sxy"),
         sum((col("xs") * col("xs")).cast(Dec)).cast("double").as("sxx"))
       .select(col("event_type"), col("n").cast("long").as("n_events"),
@@ -1340,7 +1343,7 @@ object Relational {
             |    CAST(count(*) AS DOUBLE) AS n,
             |    CAST(sum(xs) AS DOUBLE) AS sx,
             |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-            |    CAST(sum(CAST(xs AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+            |    CAST(sum(CAST(xs AS DECIMAL(13,0)) * CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
             |    CAST(sum(CAST(xs * xs AS DECIMAL(38,6))) AS DOUBLE) AS sxx
             |  FROM e GROUP BY 1)
             |SELECT event_type, CAST(n AS BIGINT) AS n_events,
@@ -1360,6 +1363,13 @@ object Relational {
   /** The q92 body over any (user_id, event_type, ts) frame. */
   def windowDedupCensus(eventsDf: DataFrame): DataFrame =
     eventsDf
+      // NULL-key rows are excluded EXPLICITLY: Spark's multi-arg
+      // countDistinct silently drops any row with a NULL argument while
+      // DuckDB's count(DISTINCT (a,b)) counts the struct — on telemetry
+      // with anonymous (NULL-user) traffic the two engines would
+      // otherwise diverge. Excluding them is also the right census
+      // semantics: a NULL user can't be deduped against itself.
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("tus"))
       .withColumn("wid", expr("tus DIV 3600000000"))
@@ -1375,7 +1385,7 @@ object Relational {
     (s, d) => windowDedupCensus(Tables.spread(Tables.events(s, d), col("event_id"))),
     Some("""WITH e AS (
             |  SELECT event_type, user_id, epoch_us(ts) // 3600000000 AS wid
-            |  FROM events)
+            |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
             |SELECT event_type, count(*) AS n_events,
             |  count(DISTINCT (user_id, wid)) AS n_kept,
             |  round(CAST(count(DISTINCT (user_id, wid)) AS DOUBLE) / count(*), 4) AS keep_ratio
@@ -1390,39 +1400,48 @@ object Relational {
     * deterministic), code point and epoch seconds, so both engines
     * compute bit-identical hashes; both aggregates are commutative →
     * layout- and order-independent, map-side combined, O(groups)
-    * output. Magnitudes are bounded (row mix < 2^55, additive sum mod
-    * 1e9+7 over 10^12 rows < 2^63) so ANSI arithmetic never overflows.
+    * output. Overflow discipline (unbounded corpora): every input
+    * term is reduced mod 1e9+7 BEFORE its spreader multiply, so the
+    * row mix stays < 2^57 for ANY key/price/date magnitude; the
+    * additive checksum accumulates the per-row residues in
+    * DECIMAL(38,0) (exact to ~10^28 rows) and reports the sum mod
+    * 1e9+7 — ANSI arithmetic can never fault, at any table size.
     */
   /** The q93 body over any orders-shaped frame. */
-  def tableChecksum(ordersDf: DataFrame): DataFrame =
+  def tableChecksum(ordersDf: DataFrame): DataFrame = {
+    val P = 1000000007L
+    def m(c: Column) = c % lit(P)
     ordersDf
       .select(col("o_orderstatus"),
-        (col("o_orderkey") * lit(2654435761L)
-          + col("o_custkey") * lit(40503L)
-          + floor(col("o_totalprice") * lit(100.0)).cast("long") * lit(97L)
-          + ascii(col("o_orderpriority")).cast("long") * lit(1315423911L)
+        ((m(col("o_orderkey")) * lit(48271L)
+          + m(col("o_custkey")) * lit(16807L)
+          + m(floor(col("o_totalprice") * lit(100.0)).cast("long")) * lit(97L)
+          + ascii(col("o_orderpriority")).cast("long") * lit(131L)
           // o_orderdate scans as TIMESTAMP_NTZ; the cast is value-
           // preserving under the engine's pinned UTC session.
-          + expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000")
-            * lit(7L)).as("h"))
+          + m(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000"))
+            * lit(7L)) % lit(P)).as("h"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("h") % lit(1000000007L)).as("checksum_sum"),
+        (sum(col("h").cast("decimal(38,0)")) % lit(P)).cast("long")
+          .as("checksum_sum"),
         expr("bit_xor(h)").as("checksum_xor"))
       .orderBy("o_orderstatus")
+  }
 
   val q93: Q = Q(
     "q93_table_checksum",
     (s, d) => tableChecksum(Tables.spread(Tables.orders(s, d), col("o_orderkey"))),
     Some("""WITH h AS (
             |  SELECT o_orderstatus,
-            |    o_orderkey * 2654435761 + o_custkey * 40503
-            |    + CAST(floor(o_totalprice * 100.0) AS BIGINT) * 97
-            |    + CAST(ascii(o_orderpriority) AS BIGINT) * 1315423911
-            |    + (epoch_us(o_orderdate) // 1000000) * 7 AS h
+            |    ((o_orderkey % 1000000007) * 48271
+            |     + (o_custkey % 1000000007) * 16807
+            |     + (CAST(floor(o_totalprice * 100.0) AS BIGINT) % 1000000007) * 97
+            |     + CAST(ascii(o_orderpriority) AS BIGINT) * 131
+            |     + ((epoch_us(o_orderdate) // 1000000) % 1000000007) * 7) % 1000000007 AS h
             |  FROM orders)
             |SELECT o_orderstatus, count(*) AS n_rows,
-            |  CAST(sum(h % 1000000007) AS BIGINT) AS checksum_sum,
+            |  CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) % 1000000007 AS BIGINT) AS checksum_sum,
             |  CAST(bit_xor(h) AS BIGINT) AS checksum_xor
             |FROM h GROUP BY 1 ORDER BY 1""".stripMargin))
 
@@ -1627,8 +1646,11 @@ object Relational {
     */
   def orphanCount(child: DataFrame, key: String, parent: DataFrame,
       pkey: String, name: String): DataFrame =
+    // no .distinct() on the parent side: anti-join results are
+    // unaffected by right-side duplicates, and the dedup would cost an
+    // extra full hash-aggregate pass over the (large) parent key set
     child.select(col(key).as("k"))
-      .join(parent.select(col(pkey).as("k")).distinct(), Seq("k"), "left_anti")
+      .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
       .select(lit(name).as("fk"), col("n_orphans"))
 
