@@ -205,7 +205,8 @@ object Bench {
     val groupSize = 4
     val soloNames = Set(
       "q22a_jaccard_pairs", "q22b_minhash_pairs", "q38_dup_clusters",
-      "q57_leakage_safe_split", "q58_semantic_dedup", "q58b_semantic_dedup_lsh")
+      "q57_leakage_safe_split", "q58_semantic_dedup", "q58b_semantic_dedup_lsh",
+      "q108_survivorship")
     val groups: Seq[Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]] = {
       val out = Seq.newBuilder[Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]]
       var cur = Vector.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]

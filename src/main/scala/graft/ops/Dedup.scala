@@ -1056,5 +1056,70 @@ object Dedup {
             |  FROM p WHERE b_id IS NOT NULL)
             |SELECT a_id, b_id, jac FROM j WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38, q39, q57, q59, q65, q80, q94)
+  /** Q108 — dedup survivorship (golden-record build): after q38's
+    * clustering decides WHICH documents are duplicates, survivorship
+    * decides WHAT survives — per cluster the keeper (min id, the
+    * engine's deterministic convention), the argmax-length member
+    * (struct-max, q32's idiom), the source spread and the char mass:
+    * the MDM reconciliation step between "cluster" and "merged row".
+    * Same candidate/CC pipeline as q38 (edges → components), plus one
+    * doc-key join and an O(clusters) aggregate — the added cost over
+    * q38 is a broadcast-or-shuffle join of the label table against the
+    * docs it labels.
+    */
+  val q108: Q = Q(
+    "q108_survivorship",
+    (s, d) => {
+      val edges = jaccardPairs(s, d)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val labels = connectedComponents(edges)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      labels.join(docs, labels("id") === docs("doc_id"))
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("keeper_id"),
+          max(struct(col("n_chars"), col("doc_id"))).getField("doc_id")
+            .as("longest_id"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("cluster_id")
+    },
+    Some("""WITH RECURSIVE toks AS (
+            |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+            |  FROM documents),
+            |sh AS (
+            |  SELECT DISTINCT doc_id, t[i.i] || ' ' || t[i.i+1] || ' ' || t[i.i+2] AS s
+            |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) i
+            |  WHERE len(t) >= 3),
+            |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM sh),
+            |keep AS (
+            |  SELECT s FROM sh GROUP BY s
+            |  HAVING count(*) <= greatest(1000, CAST(floor(0.005 * (SELECT nd FROM nd)) AS BIGINT))),
+            |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+            |inter AS (
+            |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |pairs AS (
+            |  SELECT da, db
+            |  FROM inter JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+            |  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5),
+            |bi AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db AS src, da AS dst FROM pairs),
+            |reach AS (
+            |  SELECT DISTINCT src AS id, src AS r FROM bi
+            |  UNION
+            |  SELECT b.src AS id, rr.r AS r FROM bi b JOIN reach rr ON rr.id = b.dst),
+            |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+            |SELECT comp.cluster_id, count(*) AS n_docs,
+            |  min(d.doc_id) AS keeper_id,
+            |  (max(struct_pack(n_chars := d.n_chars, doc_id := d.doc_id))).doc_id AS longest_id,
+            |  count(DISTINCT d.source) AS n_sources,
+            |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+            |FROM comp JOIN documents d ON comp.id = d.doc_id
+            |GROUP BY comp.cluster_id ORDER BY comp.cluster_id""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q21, q22a, q22b, q22c, q38, q39, q57, q59, q65, q80,
+    q94, q108)
 }

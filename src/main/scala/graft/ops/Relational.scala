@@ -1938,9 +1938,57 @@ object Relational {
             |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
             |ORDER BY "column"""".stripMargin))
 
+  /** Q107 — multi-grain time rollup: hour, day and week aggregates of
+    * the event stream in ONE scan via GROUPING SETS over the three
+    * date_trunc buckets — the metrics-store materialization every
+    * observability pipeline runs nightly (q48 rolls up dimension
+    * columns; q107 rolls up the time axis, where the grains are
+    * expressions of one column, not a hierarchy — so grouping sets,
+    * not rollup). Spark expands the scan threefold AFTER the map-side
+    * partial (the Expand sits under the exchange, so only combined
+    * (bucket, partial) rows shuffle); both engines truncate weeks to
+    * Monday. Output is the long-format (grain, bucket) table a
+    * dashboard reads directly.
+    */
+  /** The q107 body over any (ts, value) frame. */
+  def timeRollup(eventsDf: DataFrame): DataFrame = {
+    val b = eventsDf.select(
+      date_trunc("hour", col("ts")).as("h"),
+      date_trunc("day", col("ts")).as("d"),
+      date_trunc("week", col("ts")).as("w"),
+      col("value"))
+    b.groupingSets(Seq(Seq(col("h")), Seq(col("d")), Seq(col("w"))),
+        col("h"), col("d"), col("w"))
+      .agg(count(lit(1)).as("n"), rsum(col("value")).as("sum_value"))
+      .select(
+        when(col("h").isNotNull, lit("1_hour"))
+          .when(col("d").isNotNull, lit("2_day"))
+          .otherwise(lit("3_week")).as("grain"),
+        Canon.fmtTs(coalesce(col("h"), col("d"), col("w"))).as("bucket"),
+        col("n"), col("sum_value"))
+      .orderBy("grain", "bucket")
+  }
+
+  val q107: Q = Q(
+    "q107_time_rollup",
+    (s, d) => timeRollup(Tables.spread(Tables.events(s, d), col("event_id"))),
+    Some("""WITH b AS (
+            |  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+            |    date_trunc('week', ts) AS w, value
+            |  FROM events)
+            |SELECT
+            |  CASE WHEN h IS NOT NULL THEN '1_hour'
+            |       WHEN d IS NOT NULL THEN '2_day' ELSE '3_week' END AS grain,
+            |  strftime(coalesce(h, d, w), '%Y-%m-%d %H:%M:%S') AS bucket,
+            |  count(*) AS n,
+            |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+            |FROM b GROUP BY GROUPING SETS ((h), (d), (w))
+            |ORDER BY grain, bucket""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
     q48, q49, q50, q52, q53, q54, q71, q75, q78, q82, q85, q86, q87, q89,
-    q90, q91, q92, q93, q95, q96, q97, q99, q100, q102, q103, q104, q105, q106)
+    q90, q91, q92, q93, q95, q96, q97, q99, q100, q102, q103, q104, q105, q106,
+    q107)
 }

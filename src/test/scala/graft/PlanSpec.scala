@@ -607,6 +607,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q107: multi-grain rollup is one scan expanded AFTER map-side partials") {
+    val p = planString("q107_time_rollup")
+    assert(p.contains("Expand"), s"grouping sets should plan via Expand:\n$p")
+    assert(p.contains("partial_"), s"no map-side partials:\n$p")
+    assert(!p.contains("Join"), p)
+    val scans = p.split("\n").count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"rollup must read the table once, got $scans scans:\n$p")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}

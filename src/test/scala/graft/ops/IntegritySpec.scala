@@ -168,6 +168,34 @@ class IntegritySpec extends SparkTestBase {
     assert(out("props") == ((1L, 1L)))
   }
 
+  test("q107: every grain's buckets sum to the same corpus totals") {
+    val rows = Relational.q107.fn(spark, sfDir).collect()
+    val byGrain = rows.groupBy(_.getString(0))
+    assert(byGrain.keySet == Set("1_hour", "2_day", "3_week"))
+    val totals = byGrain.view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(totals.values.toSet.size == 1,
+      s"hour/day/week partitions must conserve the event count: $totals")
+    // buckets are truncations: week count ≤ day count ≤ hour count
+    val nBuckets = byGrain.view.mapValues(_.length).toMap
+    assert(nBuckets("3_week") <= nBuckets("2_day") &&
+      nBuckets("2_day") <= nBuckets("1_hour"))
+  }
+
+  test("q108: survivorship is consistent with q38's clusters; keeper is the min id") {
+    val surv = Dedup.q108.fn(spark, sfDir).collect()
+    val clusters = Dedup.q38.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(surv.length == clusters.size, "one golden record per cluster")
+    surv.foreach { r =>
+      val (cid, nDocs, keeper) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(clusters(cid) == nDocs, s"cluster $cid size mismatch")
+      assert(keeper == cid,
+        "CC labels are component minima, so the keeper IS the cluster id")
+      assert(r.getLong(3) >= keeper, "longest_id must be a member (≥ min id)")
+      assert(r.getLong(4) >= 1L && r.getLong(5) > 0L)
+    }
+  }
+
   test("q94: truncation dup in one block is caught; cross-block pairs never compare") {
     val common = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
