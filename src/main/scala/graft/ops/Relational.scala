@@ -1326,9 +1326,12 @@ object Relational {
           .cast("double").as("sxy"),
         sum((col("xs") * col("xs")).cast(Dec)).cast("double").as("sxx"))
       .select(col("event_type"), col("n").cast("long").as("n_events"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        // + 0.0 collapses IEEE -0.0 (Canon.r4z's convention at 6 dp):
+        // a tiny negative slope rounds to -0.0 in DuckDB but +0.0 in
+        // Spark's HALF_UP round, and the driver compares stringified.
+        (round((col("n") * col("sxy") - col("sx") * col("sy")) /
               (col("n") * col("sxx") - col("sx") * col("sx")) * lit(86400.0), 6)
-          .as("slope_per_day"))
+          + lit(0.0)).as("slope_per_day"))
       .orderBy("event_type")
   }
 
@@ -1347,7 +1350,7 @@ object Relational {
             |    CAST(sum(CAST(xs * xs AS DECIMAL(38,6))) AS DOUBLE) AS sxx
             |  FROM e GROUP BY 1)
             |SELECT event_type, CAST(n AS BIGINT) AS n_events,
-            |  round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0, 6) AS slope_per_day
+            |  round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0, 6) + 0 AS slope_per_day
             |FROM m ORDER BY 1""".stripMargin))
 
   /** Q92 — tumbling-window dedup census: how many events survive
@@ -1586,10 +1589,18 @@ object Relational {
     */
   /** The q99 body over any (user_id, event_type, ts) frame. */
   def assocRules(eventsDf: DataFrame): DataFrame = {
+    // Persisted: the distinct incidence table feeds FOUR consumers
+    // (totals, type counts, both self-join sides). Without the pin the
+    // plan leans on ReuseExchange canonicalizing all four subtrees
+    // identically — fragile under refactors (cappedShingleDocs'
+    // lesson). The table is NARROW (two ids + a short string).
+    // Lifecycle: q68's pattern — freed by the harness's between-query
+    // clearCache().
     val items = eventsDf
       .select(col("user_id"), expr("unix_micros(ts) DIV 3600000000").as("wid"),
         col("event_type"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = items.select(col("user_id"), col("wid")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val tc = items.groupBy("event_type").agg(count(lit(1)).as("n_t"))
@@ -1905,7 +1916,7 @@ object Relational {
     */
   /** The q106 body over any events-shaped frame. */
   def columnProfile(eventsDf: DataFrame): DataFrame = {
-    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
     val metrics = cols.flatMap { c =>
       Seq(countDistinct(col(c)).as(s"d_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c"))
@@ -1924,6 +1935,9 @@ object Relational {
     Some("""SELECT 'event_id' AS "column", count(DISTINCT event_id) AS n_distinct,
             |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
             |FROM events
+            |UNION ALL
+            |SELECT 'ts', count(DISTINCT ts),
+            |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
             |UNION ALL
             |SELECT 'user_id', count(DISTINCT user_id),
             |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
@@ -1952,7 +1966,11 @@ object Relational {
     */
   /** The q107 body over any (ts, value) frame. */
   def timeRollup(eventsDf: DataFrame): DataFrame = {
-    val b = eventsDf.select(
+    // NULL timestamps are excluded up front (q92's discipline): with a
+    // null ts all three grouping columns are null, and the
+    // nullness-derived grain label below would misclassify and
+    // triplicate those rows across the three sets.
+    val b = eventsDf.filter(col("ts").isNotNull).select(
       date_trunc("hour", col("ts")).as("h"),
       date_trunc("day", col("ts")).as("d"),
       date_trunc("week", col("ts")).as("w"),
@@ -1975,7 +1993,7 @@ object Relational {
     Some("""WITH b AS (
             |  SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
             |    date_trunc('week', ts) AS w, value
-            |  FROM events)
+            |  FROM events WHERE ts IS NOT NULL)
             |SELECT
             |  CASE WHEN h IS NOT NULL THEN '1_hour'
             |       WHEN d IS NOT NULL THEN '2_day' ELSE '3_week' END AS grain,

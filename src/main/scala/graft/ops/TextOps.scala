@@ -905,21 +905,22 @@ object TextOps {
     */
   /** The q98 body over any (text, lang, n_chars) frame. */
   def filterWaterfall(docsDf: DataFrame): DataFrame = {
+    // direct library callers may not have gone through docs()/extensions
+    graft.functions.GraftFunctions.register(docsDf.sparkSession)
     val t = toks(col("text"))
+    // cumulative flags COMPOSE (each stage = previous && its own
+    // predicate) so a threshold lives in exactly one place
+    val length  = col("n_chars") >= 100
+    val langEn  = length && col("lang") === "en"
+    val quality = langEn && col("sc") * 100L >= col("nt") * 15L
+    val repOk   = quality && col("ndis") * 2L >= col("nt")
     val flags = docsDf
       .select(col("n_chars"), col("lang"),
         graft.functions.GraftFunctions.countInSet(t, typedLit(enStopwords))
           .cast("long").as("sc"),
         size(t).cast("long").as("nt"),
         size(array_distinct(t)).cast("long").as("ndis"))
-      .select(
-        (col("n_chars") >= 100).as("s1"),
-        (col("n_chars") >= 100 && col("lang") === "en").as("s2"),
-        (col("n_chars") >= 100 && col("lang") === "en" &&
-          col("sc") * 100L >= col("nt") * 15L).as("s3"),
-        (col("n_chars") >= 100 && col("lang") === "en" &&
-          col("sc") * 100L >= col("nt") * 15L &&
-          col("ndis") * 2L >= col("nt")).as("s4"))
+      .select(length.as("s1"), langEn.as("s2"), quality.as("s3"), repOk.as("s4"))
     def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
     flags
       .agg(count(lit(1)).as("n_docs"),

@@ -154,14 +154,16 @@ class IntegritySpec extends SparkTestBase {
   }
 
   test("q106: column profile counts distincts and nulls per column exactly") {
+    val t1 = Timestamp.valueOf("2024-03-01 10:00:00")
     val df = Seq(
-      (1L, 10L, "a", Some(1.0), Some("{}")),
-      (2L, 10L, "a", None, Some("{}")),
-      (3L, 11L, "b", Some(2.0), None)
-    ).toDF("event_id", "user_id", "event_type", "value", "props")
+      (1L, Option(t1), 10L, "a", Some(1.0), Some("{}")),
+      (2L, Option(t1), 10L, "a", None, Some("{}")),
+      (3L, Option.empty[Timestamp], 11L, "b", Some(2.0), None)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = Relational.columnProfile(df).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out("event_id") == ((3L, 0L)))
+    assert(out("ts") == ((1L, 1L)), "the time axis is profiled too")
     assert(out("user_id") == ((2L, 0L)))
     assert(out("event_type") == ((2L, 0L)))
     assert(out("value") == ((2L, 1L)), "distinct skips nulls; null counted separately")
