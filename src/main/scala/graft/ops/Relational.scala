@@ -2003,10 +2003,56 @@ object Relational {
             |FROM b GROUP BY GROUPING SETS ((h), (d), (w))
             |ORDER BY grain, bucket""".stripMargin))
 
+  /** Q109 — order-to-ship lead time by order priority: the fulfilment-SLA
+    * audit (TPC-H Q12's shape on the columns this corpus carries). One
+    * fact-fact equi-join on the order key, then day-level latencies reduced
+    * to exact integer stats per priority class plus the share of lines
+    * shipped more than 90 days after the order.
+    *
+    * All output cells are integers (counts, min/max/sum of whole days), so
+    * the oracle hash has zero float-canonicalization surface. Scale: the
+    * join is the natural-key fact-fact join — at 100 TB both sides are
+    * bucketed on the order key (q35's layout) so it runs exchange-free;
+    * the aggregate map-side-combines to O(priority classes) rows.
+    */
+  val q109: Q = Q(
+    "q109_lead_time",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), to_date(col("o_orderdate")).as("od"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          datediff(col("sd"), col("od")).cast("long").as("days"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          min("days").as("min_days"),
+          max("days").as("max_days"),
+          sum("days").as("sum_days"),
+          sum(when(col("days") > 90, 1L).otherwise(0L)).as("late_lines"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH j AS (
+            |  SELECT o_orderpriority, o_orderkey,
+            |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+            |                   CAST(l_shipdate AS DATE)) AS BIGINT) AS days
+            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            |SELECT o_orderpriority,
+            |  count(*) AS n_lines,
+            |  count(DISTINCT o_orderkey) AS n_orders,
+            |  min(days) AS min_days,
+            |  max(days) AS max_days,
+            |  CAST(sum(days) AS BIGINT) AS sum_days,
+            |  CAST(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS BIGINT) AS late_lines
+            |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
     q48, q49, q50, q52, q53, q54, q71, q75, q78, q82, q85, q86, q87, q89,
     q90, q91, q92, q93, q95, q96, q97, q99, q100, q102, q103, q104, q105, q106,
-    q107)
+    q107, q109)
 }

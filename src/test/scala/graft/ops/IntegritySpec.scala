@@ -198,6 +198,26 @@ class IntegritySpec extends SparkTestBase {
     }
   }
 
+  test("q109: lead-time census conserves lines and its stats are coherent") {
+    val rows = Relational.q109.fn(spark, sfDir).collect()
+    val nLineitem = graft.Tables.lineitem(spark, sfDir).count()
+    // Every line joins its order (FK-complete corpus, q100's law), so the
+    // per-priority line counts partition the fact table exactly.
+    assert(rows.map(_.getLong(1)).sum == nLineitem,
+      "per-priority n_lines must partition lineitem")
+    rows.foreach { r =>
+      val (n, nOrd, mn, mx, sum, late) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nOrd >= 1L && nOrd <= n, "orders per class bounded by lines")
+      assert(mn <= mx && sum >= n * mn && sum <= n * mx,
+        "day stats must be mutually consistent")
+      assert(late >= 0L && late <= n, "late share bounded")
+      // NOTE: the synthetic corpus draws o_orderdate and l_shipdate
+      // independently, so negative lead times exist by construction;
+      // the stats laws above are date-distribution-agnostic.
+    }
+  }
+
   test("q94: truncation dup in one block is caught; cross-block pairs never compare") {
     val common = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
