@@ -1030,10 +1030,15 @@ object Dedup {
         // Jaccard paths use (inputs are already distinct)
         GraftFunctions.intersectCount(col("tok"), col("b_tok")).as("inter"),
         size(col("tok")).as("na"), size(col("b_tok")).as("nb"))
-      .withColumn("jac", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jac") >= 0.5)
-      .select(col("a_id"), col("b_id"), col("jac"))
+      // Threshold the UNROUNDED ratio (ADVICE r8): filtering the 4-dp
+      // rounded value admitted pairs with true Jaccard in
+      // [0.49995, 0.5) — q22a/q22b threshold the exact value, and the
+      // docstring promises the same. Rounding applies only to the
+      // REPORTED column; the oracle mirrors both steps.
+      .withColumn("jacx", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .filter(col("jacx") >= 0.5)
+      .select(col("a_id"), col("b_id"), round(col("jacx"), 4).as("jac"))
       .orderBy("a_id", "b_id")
   }
 
@@ -1051,10 +1056,11 @@ object Dedup {
             |  FROM base WINDOW w AS (PARTITION BY blk ORDER BY n_chars, doc_id)),
             |j AS (
             |  SELECT doc_id AS a_id, b_id,
-            |    round(CAST(len(list_intersect(tok, b_tok)) AS DOUBLE) /
-            |      (len(tok) + len(b_tok) - len(list_intersect(tok, b_tok))), 4) AS jac
+            |    CAST(len(list_intersect(tok, b_tok)) AS DOUBLE) /
+            |      (len(tok) + len(b_tok) - len(list_intersect(tok, b_tok))) AS jacx
             |  FROM p WHERE b_id IS NOT NULL)
-            |SELECT a_id, b_id, jac FROM j WHERE jac >= 0.5 ORDER BY a_id, b_id""".stripMargin))
+            |SELECT a_id, b_id, round(jacx, 4) AS jac FROM j
+            |WHERE jacx >= 0.5 ORDER BY a_id, b_id""".stripMargin))
 
   /** Q108 — dedup survivorship (golden-record build): after q38's
     * clustering decides WHICH documents are duplicates, survivorship

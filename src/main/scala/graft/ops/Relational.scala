@@ -1317,7 +1317,10 @@ object Relational {
       .groupBy("event_type")
       .agg(
         count(lit(1)).cast("double").as("n"),
-        sum(col("xs")).cast("double").as("sx"),
+        // DECIMAL like sxx/sxy (ADVICE r8): at ~1e11 events × xs up to
+        // ~3e8 s, sum(xs) exceeds int64 and would fault under ANSI
+        // while DuckDB sums BIGINT in 128-bit — widen BOTH engines.
+        sum(col("xs").cast("decimal(20,0)")).cast("double").as("sx"),
         sum(col("value").cast(Dec)).cast("double").as("sy"),
         // (13,0)×(25,6): q103's widening — DuckDB's (18,0)×(18,6)
         // product stays in int64 and overflows once xs·value·1e6
@@ -1344,7 +1347,7 @@ object Relational {
             |m AS (
             |  SELECT event_type,
             |    CAST(count(*) AS DOUBLE) AS n,
-            |    CAST(sum(xs) AS DOUBLE) AS sx,
+            |    CAST(sum(CAST(xs AS DECIMAL(20,0))) AS DOUBLE) AS sx,
             |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
             |    CAST(sum(CAST(xs AS DECIMAL(13,0)) * CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
             |    CAST(sum(CAST(xs * xs AS DECIMAL(38,6))) AS DOUBLE) AS sxx
@@ -1375,7 +1378,11 @@ object Relational {
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("tus"))
-      .withColumn("wid", expr("tus DIV 3600000000"))
+      // FLOOR-division (ADVICE r8): Spark's DIV truncates toward zero
+      // while DuckDB's // floors, so bare DIV diverges on pre-1970
+      // timestamps. pmod is non-negative, so tus - pmod is an exact
+      // multiple and DIV of it is floor semantics for any sign.
+      .withColumn("wid", expr("(tus - pmod(tus, 3600000000)) DIV 3600000000"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id"), col("wid")).as("n_kept"))
@@ -1597,7 +1604,11 @@ object Relational {
     // Lifecycle: q68's pattern — freed by the harness's between-query
     // clearCache().
     val items = eventsDf
-      .select(col("user_id"), expr("unix_micros(ts) DIV 3600000000").as("wid"),
+      // floor-division via pmod, not bare DIV: q92's cross-engine
+      // pre-epoch parity discipline (DuckDB // floors, DIV truncates).
+      .select(col("user_id"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) DIV 3600000000")
+          .as("wid"),
         col("event_type"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
