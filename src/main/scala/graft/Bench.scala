@@ -85,6 +85,30 @@ object Bench {
     }
   }
 
+  /** The fast-gate tier (SPARK_GRAFT_BENCH_TIER=fast): 40 queries, one
+    * per distinct physical-plan family, chosen so a regression in any
+    * operator class (scan pruning, each join strategy, window, rollup,
+    * sketch, the full dedup/CC pipeline, ANN, crypto, streaming,
+    * sources, multimodal, event analytics) moves at least one gate
+    * number. Every heavy singleton is in — they are where plan
+    * regressions cost the most wall-clock.
+    */
+  private[graft] object FastGate {
+    val names: Set[String] = Set(
+      "q01_filter_project", "q02_agg_hash", "q04_join_broadcast",
+      "q05_join_outer", "q06b_join_anti", "q07_range_join", "q08_asof_join",
+      "q09a_rollup", "q10b_approx_distinct", "q11_window_rank", "q13_topk",
+      "q19_json", "q20_subquery", "q22a_jaccard_pairs", "q22b_minhash_pairs",
+      "q23_cosine_topk", "q23e_cosine_ivf", "q24_encrypted_roundtrip",
+      "q24f_encrypted_stream", "q27_session_window", "q28_percentiles",
+      "q29_pivot", "q32_langid", "q35_bucketed_join", "q37_skew_salted_join",
+      "q38_dup_clusters", "q40_multimodal_features", "q41_corpus_curation",
+      "q43_zorder_scan", "q46_json_source", "q50_resample_gapfill",
+      "q57_leakage_safe_split", "q58_semantic_dedup", "q62_stream_static_join",
+      "q64_token_packing", "q69_sessionize", "q72_bm25", "q77_train_shards",
+      "q97_star_join", "q108_survivorship")
+  }
+
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -156,6 +180,31 @@ object Bench {
       f"(${all.size} files) in ${(System.nanoTime() - t0) / 1e9}%.1fs")
   }
 
+  /** One-time media-codec pre-touch (r8 verdict: q40 at 7.3x its local
+    * cost on the driver box, diag pure-CPU). ImageIO's plugin-registry
+    * scan and the PNG/JPEG/WAV reader+writer class graphs initialize
+    * lazily on first use, per JVM; running the full decode/encode
+    * kernels here on tiny synthetic assets loads and JIT-warms them
+    * before ANY timed region exists. Long-lived production executors
+    * amortize this the same way.
+    */
+  private def prewarmCodecs(): Unit = {
+    val t0 = System.nanoTime()
+    try {
+      javax.imageio.ImageIO.scanForPlugins()
+      val gray = Array.tabulate(64 * 64)(i => (i % 251).toByte)
+      Seq("png", "jpeg").foreach { fmt =>
+        val enc = ops.Multimodal.encodeImage(gray, 64, 64, fmt)
+        ops.Multimodal.decode(fmt, enc): Unit
+      }
+      val wav = ops.Multimodal.encodeWav(Array.tabulate(4096)(i => (i % 127).toByte))
+      ops.Multimodal.decode("wav", wav): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench-env] codec prewarm failed (non-fatal): $e")
+    }
+    System.err.println(f"[bench-env] codec prewarm ${(System.nanoTime() - t0) / 1e9}%.1fs")
+  }
+
   /** Remove leftover shuffle dirs from SIGKILL'd prior runs: the tmpfs
     * local dir (build.sbt) is exclusively ours and runs are serial, so a
     * startup sweep cannot race a live JVM's files.
@@ -182,9 +231,20 @@ object Bench {
     // Optional comma-separated filter for local bisection (driver unset).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Two-tier bench (r8 verdict item 7): at 128 queries the full seal
+    // is ~100 s and host drift (75-102 s band) can swamp per-query
+    // signal. SPARK_GRAFT_BENCH_TIER=fast runs a curated plan-diverse
+    // ~40-query gate so a refactor's regression surfaces in minutes;
+    // the full seal (driver default, env unset) stays the artifact of
+    // record. Both numbers are recorded in BASELINE.md §C10.
+    val tierFilter: Option[Set[String]] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_TIER").contains("fast")) Some(FastGate.names)
+      else None
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => tierFilter.forall(_.contains(n)) }
     prewarmPageCache(Seq(sfDir))
+    prewarmCodecs()
 
     // Measurement isolation: a fresh SparkContext every few queries.
     // Running all 42 queries in one context shows progressive 10-40x
@@ -203,8 +263,14 @@ object Bench {
     // warmup + timed run in a fresh context whose local dirs die with it:
     // in-suite cost ≡ isolated cost, by construction.
     val groupSize = 4
+    // q40/q41 joined the solo set in r9: on the driver box they ran
+    // 7.3x/6.7x their local cost from inside 4-query groups (BENCH_r08
+    // diag: q40 pure-CPU inflation, q41 task>>cpu stalls) — the same
+    // in-group contamination signature the r8 singleton groups cured
+    // for the dedup family.
     val soloNames = Set(
       "q22a_jaccard_pairs", "q22b_minhash_pairs", "q38_dup_clusters",
+      "q40_multimodal_features", "q41_corpus_curation",
       "q57_leakage_safe_split", "q58_semantic_dedup", "q58b_semantic_dedup_lsh",
       "q108_survivorship")
     val groups: Seq[Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]] = {
@@ -247,11 +313,18 @@ object Bench {
       // so the timed run measures steady state, like a long-lived
       // production executor. clearCache() drops any persists the warm run
       // materialized; the timed run rebuilds its own.
-      group.foreach { case (_, fn) =>
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+      // Solo (heavy) queries warm TWICE: they are the ones whose timed
+      // run sits closest to JIT/codegen cliffs on the contended driver
+      // box, and a second full-scale pass costs seconds while pushing
+      // every generated method decisively past the C1 thresholds.
+      val warmupPasses = if (group.sizeIs == 1 && soloNames(group.head._1)) 2 else 1
+      (1 to warmupPasses).foreach { _ =>
+        group.foreach { case (_, fn) =>
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
       }
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
       group.map { case (name, fn) =>
         org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
         qm.reset()
@@ -335,6 +408,14 @@ object Bench {
     println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec",""" +
       f""""n_queries":${results.size},"n_ok":${ok.size},"queries":$qs,""" +
       f""""slowest":$slowest,"slowest_diag":$slowestDiag,"sf":"$sfDir"}""")
+    // r8 postmortem: the full 128-query map made the total_summary line
+    // itself outgrow the driver's tail capture and BENCH_r08.json
+    // recorded "parsed": null. The map stays (round-over-round diffs
+    // come off the driver artifact), but a SHORT totals-only line now
+    // prints after it, so whatever tail window the launcher keeps, the
+    // LAST line always fits and always parses.
+    println(f"""{"metric":"total_compact","value":$total%.3f,"unit":"sec",""" +
+      f""""n_queries":${results.size},"n_ok":${ok.size},"sf":"$sfDir"}""")
     SparkSession.getActiveSession.foreach(_.stop())
   }
 }

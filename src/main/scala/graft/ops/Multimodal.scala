@@ -57,7 +57,7 @@ object Multimodal {
   /** Deterministic raw 8-bit content (pixels or PCM samples): xorshift64
     * stream seeded by doc_id.
     */
-  private[ops] def rawContent(seed: Long, n: Int): Array[Byte] = {
+  private[graft] def rawContent(seed: Long, n: Int): Array[Byte] = {
     var x = seed ^ 0x9E3779B97F4A7C15L
     val out = new Array[Byte](n)
     var i = 0
@@ -72,7 +72,7 @@ object Multimodal {
   // ---- real encoders (JDK built-in) ------------------------------------
 
   /** Encode an 8-bit grayscale buffer as a real PNG or JPEG via ImageIO. */
-  private[ops] def encodeImage(gray: Array[Byte], w: Int, h: Int, fmt: String): Array[Byte] = {
+  private[graft] def encodeImage(gray: Array[Byte], w: Int, h: Int, fmt: String): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, w, h, gray)
     val baos = new ByteArrayOutputStream()
@@ -86,7 +86,7 @@ object Multimodal {
     new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
 
   /** Encode 8-bit unsigned PCM samples as a real WAV via javax.sound. */
-  private[ops] def encodeWav(samples: Array[Byte]): Array[Byte] = {
+  private[graft] def encodeWav(samples: Array[Byte]): Array[Byte] = {
     val ais = new AudioInputStream(
       new ByteArrayInputStream(samples), wavFormat, samples.length.toLong)
     val baos = new ByteArrayOutputStream()
@@ -99,7 +99,7 @@ object Multimodal {
   /** Decode a payload to (8-bit buffer, width, height). PNG/WAV round-trip
     * losslessly; JPEG decodes to whatever the lossy codec preserved.
     */
-  private[ops] def decode(format: String, media: Array[Byte]): (Array[Byte], Int, Int) =
+  private[graft] def decode(format: String, media: Array[Byte]): (Array[Byte], Int, Int) =
     format match {
       case "png" | "jpeg" =>
         val img = ImageIO.read(new ByteArrayInputStream(media))
