@@ -18,6 +18,7 @@ object Registry {
     ops.Relational.queries,
     ops.Dedup.queries,
     ops.Similarity.queries,
+    ops.AnnIndex.queries,
     ops.TextOps.queries,
     ops.Sampling.queries,
     ops.Sources.queries,

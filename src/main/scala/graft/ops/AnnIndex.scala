@@ -1,0 +1,393 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized ANN index: build-once / probe-many (r8 verdict item 3).
+  *
+  * q23e/q23f demonstrate the IVF and PQ *algorithms* but re-pay the full
+  * index build (Lloyd passes, codebook training, corpus encoding) on
+  * every probe batch. At 100 TB an index is an ARTIFACT: built once,
+  * persisted, probed many times — the same amortization lesson as the
+  * reference's KEK cache (write_encrypted_parquet.py:74, its only
+  * performance optimization). This module persists:
+  *
+  *   - `ivf_centroids`  (cid, ce)            — O(k·dim), the routing table
+  *   - `ivf_assignments`(vec_id, e) BY cid   — the inverted lists, laid
+  *     out so PARTITION PRUNING *is* list selection: a probe of nprobe
+  *     lists physically reads nprobe/k of the corpus files, exactly how
+  *     a disk-resident IVF serves (and how Hive-partitioned parquet
+  *     prunes on a cluster).
+  *   - `pq_codebook`    (m, code, ce)        — O(M·K·sub) doubles
+  *   - `pq_codes`       (vec_id, codes, qnorm) — M small codes per
+  *     vector, the 32x-compressed corpus representation that is the
+  *     only thing the PQ serve path scans.
+  *
+  * Serve paths (probe-only — NO training, NO corpus-wide kmeans):
+  *   - IVF: probe routing against the collected O(k·dim) centroid table
+  *     happens driver-side; the candidate scan is a static
+  *     partition-pruned read of the probed lists.
+  *   - PQ: asymmetric-distance (ADC) scoring — each probe precomputes an
+  *     M×K lookup table of subvector dot products (driver-side,
+  *     O(M·K·sub) per probe); candidate score is then M array lookups
+  *     per corpus row via one scan of the codes table, broadcast-joined
+  *     against the probes. Nothing corpus-sized ever shuffles or lands
+  *     on the driver; the exact-refine pool (256/probe) re-ranks against
+  *     true embeddings as in q23f.
+  *
+  * Staleness: artifacts are keyed by `Tables.datasetTag` (file
+  * size/mtime hash), the Layout/Sources fixture rule — a regenerated
+  * corpus invalidates the index. q110 *forces* a rebuild so the bench
+  * line prices the build honestly; the probe queries adopt a fresh
+  * index if present and build one only when missing.
+  */
+object AnnIndex {
+
+  // IVF sizing: q23e's measured rationale (16 lists × 6 probed, 4 Lloyd
+  // steps — BASELINE §C7). At 100 TB, k grows ∝ sqrt(n), nprobe stays
+  // the recall/cost knob.
+  val K = 16
+  val Nprobe = 6
+  val LloydSteps = 4
+  val TopK = 5
+
+  // PQ sizing: q23f's measured rationale (M=8 subspaces × 8 dims, K=64
+  // codes, refine pool 256).
+  val Mpq = 8
+  val Kpq = 64
+  val Sub = 8
+  val Pool = 256
+
+  private def dbl(c: Column): Column = c.cast("array<double>")
+
+  /** The embeddings corpus in index form: (vec_id, e: array<double>). */
+  private[ops] def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.embeddings(s, d)
+      .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
+
+  // ---- shared IVF trainer (extracted from q23e; q23e delegates here) --
+
+  /** (−cos, cid) entries vs every centroid literal: struct ordering gives
+    * highest similarity first, ties to the smallest cid — the same
+    * tie-break as a (sim DESC, cid ASC) window rank.
+    */
+  private[ops] def centroidEntries(vec: Column, cents: Seq[(Int, Seq[Double])]): Seq[Column] =
+    cents.map { case (cid, ce) =>
+      struct((-GraftFunctions.cosineSim(vec, typedLit(ce))).as("negsim"), lit(cid).as("cid"))
+    }
+
+  private[ops] def nearestCentroid(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    least(centroidEntries(vec, cents): _*).getField("cid")
+
+  /** Seeded k-means over a persisted corpus frame: seeds are the k
+    * corpus vectors with the smallest vec_id hash (stable across runs
+    * and executors), refined by `steps` Lloyd iterations — element-wise
+    * mean per cluster (posexplode → per-dimension avg → re-assemble),
+    * each step one corpus pass + an O(k·dim) driver collect, the MLlib
+    * k-means iteration shape. Empty clusters keep their previous
+    * centroid, so the result always has exactly k rows.
+    */
+  private[ops] def trainIvf(emb: DataFrame, k: Int, steps: Int): Seq[(Int, Seq[Double])] = {
+    val seeds: Seq[(Int, Seq[Double])] = emb
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(k)
+      .select(col("e"))
+      .collect().toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
+    (1 to steps).foldLeft(seeds) { (cents, _) =>
+      val means = emb
+        .select(nearestCentroid(col("e"), cents).as("cid"),
+          posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("ce"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cents.map { case (cid, ce) => (cid, means.getOrElse(cid, ce)) }
+    }
+  }
+
+  // ---- shared PQ trainer (extracted from q23f; q23f delegates here) ---
+
+  /** The corpus exploded into (vec_id, m, sv) subvector slices. */
+  private[ops] def pqSliced(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("e"),
+      explode(array((0 until Mpq).map(m =>
+        struct(lit(m).as("m"), slice(col("e"), m * Sub + 1, Sub).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+
+  /** Broadcast-equi-join code assignment (q23f's shape — the only shape
+    * that survives realistic K): argmin_k ||x − c_k||² =
+    * argmin_k (||c_k||² − 2·x·c_k), ties to the smallest code.
+    */
+  private[ops] def pqAssign(sliced: DataFrame, cb: DataFrame): DataFrame =
+    sliced.join(broadcast(cb), Seq("m"))
+      .withColumn("d2", col("c2") - lit(2.0) * GraftFunctions.dotProduct(col("sv"), col("ce")))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+  /** Seeded per-subspace codebooks with one Lloyd refinement across all
+    * subspaces in one pass (q23f's trainer, verbatim): K seed vectors by
+    * smallest vec_id hash, per-(m, code, dim) means, empty codes keep
+    * their seed centroid. Returns (m, code, ce, c2).
+    */
+  private[ops] def trainPqCodebook(s: SparkSession, emb: DataFrame,
+      sliced: DataFrame): DataFrame = {
+    val seedRows: IndexedSeq[Seq[Double]] = emb
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(Kpq)
+      .select(col("e")).collect().toIndexedSeq.map(_.getSeq[Double](0))
+    def cbDf(cents: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+      import s.implicits._
+      cents.toDF("m", "code", "ce")
+        .withColumn("c2", GraftFunctions.dotProduct(col("ce"), col("ce")))
+    }
+    val seedCb = cbDf(for {
+      m <- 0 until Mpq; (v, k) <- seedRows.zipWithIndex
+    } yield (m, k, v.slice(m * Sub, m * Sub + Sub)))
+    val refined: Map[(Int, Int), Seq[Double]] = pqAssign(sliced, seedCb)
+      .join(sliced, Seq("vec_id", "m"))
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("m", "code", "pos").agg(avg(col("v")).as("mu"))
+      .groupBy("m", "code")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        x => x.getField("mu")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    cbDf(for {
+      m <- 0 until Mpq; k <- 0 until Kpq
+    } yield (m, k, refined.getOrElse((m, k),
+      seedRows(k).slice(m * Sub, m * Sub + Sub))))
+  }
+
+  // ---- persisted index ------------------------------------------------
+
+  private def shmDir(suffix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite)
+      new java.io.File(shm, "graft-annindex") else
+      new java.io.File(sys.props("java.io.tmpdir"), "graft-annindex")
+    new java.io.File(base, suffix).toString
+  }
+
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build all four artifacts under the dataset-tagged dir. Synchronized
+    * via computeIfAbsent per JVM (the Layout/Multimodal fixture rule);
+    * `force` drops the cache entry first so q110 re-prices the build.
+    */
+  def build(s: SparkSession, d: String, force: Boolean = false): String = {
+    GraftFunctions.register(s)
+    val tag = Tables.datasetTag(d)
+    if (force) built.remove(tag): Unit
+    built.computeIfAbsent(tag, tag => {
+      val dir = shmDir(tag)
+      val marker = new java.io.File(dir, "_SUCCESS")
+      if (force || !marker.exists()) {
+        val emb = corpus(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // IVF: routing table + inverted lists. The lists carry the
+          // vectors (the inverted-FILE structure): a probe reads only
+          // its pruned cid partitions and scores in place — no
+          // corpus-sized join at serve time.
+          val centroids = trainIvf(emb, K, LloydSteps)
+          val centDf = {
+            import s.implicits._
+            centroids.toDF("cid", "ce")
+          }
+          centDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+          emb.select(nearestCentroid(col("e"), centroids).as("cid"),
+              col("vec_id"), col("e"))
+            .write.mode("overwrite").partitionBy("cid")
+            .parquet(s"$dir/ivf_assignments")
+          // PQ: codebook + codes. Codes are stored m-ordered in one
+          // array (pos = m), plus the reconstructed-vector norm the ADC
+          // cosine needs — O(M) ints + 1 double per vector, the
+          // compressed corpus.
+          val sliced = pqSliced(emb)
+          val cb = trainPqCodebook(s, emb, sliced)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebook")
+          pqAssign(sliced, cb)
+            .join(broadcast(cb.select(col("m"), col("code"), col("ce"))), Seq("m", "code"))
+            .groupBy("vec_id")
+            .agg(
+              transform(array_sort(collect_list(struct(col("m"), col("code")))),
+                x => x.getField("code")).as("codes"),
+              sqrt(sum(GraftFunctions.dotProduct(col("ce"), col("ce")))).as("qnorm"))
+            .write.mode("overwrite").parquet(s"$dir/pq_codes")
+          cb.unpersist(): Unit
+          marker.createNewFile(): Unit
+        } finally emb.unpersist(): Unit
+      }
+      dir
+    })
+  }
+
+  /** Adopt an existing index for this dataset or build one (probe-query
+    * entry point — a serve path must not fail just because it probed
+    * before the first build ran in this JVM).
+    */
+  private def ensure(s: SparkSession, d: String): String = build(s, d, force = false)
+
+  private def readCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+    s.read.parquet(s"$dir/ivf_centroids")
+      .collect().toIndexedSeq
+      .map(r => (r.getInt(r.fieldIndex("cid")),
+        r.getSeq[Double](r.fieldIndex("ce"))))
+
+  private def cosineScala(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The probe set: the q23e/q23f convention (vec_id < 10), collected —
+    * O(probes·dim), the only driver materialization either serve path
+    * makes beyond the routing table/codebook.
+    */
+  private def collectProbes(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
+    corpus(s, d).filter(col("vec_id") < 10)
+      .collect().toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+  /** Q111 serve path: probe routing driver-side against the persisted
+    * routing table (same (−cos, cid) tie-break as the trainer), then ONE
+    * statically partition-pruned scan of the probed inverted lists,
+    * scored in place with the codegen'd cosine kernel. Reads
+    * nprobe-of-K partitions — the explain carries the cid-IN partition
+    * filter (pinned by AnnIndexSpec).
+    */
+  def ivfProbe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val dir = ensure(s, d)
+    val cents = readCentroids(s, dir)
+    val probes = collectProbes(s, d)
+    val routed: Seq[(Long, Seq[Double], Int)] = probes.flatMap { case (pid, pe) =>
+      cents.map { case (cid, ce) => (-cosineScala(pe, ce), cid) }
+        .sorted.take(Nprobe)
+        .map { case (_, cid) => (pid, pe, cid) }
+    }
+    val neededCids = routed.map(_._3).distinct.sorted
+    val probeDf = {
+      import s.implicits._
+      routed.toDF("probe_id", "pe", "cid")
+    }
+    val lists = s.read.parquet(s"$dir/ivf_assignments")
+      .filter(col("cid").isin(neededCids: _*))
+    val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    lists.join(broadcast(probeDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("e"), col("pe")))
+      .withColumn("rnk", row_number().over(wT).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Q112 serve path: ADC over the persisted codes. Each probe's M×K
+    * lookup table of subvector dot products is precomputed driver-side
+    * (O(M·K·sub) per probe) and shipped flat; a corpus row's quantized
+    * dot product is then M array lookups — one scan of the codes table
+    * broadcast-joined with the probes, no training, no reconstruction
+    * join. The 256-per-probe pool re-ranks exactly against the true
+    * embeddings (q23f's refine discipline).
+    */
+  def pqProbe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val dir = ensure(s, d)
+    val cb: Map[(Int, Int), Seq[Double]] = s.read.parquet(s"$dir/pq_codebook")
+      .select(col("m"), col("code"), col("ce"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val probes = collectProbes(s, d)
+    // Flat LUT per probe: lut[m*K + code] = dot(pe_m, centroid(m, code)).
+    val probeLut: Seq[(Long, Seq[Double], Seq[Double], Double)] = probes.map {
+      case (pid, pe) =>
+        val lut = for (m <- 0 until Mpq; code <- 0 until Kpq) yield {
+          val ce = cb((m, code)); val off = m * Sub
+          var acc = 0.0; var i = 0
+          while (i < Sub) { acc += pe(off + i) * ce(i); i += 1 }
+          acc
+        }
+        val pnorm = math.sqrt(pe.map(x => x * x).sum)
+        (pid, pe, lut, pnorm)
+    }
+    val probeDf = {
+      import s.implicits._
+      probeLut.toDF("probe_id", "pe", "lut", "pnorm")
+    }
+    val codes = s.read.parquet(s"$dir/pq_codes")
+    // qdot = Σ_m lut[m*K + codes[m]] — an aggregate over the M codes;
+    // qcos against the stored reconstructed norm ranks the pool.
+    val scored = codes.join(broadcast(probeDf), col("vec_id") =!= col("probe_id"))
+      .withColumn("qdot",
+        aggregate(sequence(lit(0), lit(Mpq - 1)), lit(0.0),
+          (acc, m) => acc + element_at(col("lut"),
+            m * lit(Kpq) + element_at(col("codes"), m + lit(1)) + lit(1))))
+      .withColumn("qcos", col("qdot") / (col("pnorm") * col("qnorm")))
+    val wPool = Window.partitionBy("probe_id").orderBy(col("qcos").desc, col("vec_id").asc)
+    val pool = scored
+      .withColumn("prank", row_number().over(wPool))
+      .filter(col("prank") <= Pool)
+      .select(col("probe_id"), col("vec_id"), col("pe"))
+    val emb = corpus(s, d)
+    val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    // Unhinted exact-refine join (q23f's r8 discipline): the corpus side
+    // carries accurate scan stats — broadcast at bench scale, shuffled
+    // fallback beyond the threshold.
+    pool
+      .join(emb, Seq("vec_id"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("e"), col("pe")))
+      .withColumn("rnk", row_number().over(wT).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Q110 — index build, FORCED (the bench line prices the build every
+    * run; probe queries adopt the result). Returns per-artifact row
+    * counts read back from the written parquet — a conservation check
+    * the DuckDB oracle can express: every corpus vector must appear in
+    * the assignments and the codes, and the routing/codebook tables are
+    * exactly their configured sizes.
+    */
+  val q110: Q = Q(
+    "q110_ann_index_build",
+    (s, d) => {
+      val dir = build(s, d, force = true)
+      import s.implicits._
+      Seq("ivf_assignments", "ivf_centroids", "pq_codebook", "pq_codes")
+        .map(a => (a, s.read.parquet(s"$dir/$a").count()))
+        .toDF("artifact", "n_rows")
+        .orderBy("artifact")
+    },
+    Some(s"""SELECT 'ivf_assignments' AS artifact, count(*) AS n_rows FROM embeddings
+            |UNION ALL SELECT 'ivf_centroids', CAST($K AS BIGINT)
+            |UNION ALL SELECT 'pq_codebook', CAST(${Mpq * Kpq} AS BIGINT)
+            |UNION ALL SELECT 'pq_codes', count(*) FROM embeddings
+            |ORDER BY artifact""".stripMargin))
+
+  /** Q111 — IVF serve from the persisted index (no Lloyd, no training:
+    * routing table collect + pruned list scan only). Approximate →
+    * rows-only driver check; AnnIndexSpec pins recall at q23e's floor
+    * and pins the partition-pruned scan shape.
+    */
+  val q111: Q = Q("q111_ann_ivf_probe", (s, d) => ivfProbe(s, d), None)
+
+  /** Q112 — PQ serve from the persisted index (ADC scoring + exact
+    * refine; the corpus-sided input is the compressed codes table).
+    * Approximate → rows-only driver check; AnnIndexSpec pins recall at
+    * q23f's floor.
+    */
+  val q112: Q = Q("q112_ann_pq_probe", (s, d) => pqProbe(s, d), None)
+
+  val queries: Seq[Q] = Seq(q110, q111, q112)
+}

@@ -297,45 +297,17 @@ object Similarity {
       val emb = Tables.spread(Tables.embeddings(s, d)
         .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Deterministic seeds: the k corpus vectors with the smallest
-      // vec_id hash (a seeded pseudo-random sample, stable across runs
-      // and executors); cid = rank in hash order.
-      val seeds: Seq[(Int, Seq[Double])] = emb
-        .withColumn("h", xxhash64(col("vec_id")))
-        .orderBy("h").limit(k)
-        .select(col("e"))
-        .collect().toIndexedSeq.zipWithIndex
-        .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
-      // (−cos, cid) entries vs every centroid literal: struct ordering
-      // gives highest similarity first, ties to the smallest cid — the
-      // same tie-break as a (sim DESC, cid ASC) window rank.
+      // Trainer shared with the materialized index (AnnIndex.trainIvf —
+      // hash-seeded, `lloydSteps` element-wise-mean refinements, each
+      // one corpus pass + an O(k·dim) driver collect, the MLlib k-means
+      // iteration shape). This query keeps the INLINE build-and-probe
+      // composition; q110/q111 are the build-once/probe-many split of
+      // the same trainer.
       def entries(vec: Column, cents: Seq[(Int, Seq[Double])]): Seq[Column] =
-        cents.map { case (cid, ce) =>
-          struct((-cosine(vec, typedLit(ce))).as("negsim"), lit(cid).as("cid"))
-        }
+        AnnIndex.centroidEntries(vec, cents)
       def nearest(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
-        least(entries(vec, cents): _*).getField("cid")
-      // Lloyd iterations: element-wise mean per cluster (posexplode →
-      // per-dimension avg → re-assemble in dimension order), repeated —
-      // one refinement step from hash seeds left the lists barely better
-      // than random partitions (recall 0.54 at sf0.1; 4 steps: see
-      // BASELINE §C7). Each step is one corpus pass + an O(k·dim) driver
-      // collect — the MLlib k-means iteration shape, corpus-resident
-      // data never recollected. Empty clusters keep their previous
-      // centroid.
-      val centroids: Seq[(Int, Seq[Double])] =
-        (1 to lloydSteps).foldLeft(seeds) { (cents, _) =>
-          val means = emb
-            .select(nearest(col("e"), cents).as("cid"),
-              posexplode(col("e")).as(Seq("pos", "v")))
-            .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
-            .groupBy("cid")
-            .agg(transform(
-              array_sort(collect_list(struct(col("pos"), col("m")))),
-              x => x.getField("m")).as("ce"))
-            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-          cents.map { case (cid, ce) => (cid, means.getOrElse(cid, ce)) }
-        }
+        AnnIndex.nearestCentroid(vec, cents)
+      val centroids: Seq[(Int, Seq[Double])] = AnnIndex.trainIvf(emb, k, lloydSteps)
       val assigned = emb.select(nearest(col("e"), centroids).as("cid"),
         col("vec_id"), col("e"))
       // Each probe searches its nprobe nearest inverted lists.
@@ -398,45 +370,15 @@ object Similarity {
       //
       // argmin_k ||x − c_k||² = argmin_k (||c_k||² − 2·x·c_k); ties to
       // the smallest code via the (d2, code) ordering struct.
-      val sliced = emb.select(col("vec_id"), col("e"),
-        explode(array((0 until M).map(m =>
-          struct(lit(m).as("m"), slice(col("e"), m * sub + 1, sub).as("sv"))): _*)).as("s"))
-        .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-      def assign(cb: DataFrame): DataFrame =
-        sliced.join(broadcast(cb), Seq("m"))
-          .withColumn("d2", col("c2") - lit(2.0) * GraftFunctions.dotProduct(col("sv"), col("ce")))
-          .groupBy("vec_id", "m")
-          .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
-      // Seeds: the K corpus vectors with the smallest vec_id hash; each
-      // subspace starts from that vector's own slice. One small driver
-      // collect — O(K·dim), corpus-size-independent, like MLlib k-means.
-      val seedRows: IndexedSeq[Seq[Double]] = emb
-        .withColumn("h", xxhash64(col("vec_id")))
-        .orderBy("h").limit(K)
-        .select(col("e")).collect().toIndexedSeq.map(_.getSeq[Double](0))
-      def cbDf(cents: Seq[(Int, Int, Seq[Double])]): DataFrame = {
-        import s.implicits._
-        cents.toDF("m", "code", "ce")
-          .withColumn("c2", GraftFunctions.dotProduct(col("ce"), col("ce")))
-      }
-      val seedCb = cbDf(for {
-        m <- 0 until M; (v, k) <- seedRows.zipWithIndex
-      } yield (m, k, v.slice(m * sub, m * sub + sub)))
-      // One Lloyd step across ALL subspaces in one pass: assign against
-      // the seeds, per-(m, code, dim) means, one driver collect of the
-      // refined codebook (empty codes keep their seed centroid).
-      val refined: Map[(Int, Int), Seq[Double]] = assign(seedCb)
-        .join(sliced, Seq("vec_id", "m"))
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("m", "code", "pos").agg(avg(col("v")).as("mu"))
-        .groupBy("m", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
-          x => x.getField("mu")).as("c"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
-      val cb = cbDf(for {
-        m <- 0 until M; k <- 0 until K
-      } yield (m, k, refined.getOrElse((m, k),
-        seedRows(k).slice(m * sub, m * sub + sub))))
+      // Trainer + assignment shapes shared with the materialized index
+      // (AnnIndex.trainPqCodebook / pqAssign — hash-seeded per-subspace
+      // codebooks, one Lloyd step across all subspaces in one pass,
+      // O(K·dim) driver collects only). This query keeps the INLINE
+      // build-encode-probe composition; q110/q112 are the
+      // build-once/serve-many split of the same trainer.
+      val sliced = AnnIndex.pqSliced(emb)
+      def assign(cb: DataFrame): DataFrame = AnnIndex.pqAssign(sliced, cb)
+      val cb = AnnIndex.trainPqCodebook(s, emb, sliced)
       // Encode the corpus (8 small codes per vector — the 32x compression
       // that makes billion-vector corpora scannable), then reconstruct
       // the quantized vector by joining codes back to centroids and
