@@ -69,4 +69,83 @@ class KeyRotationSpec extends SparkTestBase {
       }
     } finally kms.stop()
   }
+
+  /** r8 verdict item 6: rotation landing UNDER live readers whose KEK
+    * caches are still warm (the 60 s TTL of A22). The reader must never
+    * observe a failed read or wrong rows at any point — before, during,
+    * or after the material rewrite: fresh material references fresh KEK
+    * ids, which simply miss the warm cache and unwrap on demand, while
+    * stale cached entries are never consulted again. The privilege
+    * lattice must also hold across the swap (no stale ALLOW for a
+    * tokenless reader, no stale DENY for a privileged one).
+    */
+  test("rotation under concurrent warm-cache reads: no read fails, lattice holds") {
+    val kms = new TestKmsServer().start()
+    try {
+      val dir = Files.createTempDirectory("graft-rotate-live-").toString
+      val policy = EncryptionPolicy(
+        columnKeys = Map(
+          PrivilegeLevel.Confidential -> Seq("first_name", "last_name"),
+          PrivilegeLevel.Restricted   -> Seq("social_security_number")),
+        internalKeyMaterial = false)
+      val df = Fixtures.people(spark)
+      EncryptedParquet.write(df, dir, policy, kms.url, mode = "overwrite")
+      val want = df.collect().map(_.toSeq).toSet
+
+      @volatile var failure: Option[Throwable] = None
+      @volatile var stop = false
+      val readsDone = new java.util.concurrent.atomic.AtomicInteger(0)
+      val reader = new Thread(() => {
+        try {
+          while (!stop) {
+            val got = EncryptedParquet.read(spark, dir, kms.url, Some("RESTRICTED"))
+              .collect().map(_.toSeq).toSet
+            if (got != want)
+              throw new AssertionError(s"read under rotation returned wrong rows")
+            readsDone.incrementAndGet(): Unit
+          }
+        } catch { case t: Throwable => failure = Some(t) }
+      }, "graft-rotation-reader")
+      reader.start()
+
+      // Let the reader warm its caches with at least two full reads...
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (readsDone.get() < 2 && failure.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(failure.isEmpty, s"pre-rotation read failed: ${failure.fold("")(_.toString)}")
+      assert(readsDone.get() >= 2, "reader never warmed up")
+
+      // ...then land the rotation underneath it. NOTE: deliberately NO
+      // cache clear first — the point is that warm reader state and the
+      // material swap coexist. (Rotation itself re-reads material from
+      // the files, not from any read-side cache.)
+      val conf = new Configuration()
+      EncryptionPolicy.applyReadConf(conf, kms.url, Some("RESTRICTED"))
+      conf.set(KeyToolkit.KEY_MATERIAL_INTERNAL_PROPERTY_NAME, "false")
+      KeyToolkit.rotateMasterKeys(dir, conf)
+      val atRotation = readsDone.get()
+
+      // Require at least three more full post-rotation reads.
+      while (readsDone.get() < atRotation + 3 && failure.isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      stop = true
+      reader.join(120000)
+      assert(failure.isEmpty, s"read failed across rotation: ${failure.fold("")(_.toString)}")
+      assert(readsDone.get() >= atRotation + 3,
+        "reader did not complete post-rotation reads in time")
+
+      // Lattice across the swap: tokenless is still denied on the
+      // rotated material (no stale ALLOW path).
+      intercept[Throwable] {
+        EncryptedParquet.read(spark, dir, kms.url, None)
+          .select("social_security_number").collect()
+      }
+      // And a privileged reader with a COLD cache also succeeds (the
+      // durable post-rotation state, not just the warm-cache window).
+      KeyToolkit.removeCacheEntriesForAllTokens()
+      val cold = EncryptedParquet.read(spark, dir, kms.url, Some("RESTRICTED"))
+        .collect().map(_.toSeq).toSet
+      assert(cold == want, "cold post-rotation read must return the original rows")
+    } finally kms.stop()
+  }
 }
