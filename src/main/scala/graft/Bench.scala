@@ -385,6 +385,18 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] ann recall diag failed: $e") }
       try println(tools.CryptoMeasure.run(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] crypto diag failed: $e") }
+      // Exchange-byte sweep (r8 verdict item 4), recorded per round next
+      // to the timings. Runs at the sf0.01 sibling: a refactor that lets
+      // a wide payload ride through a shuffle multiplies the bytes at
+      // every scale factor identically, and the small-SF sweep keeps the
+      // one-context pass cheap (the sf0.1 anchors for the heavy family
+      // are spec-enforced in ShuffleBudgetSpec).
+      try {
+        val small = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+        val dir = if (small.isDirectory) small.getPath else sfDir
+        println(tools.ScaleDiag.shuffleBudget(spark, dir))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] shuffle budget diag failed: $e") }
     }
     // The driver keeps only the tail of stdout; with 61 queries the full
     // line above outgrew that window in round 3 and the headline total was

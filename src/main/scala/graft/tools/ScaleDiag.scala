@@ -99,6 +99,52 @@ object ScaleDiag {
     s"""{"metric":"ann_recall","sf":"$sf",${cells.mkString(",")}}"""
   }
 
+  /** Total bytes crossing exchanges (task-level shuffle WRITE sum) for
+    * one run of each named query — the scale-killer metric (r8 verdict
+    * item 4): a refactor that lets a wide payload (shingle arrays,
+    * embeddings, full text) ride through a shuffle multiplies this
+    * number long before wall-clock shows it on a laptop-scale corpus.
+    * Shuffle write is the right side to sum: it counts each exchange
+    * once and excludes broadcasts (which the plan audit bounds
+    * separately). Queries run through the noop sink, caches cleared
+    * between, listener flushed around each measurement.
+    */
+  def shuffleBytes(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      : Seq[(String, Long)] = {
+    val bytes = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) bytes.add(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try queries.map { case (name, fn) =>
+      org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
+      bytes.reset()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[shuffle-budget] $name failed: ${e.getMessage}"); false }
+      org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      (name, if (ok) bytes.sum else -1L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** The bench-artifact JSON line: per-query exchange bytes for every
+    * registered query at the bench SF — the round-over-round record the
+    * ShuffleBudgetSpec ceilings are re-derived from.
+    */
+  def shuffleBudget(spark: SparkSession, benchSfDir: String): String = {
+    val cells = shuffleBytes(spark, benchSfDir,
+        graft.SparkEntry.queries.toSeq.sortBy(_._1))
+      .map { case (n, b) => s""""$n":$b""" }
+    val sf = new java.io.File(benchSfDir).getName
+    s"""{"metric":"shuffle_bytes","sf":"$sf",${cells.mkString("\"queries\":{", ",", "}")}}"""
+  }
+
   /** One JSON metric line: per-sf doc counts and candidate counts. */
   def run(spark: SparkSession, benchSfDir: String): String = {
     val entries = sfDirs(benchSfDir).map { d =>
