@@ -183,6 +183,14 @@ object TextOps {
 
   /** Document fingerprints: rolling hash per doc + duplicate-fingerprint
     * groups (fingerprint equality ⇔ normalized token-sequence equality).
+    *
+    * Oracled (r9, verdict item 8): the query never EXPOSES the 64-bit fp
+    * value, only its equality classes — and since single-space
+    * normalization makes join-by-space bijective, fp equality is exactly
+    * normalized-text equality (up to an xxhash64 collision, which the
+    * tri-scale hash gate would surface as a count diff on this fixed
+    * corpus). So DuckDB groups by the normalized string itself — same
+    * classes, no hash replication needed.
     */
   val q33: Q = Q(
     "q33_fingerprint",
@@ -194,7 +202,12 @@ object TextOps {
         .select("keeper_id", "n_docs")
         .orderBy("keeper_id")
     },
-    None)
+    Some("""WITH n AS (
+            |  SELECT doc_id,
+            |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+            |  FROM documents)
+            |SELECT min(doc_id) AS keeper_id, count(*) AS n_docs
+            |FROM n GROUP BY norm ORDER BY keeper_id""".stripMargin))
 
   /** Q41 — end-to-end corpus curation, the composition every
     * training-data pipeline runs as ONE declarative plan: exact dedup
