@@ -199,8 +199,16 @@ object AnnIndex {
             centroids.toDF("cid", "ce")
           }
           centDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+          // Cluster by the partition column BEFORE the partitioned
+          // write: without it every write task emits a file into every
+          // cid dir (tasks × k small files — the classic partitioned-
+          // sink small-files defect; measured 78.8 s task-time vs
+          // 16.1 s CPU on the r9 seal's q110 line). One exchange on
+          // cid, one file per list — the layout a 100 TB inverted file
+          // wants, since a probe reads whole lists.
           emb.select(nearestCentroid(col("e"), centroids).as("cid"),
               col("vec_id"), col("e"))
+            .repartition(col("cid"))
             .write.mode("overwrite").partitionBy("cid")
             .parquet(s"$dir/ivf_assignments")
           // PQ: codebook + codes. Codes are stored m-ordered in one
