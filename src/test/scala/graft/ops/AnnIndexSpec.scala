@@ -72,4 +72,35 @@ class AnnIndexSpec extends SparkTestBase {
     assert(plan.contains("pq_codes"),
       s"PQ probe must scan the persisted codes:\n$plan")
   }
+
+  test("q113 append freezes the base: no artifact retrained, delta idempotent") {
+    val (baseDir, _) = AnnIndex.appendDelta(spark, sfDir)
+    def trainedBytes: Map[String, Long] =
+      Seq("ivf_centroids", "pq_codebook").flatMap { a =>
+        Option(new java.io.File(s"$baseDir/$a").listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => s"$a/${f.getName}" -> f.length())
+      }.toMap
+    val before = trainedBytes
+    // A second append must neither retrain (trained artifact files
+    // byte-identical) nor grow the appended index (delta overwritten,
+    // base untouched) — the run-idempotence q113's bench line relies on.
+    val census1 = AnnIndex.q113.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val census2 = AnnIndex.q113.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(trainedBytes === before, "append retrained a base artifact")
+    assert(census1 === census2, "append is not idempotent across runs")
+    val n = Similarity.q23.fn(spark, sfDir).sparkSession.read
+      .parquet(s"$sfDir/embeddings.parquet").count()
+    assert(census1("ivf_assignments") === n && census1("pq_codes") === n,
+      s"appended index must cover the corpus exactly: $census1 vs $n")
+  }
+
+  test("q113 appended-index IVF recall matches the full-build floor at sf0.1") {
+    val approx = topkSet(AnnIndex.ivfProbeAppended(spark, benchSf))
+    val r = (exactTopk & approx).size.toDouble / exactTopk.size
+    info(f"appended-index recall $r%.3f")
+    assert(r >= 0.68, f"appended-index IVF recall regressed to $r%.3f (floor 0.68)")
+  }
 }

@@ -116,9 +116,10 @@ object ShuffleBudgetSpec {
     "q109_lead_time" -> 866650L,
     "q10_distinct_agg" -> 149410L,
     "q10b_approx_distinct" -> 1274954L,
-    "q110_ann_index_build" -> 1478144L,
+    "q110_ann_index_build" -> 1880240L,
     "q111_ann_ivf_probe" -> 65536L,
     "q112_ann_pq_probe" -> 706282L,
+    "q113_ann_index_append" -> 87654L,
     "q11_window_rank" -> 290684L,
     "q12_window_frame" -> 1705818L,
     "q13_topk" -> 65536L,
