@@ -174,7 +174,11 @@ object AnnIndex {
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Train + write all four artifacts for `embFrame` under `dir`. */
+  /** Train + write all four artifacts for `embFrame` under `dir`. The
+    * caller owns the `_SUCCESS` marker; it must INVALIDATE (delete) it
+    * before calling and recreate it after, so a killed build can never
+    * leave a valid-looking marker over partial artifacts.
+    */
   private def writeIndex(s: SparkSession, embFrame: DataFrame, dir: String): Unit = {
     val emb = embFrame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -235,6 +239,7 @@ object AnnIndex {
       val dir = shmDir(tag)
       val marker = new java.io.File(dir, "_SUCCESS")
       if (force || !marker.exists()) {
+        marker.delete(): Unit
         writeIndex(s, corpus(s, d), dir)
         marker.createNewFile(): Unit
       }
@@ -387,6 +392,7 @@ object AnnIndex {
       val dir = shmDir(key)
       val marker = new java.io.File(dir, "_SUCCESS")
       if (!marker.exists()) {
+        marker.delete(): Unit
         writeIndex(s, baseSlice(corpus(s, d)), dir)
         marker.createNewFile(): Unit
       }

@@ -91,8 +91,7 @@ class AnnIndexSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(trainedBytes === before, "append retrained a base artifact")
     assert(census1 === census2, "append is not idempotent across runs")
-    val n = Similarity.q23.fn(spark, sfDir).sparkSession.read
-      .parquet(s"$sfDir/embeddings.parquet").count()
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     assert(census1("ivf_assignments") === n && census1("pq_codes") === n,
       s"appended index must cover the corpus exactly: $census1 vs $n")
   }
