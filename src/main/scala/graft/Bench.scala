@@ -268,11 +268,15 @@ object Bench {
     // diag: q40 pure-CPU inflation, q41 task>>cpu stalls) — the same
     // in-group contamination signature the r8 singleton groups cured
     // for the dedup family.
+    // q110/q113 (the index build/append lines, heavy and write-side)
+    // start solo too: their first driver-box runs are next round, and
+    // every multi-stage heavy query that debuted inside a 4-query group
+    // has inflated there first (q22a r7, q40/q41 r8).
     val soloNames = Set(
       "q22a_jaccard_pairs", "q22b_minhash_pairs", "q38_dup_clusters",
       "q40_multimodal_features", "q41_corpus_curation",
       "q57_leakage_safe_split", "q58_semantic_dedup", "q58b_semantic_dedup_lsh",
-      "q108_survivorship")
+      "q108_survivorship", "q110_ann_index_build", "q113_ann_index_append")
     val groups: Seq[Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]] = {
       val out = Seq.newBuilder[Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]]
       var cur = Vector.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
