@@ -2060,10 +2060,130 @@ object Relational {
             |  CAST(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS BIGINT) AS late_lines
             |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** Q114 — OHLC time bars: per event_type per hour, the
+    * open/high/low/close/volume summary every telemetry and market-data
+    * store materializes. The Spark-first shape matters: open and close
+    * are NOT a sort + first/last window (which would shuffle every
+    * bar's full row set to one task) but commutative struct-argmin/
+    * argmax aggregates — min/max of (tus, event_id, value) picks the
+    * earliest/latest observation per bar with a deterministic event_id
+    * tiebreak and needs no ordering guarantee from the scan. Struct
+    * min/max is not hash-aggregable, so the plan is a SortAggregate
+    * (per-partition sort on the group key) — but the partial aggregate
+    * still runs map-side, so the ONE key-shuffle carries only partial
+    * bars (two structs + three scalars per group per partition), not
+    * rows. At 100 TB that map-side combine is the whole game: shuffle
+    * volume is O(types × hours), independent of event count. The
+    * oracle expresses the same bars with first/last window functions —
+    * the semantic spec — while the engine runs the aggregate form.
+    */
+  /** The q114 body over any (event_type, ts, event_id, value) frame. */
+  def ohlcBars(eventsDf: DataFrame): DataFrame = {
+    val b = eventsDf.filter(col("ts").isNotNull).select(
+      col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"),
+      unix_micros(col("ts")).as("tus"), col("event_id"), col("value"))
+    b.groupBy(col("event_type"), col("bar_ts"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        min(struct(col("tus"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("tus"), col("event_id"), col("value"))).as("c"),
+        r4z(min(col("value"))).as("low"),
+        r4z(max(col("value"))).as("high"),
+        rsum(col("value")).as("sum_value"))
+      .select(col("event_type"), Canon.fmtTs(col("bar_ts")).as("bar"),
+        col("n_obs"),
+        r4z(col("o").getField("value")).as("open"), col("high"), col("low"),
+        r4z(col("c").getField("value")).as("close"), col("sum_value"))
+      .orderBy("event_type", "bar")
+  }
+
+  val q114: Q = Q(
+    "q114_ohlc_bars",
+    (s, d) => ohlcBars(Tables.spread(Tables.events(s, d), col("event_id"))),
+    Some("""WITH b AS (
+            |  SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+            |    epoch_us(ts) AS tus, event_id, value
+            |  FROM events WHERE ts IS NOT NULL),
+            |w AS (
+            |  SELECT event_type, bar_ts, value,
+            |    first_value(value) OVER win AS open_v,
+            |    last_value(value) OVER
+            |      (win ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            |      AS close_v
+            |  FROM b
+            |  WINDOW win AS (PARTITION BY event_type, bar_ts ORDER BY tus, event_id))
+            |SELECT event_type, strftime(bar_ts, '%Y-%m-%d %H:%M:%S') AS bar,
+            |  count(*) AS n_obs,
+            |  round(min(open_v), 4) + 0 AS open,
+            |  round(max(value), 4) + 0 AS high,
+            |  round(min(value), 4) + 0 AS low,
+            |  round(min(close_v), 4) + 0 AS close,
+            |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS sum_value
+            |FROM w GROUP BY event_type, bar_ts ORDER BY event_type, bar""".stripMargin))
+
+  /** Q117 — repeat-purchase cadence: per market segment, the
+    * distribution of gaps (days) between a customer's consecutive
+    * orders — the reorder-interval census behind churn models and
+    * inventory forecasts. One lead-window per customer (q103's interval
+    * idiom on the o_custkey key — far smaller partitions than a global
+    * sort), then one segment aggregate over integer day-gaps: counts,
+    * min/max, exact DECIMAL sum, and exact integer-percentile p50/p90
+    * (4-dp rounded; swaps for percentile_approx at 100 TB, q79's
+    * trade). First orders have no predecessor and drop out (open
+    * interval). The dim join broadcasts customer after the gap table
+    * shrinks to one row per order.
+    */
+  /** The q117 body over orders- and customer-shaped frames. */
+  def purchaseGaps(ordersDf: DataFrame, customerDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("od"), col("o_orderkey"))
+    val gaps = ordersDf
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      .withColumn("gap_days",
+        datediff(lead(col("od"), 1).over(w), col("od")).cast("long"))
+      .filter(col("gap_days").isNotNull)
+    gaps.join(broadcast(customerDf.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        countDistinct(col("o_custkey")).as("n_repeat_custs"),
+        min(col("gap_days")).as("min_gap"),
+        max(col("gap_days")).as("max_gap"),
+        sum(col("gap_days")).as("sum_gap"),
+        round(percentile(col("gap_days"), lit(0.5)), 4).as("p50_gap"),
+        round(percentile(col("gap_days"), lit(0.9)), 4).as("p90_gap"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q117: Q = Q(
+    "q117_purchase_gaps",
+    (s, d) => purchaseGaps(
+      Tables.spread(Tables.orders(s, d), col("o_orderkey")), Tables.customer(s, d)),
+    Some("""WITH g AS (
+            |  SELECT o_custkey,
+            |    date_diff('day', CAST(o_orderdate AS DATE),
+            |      lead(CAST(o_orderdate AS DATE)) OVER
+            |        (PARTITION BY o_custkey
+            |         ORDER BY CAST(o_orderdate AS DATE), o_orderkey)) AS gap_days
+            |  FROM orders),
+            |j AS (
+            |  SELECT c.c_mktsegment, g.o_custkey, CAST(g.gap_days AS BIGINT) AS gap_days
+            |  FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+            |  WHERE g.gap_days IS NOT NULL)
+            |SELECT c_mktsegment,
+            |  count(*) AS n_gaps,
+            |  count(DISTINCT o_custkey) AS n_repeat_custs,
+            |  min(gap_days) AS min_gap,
+            |  max(gap_days) AS max_gap,
+            |  CAST(sum(gap_days) AS BIGINT) AS sum_gap,
+            |  round(CAST(quantile_cont(gap_days, 0.5) AS DOUBLE), 4) AS p50_gap,
+            |  round(CAST(quantile_cont(gap_days, 0.9) AS DOUBLE), 4) AS p90_gap
+            |FROM j GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   val queries: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06a, q06b, q07, q08, q09a, q09b,
     q10, q10b, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q28, q28b, q29,
     q48, q49, q50, q52, q53, q54, q71, q75, q78, q82, q85, q86, q87, q89,
     q90, q91, q92, q93, q95, q96, q97, q99, q100, q102, q103, q104, q105, q106,
-    q107, q109)
+    q107, q109, q114, q117)
 }

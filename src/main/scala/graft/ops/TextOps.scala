@@ -985,7 +985,144 @@ object TextOps {
             |  UNION ALL SELECT '40_repetition', c4, n FROM a)
             |ORDER BY stage""".stripMargin))
 
+  /** Q115 — PMI term co-occurrence: the top-50 most-associated term
+    * pairs among the 100 highest-document-frequency terms, scored by
+    * pointwise mutual information over document co-occurrence — the
+    * collocation/word-association statistic corpus linguists and
+    * phrase-mining pipelines compute first. The pair explosion is the
+    * scale hazard, so it is vocabulary-bounded BEFORE the join: the df
+    * census (two key-shuffles) feeds a distributed top-k
+    * (TakeOrdered, no global sort) whose 100-term result BROADCASTS
+    * back over the token table; the self-join then meets ≤100 terms
+    * per doc on the doc_id key and the support floor (n_ab ≥ 5) prunes
+    * the tail before scoring. Ranking uses the 4-dp-rounded PMI with a
+    * (term_a, term_b) tiebreak — q42's discipline wherever cross-engine
+    * `ln` can differ below the rounding precision.
+    */
+  /** The q115 body over any (doc_id, text) frame. */
+  def pmiCooccur(docsDf: DataFrame, vocabSize: Int = 100, minPairs: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docsDf.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val dfT = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    val vocab = dfT.orderBy(col("df").desc, col("term").asc).limit(vocabSize)
+    val vtok = tok.join(broadcast(vocab), Seq("term"))
+    val a = vtok.select(col("doc_id"), col("term").as("term_a"), col("df").as("df_a"))
+    val b = vtok.select(col("doc_id"), col("term").as("term_b"), col("df").as("df_b"))
+    val n = docsDf.select(count(lit(1)).as("n_docs"))
+    val pairs = a.join(b, Seq("doc_id"))
+      .filter(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b", "df_a", "df_b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairs)
+    val scored = pairs.crossJoin(broadcast(n))
+      .withColumn("pmi", r4z(log(
+        col("n_ab").cast("double") * col("n_docs") /
+          (col("df_a").cast("double") * col("df_b")))))
+      .orderBy(col("pmi").desc, col("term_a").asc, col("term_b").asc)
+      .limit(topK)
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pmi").desc, col("term_a").asc, col("term_b").asc))
+        .cast("long"))
+      .select(col("rnk"), col("term_a"), col("term_b"), col("n_ab"), col("pmi"))
+      .orderBy("rnk")
+  }
+
+  val q115: Q = Q(
+    "q115_pmi_cooccur",
+    (s, d) => pmiCooccur(docs(s, d)),
+    Some("""WITH tok AS (
+            |  SELECT DISTINCT doc_id, term FROM (
+            |    SELECT doc_id,
+            |      unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+            |    FROM documents) WHERE term <> ''),
+            |dfx AS (SELECT term, count(*) AS df FROM tok GROUP BY 1),
+            |vocab AS (SELECT term, df FROM dfx ORDER BY df DESC, term LIMIT 100),
+            |vtok AS (SELECT t.doc_id, t.term, v.df FROM tok t JOIN vocab v USING (term)),
+            |n AS (SELECT count(*) AS n_docs FROM documents),
+            |pairs AS (
+            |  SELECT a.term AS term_a, b.term AS term_b,
+            |    a.df AS df_a, b.df AS df_b, count(*) AS n_ab
+            |  FROM vtok a JOIN vtok b ON a.doc_id = b.doc_id AND a.term < b.term
+            |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5),
+            |scored AS (
+            |  SELECT term_a, term_b, n_ab,
+            |    round(ln(CAST(n_ab AS DOUBLE) * n.n_docs /
+            |             (CAST(df_a AS DOUBLE) * df_b)), 4) + 0 AS pmi
+            |  FROM pairs CROSS JOIN n),
+            |ranked AS (
+            |  SELECT term_a, term_b, n_ab, pmi,
+            |    row_number() OVER (ORDER BY pmi DESC, term_a, term_b) AS rnk
+            |  FROM scored)
+            |SELECT rnk, term_a, term_b, n_ab, pmi
+            |FROM ranked WHERE rnk <= 50 ORDER BY rnk""".stripMargin))
+
+  /** Q116 — Zipf rank-frequency fit: the log-log least-squares slope
+    * over the corpus's 100 most frequent terms — the one-number
+    * natural-language sanity check (clean prose fits slope ≈ −1;
+    * boilerplate/spam corpora flatten or steepen it) that corpus-QA
+    * dashboards track per crawl snapshot. One term-frequency census
+    * (key-shuffle with map-side combine), a distributed top-k, then a
+    * 100-row regression: ln(rank) and ln(tf) are rounded to 12 dp and
+    * summed in DECIMAL (order-independent, so the slope algebra runs on
+    * bit-identical sums cross-engine — q91's discipline applied to
+    * irrational regressors); the closed-form slope/intercept are IEEE
+    * double ops on those exact sums, rounded last.
+    */
+  /** The q116 body over any (text) frame. */
+  def zipfFit(docsDf: DataFrame, topV: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docsDf.select(explode(toks(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val top = tf.orderBy(col("tf").desc, col("term").asc).limit(topV)
+    // 100-row frame from here on: the unpartitioned window is a
+    // single-task rank over the already-reduced top-k, not a global sort.
+    val ranked = top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("tf").desc, col("term").asc)).cast("long"))
+    val pts = ranked.select(
+      round(log(col("rnk").cast("double")), 12).cast("decimal(14,12)").as("x"),
+      round(log(col("tf").cast("double")), 12).cast("decimal(14,12)").as("y"))
+    val s = pts.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    s.select(col("n_terms"),
+        ((col("n_terms") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+         (col("n_terms") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))).as("m"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
+      .select(col("n_terms"), r4z(col("m")).as("slope"),
+        r4z((col("syd") - col("m") * col("sxd")) / col("n_terms")).as("intercept"))
+  }
+
+  val q116: Q = Q(
+    "q116_zipf_fit",
+    (s, d) => zipfFit(docs(s, d)),
+    Some("""WITH tf AS (
+            |  SELECT term, count(*) AS tf FROM (
+            |    SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+            |    FROM documents) WHERE term <> '' GROUP BY 1),
+            |topv AS (SELECT term, tf FROM tf ORDER BY tf DESC, term LIMIT 100),
+            |r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rnk FROM topv),
+            |p AS (SELECT
+            |    CAST(round(ln(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(14,12)) AS x,
+            |    CAST(round(ln(CAST(tf AS DOUBLE)), 12) AS DECIMAL(14,12)) AS y
+            |  FROM r),
+            |sums AS (SELECT count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+            |    sum(x*y) AS sxy, sum(x*x) AS sxx FROM p),
+            |fit AS (SELECT n_terms,
+            |    (n_terms * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            |    (n_terms * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS m,
+            |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+            |  FROM sums)
+            |SELECT n_terms, round(m, 4) + 0 AS slope,
+            |  round((syd - m * sxd) / n_terms, 4) + 0 AS intercept
+            |FROM fit""".stripMargin))
+
   val queries: Seq[Q] =
     Seq(q22d, q30, q31, q32, q33, q41, q42, q45, q56, q61, q63, q64, q66, q72,
-      q76, q79, q81, q98)
+      q76, q79, q81, q98, q115, q116)
 }

@@ -617,6 +617,42 @@ class PlanSpec extends SparkTestBase {
     assert(scans == 1, s"rollup must read the table once, got $scans scans:\n$p")
   }
 
+  test("q114: OHLC is a map-side-combined struct-argmin aggregate, no window") {
+    val p = planString("q114_ohlc_bars")
+    // Partial aggregation must run before the key exchange: the shuffle
+    // carries partial bars, not events (the whole 100 TB story).
+    assert(p.contains("partial_min(struct(tus"), s"no map-side struct argmin:\n$p")
+    assert(p.contains("partial_max(struct(tus"), s"no map-side struct argmax:\n$p")
+    assert(!p.contains("Window ["), s"OHLC must not use a window:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(ts)]"), s"ts filter not pushed:\n$p")
+  }
+
+  test("q115: PMI bounds the pair join by a broadcast top-k vocabulary") {
+    val p = planString("q115_pmi_cooccur")
+    // Vocabulary selection is a distributed top-k, not a global sort...
+    assert(p.contains("TakeOrderedAndProject(limit=100"), s"vocab not TakeOrdered:\n$p")
+    // ...and it reaches the token table as a broadcast, so the pair
+    // explosion meets <=100 terms per doc before any shuffle.
+    assert(p.contains("BroadcastHashJoin [term"), s"vocab join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=50"), s"final top-k not TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q116: Zipf ranks via distributed top-k; the window sees 100 rows") {
+    val p = planString("q116_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject(limit=100"), s"top terms not TakeOrdered:\n$p")
+    // The only window in the plan runs AFTER the limit (100-row rank,
+    // not a corpus-wide sort): no rangepartitioning exchange feeds it.
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked in:\n$p")
+  }
+
+  test("q117: purchase gaps = one customer-keyed window + broadcast dim join") {
+    val p = planString("q117_purchase_gaps")
+    assert(p.split("Window \\[").length - 1 == 1, s"expected exactly one window:\n$p")
+    assert(p.contains("windowspecdefinition(o_custkey"), s"window not customer-keyed:\n$p")
+    assert(p.contains("BroadcastHashJoin [o_custkey"), s"dim join not broadcast:\n$p")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}

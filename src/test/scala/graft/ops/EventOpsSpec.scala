@@ -98,4 +98,49 @@ class EventOpsSpec extends SparkTestBase {
     assert(math.abs(out("lin") - 2.5) < 1e-6, s"slope ${out("lin")} != 2.5/day")
     assert(out("const") == 0.0)
   }
+
+  test("q114: OHLC open/close follow (ts, event_id) order, not input order") {
+    val rows = Seq(
+      // one 10:00 bar, deliberately out of input order; two events tie
+      // on ts and must break on event_id (5 before 9)
+      (9L, "px", ts(1, 10, 0), 777.0),
+      (5L, "px", ts(1, 10, 0), 11.0),
+      (7L, "px", ts(1, 10, 30), -3.0),
+      (2L, "px", ts(1, 10, 59), 42.0),
+      // a single-event 11:00 bar: open = close = high = low
+      (3L, "px", ts(1, 11, 5), 6.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+    val out = Relational.ohlcBars(rows).collect()
+      .map(r => r.getAs[String]("bar") -> r).toMap
+    val b10 = out("2024-03-01 10:00:00")
+    assert(b10.getAs[Long]("n_obs") == 4)
+    assert(b10.getAs[Double]("open") == 11.0, "ts tie must break on event_id")
+    assert(b10.getAs[Double]("close") == 42.0)
+    assert(b10.getAs[Double]("high") == 777.0)
+    assert(b10.getAs[Double]("low") == -3.0)
+    val b11 = out("2024-03-01 11:00:00")
+    assert(Seq("open", "close", "high", "low")
+      .forall(c => b11.getAs[Double](c) == 6.0), "singleton bar: all four equal")
+  }
+
+  test("q117: gaps telescope (sum = last - first) and singles drop out") {
+    val d = "2024-03-%02d 00:00:00"
+    val ords = Seq(
+      // customer 1: days 1, 4, 10 → gaps 3, 6 (sum 9 = 10 - 1)
+      (101L, 1L, d.format(1)), (102L, 1L, d.format(4)), (103L, 1L, d.format(10)),
+      // customer 2: two orders the SAME day → one gap of 0
+      (104L, 2L, d.format(5)), (105L, 2L, d.format(5)),
+      // customer 3: a single order → contributes no gap at all
+      (106L, 3L, d.format(7))
+    ).map { case (o, c, dt) => (o, c, "O", 1.0, dt, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val cust = (1L to 3L).map(c => (c, "SEG")).toDF("c_custkey", "c_mktsegment")
+    val r = Relational.purchaseGaps(ords, cust).collect().head
+    assert(r.getAs[Long]("n_gaps") == 3)
+    assert(r.getAs[Long]("n_repeat_custs") == 2, "single-order customer must not count")
+    assert(r.getAs[Long]("sum_gap") == 9L, "per-customer gaps must telescope")
+    assert(r.getAs[Long]("min_gap") == 0L)
+    assert(r.getAs[Long]("max_gap") == 6L)
+  }
 }

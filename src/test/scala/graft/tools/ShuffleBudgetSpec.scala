@@ -120,6 +120,10 @@ object ShuffleBudgetSpec {
     "q111_ann_ivf_probe" -> 65536L,
     "q112_ann_pq_probe" -> 706282L,
     "q113_ann_index_append" -> 87654L,
+    "q114_ohlc_bars" -> 1493356L,
+    "q115_pmi_cooccur" -> 443426L,
+    "q116_zipf_fit" -> 177638L,
+    "q117_purchase_gaps" -> 949480L,
     "q11_window_rank" -> 290684L,
     "q12_window_frame" -> 1705818L,
     "q13_topk" -> 65536L,
