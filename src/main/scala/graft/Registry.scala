@@ -20,6 +20,7 @@ object Registry {
     ops.Similarity.queries,
     ops.AnnIndex.queries,
     ops.TextOps.queries,
+    ops.StatOps.queries,
     ops.Sampling.queries,
     ops.Sources.queries,
     ops.Layout.queries,

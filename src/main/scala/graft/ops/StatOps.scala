@@ -1,0 +1,228 @@
+package graft.ops
+
+import graft.{Canon, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical data-quality auditing: the distribution-shape checks a
+  * curation pipeline runs before trusting a corpus — categorical entropy,
+  * inequality (Gini), digit-law conformance (Benford), and categorical
+  * independence (chi-square). Every query reduces to integer counts plus
+  * a tiny post-aggregation table, so the statistics cost one key-shuffle
+  * with map-side combine no matter the input size; the float algebra
+  * follows q116's discipline (pre-rounded irrational terms summed in
+  * DECIMAL — order-independent, bit-identical cross-engine; closed-form
+  * arithmetic in IEEE doubles on the exact sums, rounded last).
+  */
+object StatOps {
+  import Canon._
+
+  /** Q118 — categorical entropy profile of the documents table's lang
+    * and source columns: Shannon entropy in nats, the one-number
+    * balance check ("is this corpus 99% one language?") curation
+    * dashboards track per snapshot. BOTH category censuses come out of
+    * ONE scan via GROUPING SETS (q106/q107's single-pass discipline —
+    * Expand sits under the exchange, so only combined partials
+    * shuffle); grouping_id labels the branch, immune to values in
+    * either column. −Σ p·ln p accumulates 12-dp-rounded DECIMAL terms
+    * (q116's regressor discipline) over the O(categories) result —
+    * the per-branch window sees the post-aggregation table, not rows —
+    * negated and rounded last (r4z: a single-category column yields
+    * −0.0 otherwise).
+    */
+  /** The q118 body over any (lang, source) frame. */
+  def entropyProfile(docsDf: DataFrame): DataFrame = {
+    val cells = docsDf
+      .groupingSets(Seq(Seq(col("lang")), Seq(col("source"))),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      .select(when(col("gid") === 1, lit("lang")).otherwise(lit("source"))
+        .as("column_name"), col("cnt"))
+    val withTotal = cells.withColumn("n_rows",
+      sum(col("cnt")).over(Window.partitionBy("column_name")))
+    withTotal
+      .select(col("column_name"), col("cnt"), col("n_rows"),
+        round((col("cnt") / col("n_rows")) *
+            log(col("cnt") / col("n_rows")), 12)
+          .cast("decimal(26,12)").as("t"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_categories"), max(col("n_rows")).as("n_rows"),
+        r4z(-sum(col("t")).cast("double")).as("entropy"))
+      .orderBy("column_name")
+  }
+
+  val q118: Q = Q(
+    "q118_entropy_profile",
+    (s, d) => entropyProfile(Tables.spread(Tables.documents(s, d), col("doc_id"))),
+    Some("""WITH lc AS (SELECT lang AS v, count(*) AS cnt FROM documents GROUP BY 1),
+            |lt AS (SELECT cnt, CAST(sum(cnt) OVER () AS BIGINT) AS n_rows FROM lc),
+            |le AS (SELECT 'lang' AS column_name, count(*) AS n_categories,
+            |    max(n_rows) AS n_rows,
+            |    round(CAST(-sum(CAST(round((cnt * 1.0 / n_rows) * ln(cnt * 1.0 / n_rows), 12)
+            |      AS DECIMAL(26,12))) AS DOUBLE), 4) + 0 AS entropy
+            |  FROM lt),
+            |sc AS (SELECT source AS v, count(*) AS cnt FROM documents GROUP BY 1),
+            |st AS (SELECT cnt, CAST(sum(cnt) OVER () AS BIGINT) AS n_rows FROM sc),
+            |se AS (SELECT 'source' AS column_name, count(*) AS n_categories,
+            |    max(n_rows) AS n_rows,
+            |    round(CAST(-sum(CAST(round((cnt * 1.0 / n_rows) * ln(cnt * 1.0 / n_rows), 12)
+            |      AS DECIMAL(26,12))) AS DOUBLE), 4) + 0 AS entropy
+            |  FROM st)
+            |SELECT * FROM le UNION ALL SELECT * FROM se ORDER BY column_name""".stripMargin))
+
+  /** Q119 — Gini coefficient of customer spend per market segment: the
+    * inequality index behind every "whale concentration" dashboard
+    * (q104 reports the crossover ranks; q119 reports the single
+    * standard index). Customers rank ascending by exact DECIMAL spend
+    * inside a segment partition (key tiebreak — permuting equal spends
+    * leaves Σ rank·x unchanged, so ties are value-safe); the classic
+    * identity G = 2·Σ(rᵢxᵢ)/(n·Σx) − (n+1)/n runs on exact
+    * DECIMAL(38,6) sums — the (25,6)×(12,0) product stays inside both
+    * engines' fixed-width multiply — with IEEE division last.
+    */
+  /** The q119 body over orders- and customer-shaped frames. */
+  def giniBySegment(ordersDf: DataFrame, customerDf: DataFrame): DataFrame = {
+    val per = ordersDf.groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("spend"))
+      .join(broadcast(customerDf.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("spend").asc, col("o_custkey").asc)
+    per.select(col("c_mktsegment"), col("spend").cast("decimal(25,6)").as("spend"),
+        row_number().over(w).cast("decimal(12,0)").as("rnk"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("sx"),
+        sum(col("spend") * col("rnk")).as("srx"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        r4z(lit(2.0) * col("srx").cast("double") /
+            (col("n_customers") * col("sx").cast("double")) -
+          (col("n_customers") + lit(1.0)) / col("n_customers")).as("gini"),
+        round(col("sx").cast("double"), 4).as("segment_revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q119: Q = Q(
+    "q119_gini_spend",
+    (s, d) => giniBySegment(
+      Tables.spread(Tables.orders(s, d), col("o_orderkey")), Tables.customer(s, d)),
+    Some("""WITH per AS (
+            |  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
+            |    AS DECIMAL(25,6)) AS spend
+            |  FROM orders GROUP BY 1),
+            |j AS (
+            |  SELECT c.c_mktsegment, p.o_custkey, p.spend
+            |  FROM per p JOIN customer c ON p.o_custkey = c.c_custkey),
+            |r AS (
+            |  SELECT c_mktsegment, spend,
+            |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+            |      ORDER BY spend, o_custkey) AS DECIMAL(12,0)) AS rnk
+            |  FROM j),
+            |a AS (
+            |  SELECT c_mktsegment, count(*) AS n_customers,
+            |    sum(spend) AS sx, sum(spend * rnk) AS srx
+            |  FROM r GROUP BY 1)
+            |SELECT c_mktsegment, n_customers,
+            |  round(2.0 * CAST(srx AS DOUBLE) / (n_customers * CAST(sx AS DOUBLE)) -
+            |        (n_customers + 1.0) / n_customers, 4) + 0 AS gini,
+            |  round(CAST(sx AS DOUBLE), 4) AS segment_revenue
+            |FROM a ORDER BY c_mktsegment""".stripMargin))
+
+  /** Q120 — Benford first-digit audit of line-item extended prices: the
+    * fraud/synthetic-data screen — naturally-grown monetary amounts
+    * follow P(d) = log10(1 + 1/d), fabricated ones usually don't. The
+    * first significant digit comes from the INTEGER STRING of
+    * floor(price) (both engines format integers identically), never
+    * from floor(log10 x) whose libm ulp at exact powers of ten flips
+    * the digit cross-engine. One 9-group census; shares divide by the
+    * windowed total over the 9-row result.
+    */
+  /** The q120 body over any frame with a positive `amount` column. */
+  def benfordProfile(amounts: DataFrame): DataFrame = {
+    val d = amounts
+      .select(substring(floor(col("amount")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    d.withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total"), 4).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("expected_share"))
+      .orderBy("digit")
+  }
+
+  val q120: Q = Q(
+    "q120_benford_digits",
+    (s, d) => benfordProfile(Tables.spread(Tables.lineitem(s, d), col("l_orderkey"))
+      .select(col("l_extendedprice").as("amount"))),
+    Some("""WITH d AS (
+            |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+            |    AS INTEGER) AS digit
+            |  FROM lineitem),
+            |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+            |t AS (SELECT digit, n, sum(n) OVER () AS total FROM c)
+            |SELECT digit, n, round(n * 1.0 / total, 4) AS share,
+            |  round(log10(1.0 + 1.0 / digit), 4) AS expected_share
+            |FROM t ORDER BY digit""".stripMargin))
+
+  /** Q121 — chi-square independence of lang × source in the documents
+    * table: "do sources specialize by language?" — the categorical
+    * association test a corpus census runs before stratifying by either
+    * column. ONE scan builds the contingency cells; row/column margins
+    * and the grand total are window sums OVER THE CELLS (O(langs ×
+    * sources) rows — no second pass, no join). Absent cells (O = 0)
+    * never materialize, but their χ² mass folds in algebraically:
+    * Σ_zero (0−E)²/E = Σ_zero E = N − Σ_obs E, so the sum runs over
+    * observed cells as Σ[(O−E)²/E − E] and adds N back at the end —
+    * exact, grid-join-free. Expected counts and the per-cell terms are
+    * IEEE doubles on exact integers, 9-dp-rounded into DECIMAL for the
+    * order-independent final sum.
+    */
+  /** The q121 body over any (lang, source) frame. */
+  def chi2Independence(docsDf: DataFrame): DataFrame = {
+    val cells = docsDf.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val m = cells
+      .withColumn("rl", sum(col("o")).over(Window.partitionBy("lang")))
+      .withColumn("cs", sum(col("o")).over(Window.partitionBy("source")))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val e = col("rl").cast("double") * col("cs") / col("n")
+    val dev = col("o") - e
+    m.select(col("lang"), col("source"), col("n"),
+        round(dev * dev / e - e, 9).cast("decimal(28,9)").as("t"))
+      .agg(sum(col("t")).as("chi2s"),
+        max(col("n")).as("n_rows"),
+        count(lit(1)).as("n_cells"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      .select(col("n_rows"), col("n_cells"), col("n_langs"), col("n_sources"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+        r4z(col("chi2s").cast("double") + col("n_rows")).as("chi2"))
+  }
+
+  val q121: Q = Q(
+    "q121_chi2_independence",
+    (s, d) => chi2Independence(Tables.spread(Tables.documents(s, d), col("doc_id"))),
+    Some("""WITH cells AS (
+            |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+            |m AS (
+            |  SELECT lang, source, o,
+            |    sum(o) OVER (PARTITION BY lang) AS rl,
+            |    sum(o) OVER (PARTITION BY source) AS cs,
+            |    sum(o) OVER () AS n
+            |  FROM cells),
+            |terms AS (
+            |  SELECT lang, source, n,
+            |    CAST(round((o - rl * 1.0 * cs / n) * (o - rl * 1.0 * cs / n) /
+            |               (rl * 1.0 * cs / n) - rl * 1.0 * cs / n, 9)
+            |      AS DECIMAL(28,9)) AS t
+            |  FROM m)
+            |SELECT CAST(max(n) AS BIGINT) AS n_rows,
+            |  count(*) AS n_cells,
+            |  count(DISTINCT lang) AS n_langs,
+            |  count(DISTINCT source) AS n_sources,
+            |  (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
+            |  round(CAST(sum(t) AS DOUBLE) + max(n), 4) + 0 AS chi2
+            |FROM terms""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q118, q119, q120, q121)
+}

@@ -653,6 +653,40 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin [o_custkey"), s"dim join not broadcast:\n$p")
   }
 
+  test("q118: both entropy censuses come from ONE scan via grouping sets") {
+    val p = planString("q118_entropy_profile")
+    val scans = p.split("\n").count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"entropy profile must read documents once, got $scans:\n$p")
+    assert(p.contains("Expand"), s"expected a grouping-sets Expand:\n$p")
+    assert(p.contains("partial_count(1)"), s"census not map-side combined:\n$p")
+  }
+
+  test("q119: Gini = one segment window over pre-aggregated spends + broadcast dim") {
+    val p = planString("q119_gini_spend")
+    assert(p.contains("BroadcastHashJoin [o_custkey"), s"dim join not broadcast:\n$p")
+    assert(p.split("Window \\[").length - 1 == 1, s"expected exactly one window:\n$p")
+    // The window ranks customers (one row per custkey), not orders: the
+    // per-customer aggregate must sit under the join.
+    assert(p.contains("partial_sum(cast(o_totalprice"), s"spend not pre-aggregated:\n$p")
+  }
+
+  test("q120: Benford census map-side combines; scan reads two columns") {
+    val p = planString("q120_benford_digits")
+    assert(p.contains("partial_count(1)"), s"digit census not map-side combined:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length <= 2, s"scan reads too many columns: $read")
+  }
+
+  test("q121: chi-square margins are windows over the cells, not extra scans") {
+    val p = planString("q121_chi2_independence")
+    val scans = p.split("\n").count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"contingency census must read documents once, got $scans:\n$p")
+    assert(p.split("Window \\[").length - 1 == 3,
+      s"expected three margin windows over the cells:\n$p")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}

@@ -38,6 +38,57 @@ class CorpusStatsSpec extends SparkTestBase {
       out.mkString("; "))
   }
 
+  test("q118: uniform categories give ln(k); a constant column gives +0.0") {
+    // lang uniform over 4 values → H = ln 4; source constant → H = 0
+    // (and must be +0.0, not -0.0 — the r4z guard).
+    val docs = (1L to 8L).map(i => (i, s"l${i % 4}", "s0")).toDF("doc_id", "lang", "source")
+    val out = StatOps.entropyProfile(docs).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val lang = out("lang")
+    assert(lang.getAs[Long]("n_categories") == 4L && lang.getAs[Long]("n_rows") == 8L)
+    assert(lang.getAs[Double]("entropy") == math.rint(math.log(4.0) * 1e4) / 1e4)
+    val src = out("source")
+    assert(src.getAs[Long]("n_categories") == 1L)
+    assert(java.lang.Double.doubleToRawLongBits(src.getAs[Double]("entropy")) == 0L,
+      "constant column must yield +0.0 exactly")
+  }
+
+  test("q119: equal spends give Gini 0; a hand-computed split gives 0.25") {
+    def orders(rows: Seq[(Long, Long, Double)]) = rows
+      .map { case (o, c, p) => (o, c, "O", p, "2024-01-01 00:00:00", "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val cust = (1L to 2L).map(c => (c, "SEG")).toDF("c_custkey", "c_mktsegment")
+    val eq = StatOps.giniBySegment(
+      orders(Seq((1L, 1L, 50.0), (2L, 2L, 50.0))), cust).collect().head
+    assert(eq.getAs[Double]("gini") == 0.0)
+    // spends (1, 3): ranks (1, 2), G = 2·(1+6)/(2·4) − 3/2 = 0.25
+    val sk = StatOps.giniBySegment(
+      orders(Seq((1L, 1L, 1.0), (2L, 2L, 3.0))), cust).collect().head
+    assert(sk.getAs[Double]("gini") == 0.25)
+  }
+
+  test("q120: first digit comes from the integer string, not log10") {
+    val amts = Seq(123.45, 999.99, 1000.0, 85.0, 1.0, 19999.0)
+      .toDF("amount")
+    val out = StatOps.benfordProfile(amts).collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n")).toMap
+    assert(out == Map(1 -> 4L, 8 -> 1L, 9 -> 1L), out.toString)
+  }
+
+  test("q121: exact independence gives chi2 = 0; full coupling gives n") {
+    val indep = ((1L to 1L).map(i => (i, "a", "x")) ++ Seq((2L, "a", "y"),
+      (3L, "b", "x"), (4L, "b", "y"))).toDF("doc_id", "lang", "source")
+    val r0 = StatOps.chi2Independence(indep).collect().head
+    assert(r0.getAs[Long]("dof") == 1L)
+    assert(r0.getAs[Double]("chi2") == 0.0)
+    // perfectly coupled 2x2: chi2 equals n
+    val dep = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "b", "y"), (4L, "b", "y"))
+      .toDF("doc_id", "lang", "source")
+    val r1 = StatOps.chi2Independence(dep).collect().head
+    assert(r1.getAs[Double]("chi2") == 4.0)
+  }
+
   test("q116: an exact rank^-2 corpus fits slope -2 with zero residual") {
     // tf(rank) = 144 / rank^2 at ranks 1..4: ln(tf) = ln(144) - 2·ln(rank)
     // exactly, so the least-squares slope must round to -2.0000 and the

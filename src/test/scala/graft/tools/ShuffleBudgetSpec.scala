@@ -124,6 +124,10 @@ object ShuffleBudgetSpec {
     "q115_pmi_cooccur" -> 443426L,
     "q116_zipf_fit" -> 177638L,
     "q117_purchase_gaps" -> 949480L,
+    "q118_entropy_profile" -> 65536L,
+    "q119_gini_spend" -> 732878L,
+    "q120_benford_digits" -> 1443262L,
+    "q121_chi2_independence" -> 65536L,
     "q11_window_rank" -> 290684L,
     "q12_window_frame" -> 1705818L,
     "q13_topk" -> 65536L,
