@@ -224,5 +224,124 @@ object StatOps {
             |  round(CAST(sum(t) AS DOUBLE) + max(n), 4) + 0 AS chi2
             |FROM terms""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q118, q119, q120, q121)
+  /** Daily revenue series: one key-shuffled aggregate with map-side
+    * combine, 4-dp-rounded into DECIMAL(18,4) so every downstream
+    * product stays inside both engines' 38-digit fixed-width multiply.
+    * Day count is calendar-bounded (~10³ rows at ANY corpus size), so
+    * the time-series queries below may run unpartitioned windows over
+    * it — the windows see the post-aggregation table, never rows.
+    */
+  private def dailyRevenue(ordersDf: DataFrame): DataFrame =
+    ordersDf.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(38,6)")), 4)
+        .cast("decimal(18,4)").as("x"))
+
+  private val DailySql =
+    """SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4)
+      |      AS DECIMAL(18,4)) AS x
+      |  FROM orders GROUP BY 1""".stripMargin
+
+  /** Q122 — lag-1 autocorrelation of daily revenue: the one-number
+    * persistence check ("does a strong day predict the next?") behind
+    * seasonality/anomaly dashboards (q91 fits a trend; q122 measures
+    * serial dependence). Consecutive-day pairs come from one lead
+    * window over the daily table; Pearson r runs on exact DECIMAL sums
+    * of the (18,4) series and its lag — (18,4)×(18,4) products stay
+    * fixed-width — with the divide and the IEEE-correctly-rounded sqrt
+    * (deterministic cross-engine, unlike libm ln/log10) applied last.
+    */
+  /** The q122 body over an orders-shaped frame. */
+  def autocorrDaily(ordersDf: DataFrame): DataFrame = {
+    val pairs = dailyRevenue(ordersDf)
+      .withColumn("y", lead(col("x"), 1).over(Window.orderBy("day")))
+      .filter(col("y").isNotNull)
+    pairs
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_pairs"),
+        r4z((col("n_pairs") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n_pairs") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n_pairs") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+          .as("autocorr"))
+  }
+
+  val q122: Q = Q(
+    "q122_autocorr_daily",
+    (s, d) => autocorrDaily(Tables.spread(Tables.orders(s, d), col("o_orderkey"))),
+    Some(s"""WITH daily AS ($DailySql),
+            |p AS (
+            |  -- (19,4) operands: DuckDB multiplies width-18 decimals in
+            |  -- int64 (overflows); 19+19 = 38 takes the int128 path.
+            |  SELECT CAST(x AS DECIMAL(19,4)) AS x,
+            |    CAST(lead(x) OVER (ORDER BY day) AS DECIMAL(19,4)) AS y
+            |  FROM daily),
+            |pairs AS (SELECT x, y FROM p WHERE y IS NOT NULL),
+            |sums AS (
+            |  SELECT count(*) AS n_pairs, sum(x) AS sx, sum(y) AS sy,
+            |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+            |  FROM pairs)
+            |SELECT n_pairs,
+            |  round((n_pairs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            |    sqrt((n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+            |         (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) + 0
+            |    AS autocorr
+            |FROM sums""".stripMargin))
+
+  /** Q123 — CUSUM changepoint scan of daily revenue: the day where the
+    * cumulative sum deviates most from the uniform-growth line — the
+    * standard "did the level shift, and when?" detector run before
+    * trusting a before/after comparison. The statistic max|S_k − (k/n)·S_n|
+    * is computed as max|n·S_k − k·S_n|/n so EVERYTHING up to the final
+    * divide is exact DECIMAL on integers — no float accumulates across
+    * days, and the argmax day is an exact comparison with a
+    * deterministic earliest-day tiebreak (TakeOrdered over the daily
+    * table, no global sort of anything row-sized).
+    */
+  /** The q123 body over an orders-shaped frame. */
+  def cusumChangepoint(ordersDf: DataFrame): DataFrame = {
+    val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val c = dailyRevenue(ordersDf).select(col("day"),
+      sum(col("x")).over(wCum).cast("decimal(24,4)").as("sk"),
+      sum(col("x")).over(wAll).cast("decimal(24,4)").as("sn"),
+      count(lit(1)).over(wAll).as("n_days"),
+      row_number().over(Window.orderBy("day")).cast("long").as("k"))
+    c.select(col("day"), col("n_days"),
+        abs(col("sk") * col("n_days").cast("decimal(8,0)") -
+          col("k").cast("decimal(8,0)") * col("sn")).as("absdev"))
+      .orderBy(col("absdev").desc, col("day").asc)
+      .limit(1)
+      .select(col("n_days"), Canon.fmtDate(col("day")).as("change_day"),
+        r4z(col("absdev").cast("double") / col("n_days")).as("max_cusum"))
+  }
+
+  val q123: Q = Q(
+    "q123_cusum_changepoint",
+    (s, d) => cusumChangepoint(Tables.spread(Tables.orders(s, d), col("o_orderkey"))),
+    Some(s"""WITH daily AS ($DailySql),
+            |c AS (
+            |  SELECT day,
+            |    CAST(sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+            |      AND CURRENT ROW) AS DECIMAL(24,4)) AS sk,
+            |    CAST(sum(x) OVER () AS DECIMAL(24,4)) AS sn,
+            |    count(*) OVER () AS n_days,
+            |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+            |  FROM daily),
+            |d AS (
+            |  SELECT day, CAST(n_days AS BIGINT) AS n_days,
+            |    abs(sk * CAST(n_days AS DECIMAL(8,0)) -
+            |        CAST(k AS DECIMAL(8,0)) * sn) AS absdev
+            |  FROM c)
+            |SELECT n_days, strftime(day, '%Y-%m-%d') AS change_day,
+            |  round(CAST(absdev AS DOUBLE) / n_days, 4) + 0 AS max_cusum
+            |FROM d ORDER BY absdev DESC, day LIMIT 1""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q118, q119, q120, q121, q122, q123)
 }

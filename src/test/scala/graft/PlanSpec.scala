@@ -687,6 +687,22 @@ class PlanSpec extends SparkTestBase {
       s"expected three margin windows over the cells:\n$p")
   }
 
+  test("q122: autocorrelation windows run over the daily table, not orders") {
+    val p = planString("q122_autocorr_daily")
+    // The daily census must map-side combine before any window: the lead
+    // window's input is the aggregate, so its volume is calendar-bounded.
+    assert(p.contains("partial_sum(cast(o_totalprice"), s"daily sum not partial:\n$p")
+    val scans = p.split("\n").count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected one orders scan, got $scans:\n$p")
+  }
+
+  test("q123: CUSUM argmax is a TakeOrdered over the daily table") {
+    val p = planString("q123_cusum_changepoint")
+    assert(p.contains("TakeOrderedAndProject(limit=1"), s"argmax not TakeOrdered:\n$p")
+    assert(p.contains("partial_sum(cast(o_totalprice"), s"daily sum not partial:\n$p")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}

@@ -89,6 +89,32 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(r1.getAs[Double]("chi2") == 4.0)
   }
 
+  private def dayOrders(vals: Seq[Double]) = vals.zipWithIndex
+    .map { case (v, i) =>
+      (i.toLong + 1L, 1L, "O", v, f"2024-03-${i + 1}%02d 00:00:00", "1-URGENT")
+    }
+    .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+
+  test("q122: a perfectly alternating series autocorrelates to exactly -1") {
+    // daily [0,2,0,2,0,2]: every consecutive pair anti-moves; the exact
+    // DECIMAL sums make the double algebra land on -1.0 bit-exactly.
+    val r = StatOps.autocorrDaily(dayOrders(Seq(0.0, 2.0, 0.0, 2.0, 0.0, 2.0)))
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 5L)
+    assert(r.getAs[Double]("autocorr") == -1.0)
+  }
+
+  test("q123: a level shift puts the changepoint at the step boundary") {
+    // [0,0,10,10]: dev_k = |4*S_k - k*20| peaks at k=2 (40) -> day 2,
+    // max_cusum = 40/4 = 10.
+    val r = StatOps.cusumChangepoint(dayOrders(Seq(0.0, 0.0, 10.0, 10.0)))
+      .collect().head
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[String]("change_day") == "2024-03-02")
+    assert(r.getAs[Double]("max_cusum") == 10.0)
+  }
+
   test("q116: an exact rank^-2 corpus fits slope -2 with zero residual") {
     // tf(rank) = 144 / rank^2 at ranks 1..4: ln(tf) = ln(144) - 2·ln(rank)
     // exactly, so the least-squares slope must round to -2.0000 and the

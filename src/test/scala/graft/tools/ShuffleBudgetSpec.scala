@@ -128,6 +128,8 @@ object ShuffleBudgetSpec {
     "q119_gini_spend" -> 732878L,
     "q120_benford_digits" -> 1443262L,
     "q121_chi2_independence" -> 65536L,
+    "q122_autocorr_daily" -> 842044L,
+    "q123_cusum_changepoint" -> 842044L,
     "q11_window_rank" -> 290684L,
     "q12_window_frame" -> 1705818L,
     "q13_topk" -> 65536L,
