@@ -343,5 +343,125 @@ object StatOps {
             |  round(CAST(absdev AS DOUBLE) / n_days, 4) + 0 AS max_cusum
             |FROM d ORDER BY absdev DESC, day LIMIT 1""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q118, q119, q120, q121, q122, q123)
+  /** Q124 — population stability index of the order-priority mix
+    * between the first and second half of the time range: THE
+    * categorical drift metric ML monitoring runs on every feature
+    * (q89 tracks numeric quantile drift; q124 is its categorical
+    * sibling). ONE scan builds the (day, priority) census; the split
+    * date and per-half totals are windows over that calendar-bounded
+    * table; the per-bucket shares pivot via conditional aggregation
+    * (no join), and PSI = Σ (p₁−p₂)·ln(p₁/p₂) accumulates
+    * 12-dp-rounded DECIMAL terms. Buckets absent from either half are
+    * excluded (PSI is undefined at zero mass) and reported via
+    * n_buckets so the exclusion is visible, not silent.
+    */
+  /** The q124 body over an orders-shaped frame. */
+  def psiPriorityDrift(ordersDf: DataFrame): DataFrame = {
+    val census = ordersDf
+      .groupBy(to_date(col("o_orderdate")).as("day"),
+        col("o_orderpriority").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy()
+    val halves = census
+      .withColumn("mind", min(col("day")).over(wAll))
+      .withColumn("maxd", max(col("day")).over(wAll))
+      .withColumn("h", when(datediff(col("day"), col("mind")) * 2 <=
+        datediff(col("maxd"), col("mind")), lit(1)).otherwise(lit(2)))
+      .groupBy("bucket", "h").agg(sum(col("cnt")).as("cnt"))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy("h")))
+    val byBucket = halves.groupBy("bucket")
+      .agg(sum(when(col("h") === 1, col("cnt"))).as("c1"),
+        sum(when(col("h") === 2, col("cnt"))).as("c2"),
+        max(when(col("h") === 1, col("tot"))).as("t1"),
+        max(when(col("h") === 2, col("tot"))).as("t2"))
+      .filter(col("c1").isNotNull && col("c2").isNotNull)
+    val p1 = col("c1") / col("t1")
+    val p2 = col("c2") / col("t2")
+    byBucket
+      .select(col("c1"), col("c2"), col("t1"), col("t2"),
+        round((p1 - p2) * log(p1 / p2), 12).cast("decimal(26,12)").as("t"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("t1")).as("n_h1"), max(col("t2")).as("n_h2"),
+        r4z(sum(col("t")).cast("double")).as("psi"))
+  }
+
+  val q124: Q = Q(
+    "q124_psi_priority_drift",
+    (s, d) => psiPriorityDrift(Tables.spread(Tables.orders(s, d), col("o_orderkey"))),
+    Some("""WITH census AS (
+            |  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority AS bucket,
+            |    count(*) AS cnt
+            |  FROM orders GROUP BY 1, 2),
+            |halves AS (
+            |  SELECT bucket,
+            |    CASE WHEN date_diff('day', min(day) OVER (), day) * 2 <=
+            |      date_diff('day', min(day) OVER (), max(day) OVER ())
+            |      THEN 1 ELSE 2 END AS h,
+            |    cnt
+            |  FROM census),
+            |hc AS (
+            |  SELECT bucket, h, CAST(sum(cnt) AS BIGINT) AS cnt
+            |  FROM halves GROUP BY 1, 2),
+            |ht AS (
+            |  SELECT bucket, h, cnt, CAST(sum(cnt) OVER (PARTITION BY h) AS BIGINT) AS tot
+            |  FROM hc),
+            |b AS (
+            |  SELECT bucket,
+            |    sum(CASE WHEN h = 1 THEN cnt END) AS c1,
+            |    sum(CASE WHEN h = 2 THEN cnt END) AS c2,
+            |    max(CASE WHEN h = 1 THEN tot END) AS t1,
+            |    max(CASE WHEN h = 2 THEN tot END) AS t2
+            |  FROM ht GROUP BY 1),
+            |terms AS (
+            |  SELECT CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+            |    CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2,
+            |    CAST(round((c1 * 1.0 / t1 - c2 * 1.0 / t2) *
+            |               ln((c1 * 1.0 / t1) / (c2 * 1.0 / t2)), 12)
+            |      AS DECIMAL(26,12)) AS t
+            |  FROM b WHERE c1 IS NOT NULL AND c2 IS NOT NULL)
+            |SELECT count(*) AS n_buckets,
+            |  max(t1) AS n_h1, max(t2) AS n_h2,
+            |  round(CAST(sum(t) AS DOUBLE), 4) + 0 AS psi
+            |FROM terms""".stripMargin))
+
+  /** Q125 — calendar-gap completeness audit of the order stream: which
+    * days are missing entirely — the data-arrival check every ingest
+    * pipeline runs before a time-series query is trusted (q50 fills
+    * gaps; q125 measures them). One distinct-day census (map-side
+    * combined, calendar-bounded), one lead window over it; the summary
+    * is all exact integers, with the telescoping invariant
+    * missing_days = span_days − n_days pinned in spec.
+    */
+  /** The q125 body over an orders-shaped frame. */
+  def calendarGaps(ordersDf: DataFrame): DataFrame = {
+    val days = ordersDf.select(to_date(col("o_orderdate")).as("day")).distinct()
+    val g = days
+      .withColumn("nxt", lead(col("day"), 1).over(Window.orderBy("day")))
+      .withColumn("gap", datediff(col("nxt"), col("day")) - 1)
+    g.agg(count(lit(1)).cast("long").as("n_days"),
+        (datediff(max(col("day")), min(col("day"))) + 1).cast("long").as("span_days"),
+        coalesce(sum(when(col("gap") > 0, col("gap"))), lit(0)).cast("long")
+          .as("missing_days"),
+        sum(when(col("gap") > 0, 1L).otherwise(0L)).cast("long").as("n_gaps"),
+        coalesce(max(col("gap")), lit(0)).cast("long").as("max_gap"))
+  }
+
+  val q125: Q = Q(
+    "q125_calendar_gaps",
+    (s, d) => calendarGaps(Tables.spread(Tables.orders(s, d), col("o_orderkey"))),
+    Some("""WITH days AS (
+            |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders),
+            |g AS (
+            |  SELECT day,
+            |    date_diff('day', day, lead(day) OVER (ORDER BY day)) - 1 AS gap
+            |  FROM days)
+            |SELECT count(*) AS n_days,
+            |  CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT) AS span_days,
+            |  CAST(coalesce(sum(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT)
+            |    AS missing_days,
+            |  CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+            |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+            |FROM g""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q118, q119, q120, q121, q122, q123, q124, q125)
 }

@@ -703,6 +703,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_sum(cast(o_totalprice"), s"daily sum not partial:\n$p")
   }
 
+  test("q124: PSI pivots halves by conditional aggregation, no self-join") {
+    val p = planString("q124_psi_priority_drift")
+    val scans = p.split("\n").count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"PSI must read orders once, got $scans:\n$p")
+    assert(!p.contains("Join"), s"halves must pivot without a join:\n$p")
+    assert(p.contains("partial_count(1)"), s"census not map-side combined:\n$p")
+  }
+
+  test("q125: the gap audit windows over the distinct-day census") {
+    val p = planString("q125_calendar_gaps")
+    // distinct() must reduce to a day-keyed aggregate (map-side combined
+    // before its exchange): the lead window's input is the calendar, not
+    // order rows.
+    assert(p.contains("HashAggregate(keys=[day"), s"no distinct-day census:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length <= 2, s"scan reads too many columns: $read")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}

@@ -115,6 +115,45 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(r.getAs[Double]("max_cusum") == 10.0)
   }
 
+  private def prioOrders(rows: Seq[(Int, String)]) = rows.zipWithIndex
+    .map { case ((day, prio), i) =>
+      (i.toLong + 1L, 1L, "O", 1.0, f"2024-03-$day%02d 00:00:00", prio)
+    }
+    .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+
+  test("q124: a 75/25 -> 25/75 mix shift scores PSI = ln 3; identical halves 0") {
+    // days 1-2 land in H1, 3-4 in H2 ((day-min)*2 <= span test)
+    val shifted = prioOrders(
+      Seq(1 -> "A", 1 -> "A", 2 -> "A", 2 -> "B",
+        3 -> "B", 3 -> "B", 4 -> "B", 4 -> "A"))
+    val r = StatOps.psiPriorityDrift(shifted).collect().head
+    assert(r.getAs[Long]("n_buckets") == 2L)
+    assert(r.getAs[Long]("n_h1") == 4L && r.getAs[Long]("n_h2") == 4L)
+    // psi = (.75-.25)ln(3) + (.25-.75)ln(1/3) = ln 3
+    assert(r.getAs[Double]("psi") == math.rint(math.log(3.0) * 1e4) / 1e4)
+    val same = prioOrders(Seq(1 -> "A", 1 -> "B", 4 -> "A", 4 -> "B"))
+    assert(StatOps.psiPriorityDrift(same).collect().head.getAs[Double]("psi") == 0.0)
+  }
+
+  test("q124: a bucket absent from one half is excluded, visibly") {
+    val oneSided = prioOrders(Seq(1 -> "A", 1 -> "C", 4 -> "A"))
+    val r = StatOps.psiPriorityDrift(oneSided).collect().head
+    assert(r.getAs[Long]("n_buckets") == 1L, "C only exists in H1: must drop out")
+  }
+
+  test("q125: missing days telescope to span minus present days") {
+    val r = StatOps.calendarGaps(prioOrders(
+      Seq(1 -> "A", 2 -> "A", 5 -> "A", 9 -> "A"))).collect().head
+    assert(r.getAs[Long]("n_days") == 4L)
+    assert(r.getAs[Long]("span_days") == 9L)
+    assert(r.getAs[Long]("missing_days") == 5L, "9-day span, 4 present -> 5 missing")
+    assert(r.getAs[Long]("n_gaps") == 2L)
+    assert(r.getAs[Long]("max_gap") == 3L)
+    val dense = StatOps.calendarGaps(prioOrders(Seq(1 -> "A", 2 -> "A"))).collect().head
+    assert(dense.getAs[Long]("missing_days") == 0L && dense.getAs[Long]("max_gap") == 0L)
+  }
+
   test("q116: an exact rank^-2 corpus fits slope -2 with zero residual") {
     // tf(rank) = 144 / rank^2 at ranks 1..4: ln(tf) = ln(144) - 2·ln(rank)
     // exactly, so the least-squares slope must round to -2.0000 and the

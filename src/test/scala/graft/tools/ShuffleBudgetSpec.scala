@@ -130,6 +130,8 @@ object ShuffleBudgetSpec {
     "q121_chi2_independence" -> 65536L,
     "q122_autocorr_daily" -> 842044L,
     "q123_cusum_changepoint" -> 842044L,
+    "q124_psi_priority_drift" -> 895610L,
+    "q125_calendar_gaps" -> 427102L,
     "q11_window_rank" -> 290684L,
     "q12_window_frame" -> 1705818L,
     "q13_topk" -> 65536L,
