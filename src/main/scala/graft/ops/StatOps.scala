@@ -463,5 +463,52 @@ object StatOps {
             |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
             |FROM g""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q118, q119, q120, q121, q122, q123, q124, q125)
+  /** Q126 — weekday seasonality index: mean daily revenue per ISO
+    * weekday relative to the overall daily mean — the 7-row calendar
+    * profile (is Sunday 0.8× or 1.2× of normal?) read before any
+    * day-over-day comparison is trusted, and the categorical companion
+    * to q122's serial-dependence check. Rides the same calendar-bounded
+    * daily census; the overall mean comes from one window over it (no
+    * second scan). Weekday numbering is pinned to ISO (1 = Monday) —
+    * Spark's `weekday` (0 = Monday) + 1 equals DuckDB's `isodow`,
+    * avoiding the 0-vs-1-based Sunday trap of both engines' `dayofweek`;
+    * names render via the English formatter on both sides. Index =
+    * (Σ_dow/n_dow)/(Σ_all/n_all) — two IEEE divisions on exact DECIMAL
+    * sums, rounded last.
+    */
+  /** The q126 body over an orders-shaped frame. */
+  def weekdaySeasonality(ordersDf: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy()
+    val t = dailyRevenue(ordersDf)
+      .select((weekday(col("day")) + 1).cast("long").as("dow"),
+        date_format(col("day"), "EEEE").as("day_name"), col("x"))
+      .withColumn("sall", sum(col("x")).over(wAll))
+      .withColumn("nall", count(lit(1)).over(wAll))
+    t.groupBy("dow", "day_name")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sd"),
+        max(col("sall")).as("sall"), max(col("nall")).as("nall"))
+      .select(col("dow"), col("day_name"), col("n_days"),
+        round(col("sd").cast("double"), 4).as("sum_revenue"),
+        r4z((col("sd").cast("double") / col("n_days")) /
+          (col("sall").cast("double") / col("nall"))).as("seasonality_index"))
+      .orderBy("dow")
+  }
+
+  val q126: Q = Q(
+    "q126_weekday_seasonality",
+    (s, d) => weekdaySeasonality(Tables.spread(Tables.orders(s, d), col("o_orderkey"))),
+    Some(s"""WITH daily AS ($DailySql),
+            |t AS (
+            |  SELECT isodow(day) AS dow, dayname(day) AS day_name, x,
+            |    sum(x) OVER () AS sall, count(*) OVER () AS nall
+            |  FROM daily)
+            |SELECT CAST(dow AS BIGINT) AS dow, day_name, count(*) AS n_days,
+            |  round(CAST(sum(x) AS DOUBLE), 4) AS sum_revenue,
+            |  round((CAST(sum(x) AS DOUBLE) / count(*)) /
+            |        (CAST(max(sall) AS DOUBLE) / max(nall)), 4) + 0
+            |    AS seasonality_index
+            |FROM t GROUP BY 1, 2 ORDER BY dow""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q118, q119, q120, q121, q122, q123, q124, q125, q126)
 }

@@ -722,6 +722,14 @@ class PlanSpec extends SparkTestBase {
     assert(read.split(",").length <= 2, s"scan reads too many columns: $read")
   }
 
+  test("q126: the seasonality window runs over the daily census, one scan") {
+    val p = planString("q126_weekday_seasonality")
+    assert(p.contains("partial_sum(cast(o_totalprice"), s"daily sum not partial:\n$p")
+    val scans = p.split("\n").count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected one orders scan, got $scans:\n$p")
+  }
+
   test("column pruning survives encryption (encrypted scan reads 1 column)") {
     import java.nio.file.Files
     import graft.crypto.{CryptoParity, EncryptionPolicy, PrivilegeLevel}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.{col, when}
 
 /** Laws for the corpus-statistics queries on crafted corpora where the
   * statistics are hand-computable: q115's PMI values/tie-breaks and
@@ -152,6 +153,21 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(r.getAs[Long]("max_gap") == 3L)
     val dense = StatOps.calendarGaps(prioOrders(Seq(1 -> "A", 2 -> "A"))).collect().head
     assert(dense.getAs[Long]("missing_days") == 0L && dense.getAs[Long]("max_gap") == 0L)
+  }
+
+  test("q126: ISO weekday profile with a hand-computed seasonality index") {
+    // 2024-03-04 and -11 are Mondays (rev 30, 20), -05 a Tuesday (10):
+    // Monday mean 25 vs overall 20 -> 1.25; Tuesday 10 vs 20 -> 0.5.
+    val r = StatOps.weekdaySeasonality(prioOrders(
+      Seq(4 -> "A", 5 -> "A", 11 -> "A")).withColumn("o_totalprice",
+      when(col("o_orderkey") === 1L, 30.0)
+        .when(col("o_orderkey") === 2L, 10.0).otherwise(20.0)))
+      .collect().map(x => x.getAs[Long]("dow") -> x).toMap
+    assert(r(1L).getAs[String]("day_name") == "Monday")
+    assert(r(1L).getAs[Long]("n_days") == 2L)
+    assert(r(1L).getAs[Double]("seasonality_index") == 1.25)
+    assert(r(2L).getAs[String]("day_name") == "Tuesday")
+    assert(r(2L).getAs[Double]("seasonality_index") == 0.5)
   }
 
   test("q116: an exact rank^-2 corpus fits slope -2 with zero residual") {

@@ -132,6 +132,7 @@ object ShuffleBudgetSpec {
     "q123_cusum_changepoint" -> 842044L,
     "q124_psi_priority_drift" -> 895610L,
     "q125_calendar_gaps" -> 427102L,
+    "q126_weekday_seasonality" -> 867926L,
     "q11_window_rank" -> 290684L,
     "q12_window_frame" -> 1705818L,
     "q13_topk" -> 65536L,
