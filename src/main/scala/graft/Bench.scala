@@ -55,7 +55,7 @@ object Bench {
   private final class QueryMetrics extends org.apache.spark.scheduler.SparkListener {
     import java.util.concurrent.atomic.LongAdder
     val tasks, jobs = new LongAdder
-    val taskMs, cpuMs, gcMs, fetchWaitMs, shufWriteMs, deserMs = new LongAdder
+    val taskMs, cpuMs, gcMs, fetchWaitMs, shufWriteMs, deserMs, shufBytes = new LongAdder
 
     override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
       jobs.increment()
@@ -70,11 +70,12 @@ object Bench {
         fetchWaitMs.add(m.shuffleReadMetrics.fetchWaitTime)
         shufWriteMs.add(m.shuffleWriteMetrics.writeTime / 1000000L)
         deserMs.add(m.executorDeserializeTime)
+        shufBytes.add(m.shuffleWriteMetrics.bytesWritten)
       }
     }
 
     def reset(): Unit =
-      Seq(tasks, jobs, taskMs, cpuMs, gcMs, fetchWaitMs, shufWriteMs, deserMs)
+      Seq(tasks, jobs, taskMs, cpuMs, gcMs, fetchWaitMs, shufWriteMs, deserMs, shufBytes)
         .foreach(_.reset())
 
     def line: String = {
@@ -205,6 +206,67 @@ object Bench {
     System.err.println(f"[bench-env] codec prewarm ${(System.nanoTime() - t0) / 1e9}%.1fs")
   }
 
+  /** Shape thresholds for the structural solo rule. Measured sf0.01
+    * profile of the full registry (r10, [bench-shape] map): single-plan
+    * queries fire 2-9 jobs (one action + its AQE stage materializations
+    * and broadcast builds); multi-stage pipelines — persists, driver
+    * loops (CC label propagation), index/fixture writes, multi-action
+    * summaries — fire 11+. The byte arm catches the other contamination
+    * producer: a query pushing megabytes through exchanges leaves that
+    * much shuffle-file debris in the group's tmpfs local dir. Every
+    * historical in-group victim (q22a r7; q40/q41 r8; q79/q80/q81 r9)
+    * crosses at least one arm at sf0.01; plain scan/join/agg queries
+    * cross neither.
+    */
+  private val SoloJobs = 11L
+  private val SoloShuffleBytes = 1L << 21 // 2 MiB through exchanges at sf0.01
+
+  private type QFn = (SparkSession, String) => org.apache.spark.sql.DataFrame
+
+  /** One untimed pass over the selected queries in a single fresh
+    * context, recording per-query (jobs fired, shuffle bytes written).
+    * Runs at the sf0.01 sibling of the bench dir when present: shape
+    * metrics are plan facts, not timings — small-SF is cheap and the
+    * signal only grows with SF (iterative pipelines add rounds, never
+    * lose them), so a small-SF threshold crossing is conservative.
+    * Table-load and fixture costs land before any query is measured,
+    * mirroring the timed groups' warmup discipline.
+    */
+  private def profileShapes(cpus: String, sfDir: String,
+      names: Seq[(String, QFn)]): Map[String, (Long, Long)] = {
+    val t0 = System.nanoTime()
+    val small = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+    val dir = if (small.isDirectory) small.getPath else sfDir
+    SparkSession.getActiveSession.foreach(_.stop())
+    val spark = newSession(cpus)
+    val qm = new QueryMetrics
+    spark.sparkContext.addSparkListener(qm)
+    Tables.all.foreach { t =>
+      try {
+        val df = if (t == "events") Tables.events(spark, dir)
+                 else Tables.load(spark, dir, t)
+        df.count(): Unit
+      } catch { case _: Throwable => () }
+    }
+    val out = names.map { case (name, fn) =>
+      org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
+      qm.reset()
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench-shape] $name profile failed: ${e.getMessage}")
+      }
+      org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      name -> ((qm.jobs.sum, qm.shufBytes.sum))
+    }.toMap
+    spark.stop()
+    System.err.println(f"[bench-shape] profiled ${names.size} queries at $dir " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    System.err.println("[bench-shape] map: " + out.toSeq.sortBy(_._1)
+      .map { case (n, (j, b)) => s"$n:$j:$b" }.mkString(" "))
+    out
+  }
+
   /** Remove leftover shuffle dirs from SIGKILL'd prior runs: the tmpfs
     * local dir (build.sbt) is exclusively ours and runs are serial, so a
     * startup sweep cannot race a live JVM's files.
@@ -263,20 +325,30 @@ object Bench {
     // warmup + timed run in a fresh context whose local dirs die with it:
     // in-suite cost ≡ isolated cost, by construction.
     val groupSize = 4
-    // q40/q41 joined the solo set in r9: on the driver box they ran
-    // 7.3x/6.7x their local cost from inside 4-query groups (BENCH_r08
-    // diag: q40 pure-CPU inflation, q41 task>>cpu stalls) — the same
-    // in-group contamination signature the r8 singleton groups cured
-    // for the dedup family.
-    // q110/q113 (the index build/append lines, heavy and write-side)
-    // start solo too: their first driver-box runs are next round, and
-    // every multi-stage heavy query that debuted inside a 4-query group
-    // has inflated there first (q22a r7, q40/q41 r8).
-    val soloNames = Set(
-      "q22a_jaccard_pairs", "q22b_minhash_pairs", "q38_dup_clusters",
-      "q40_multimodal_features", "q41_corpus_curation",
-      "q57_leakage_safe_split", "q58_semantic_dedup", "q58b_semantic_dedup_lsh",
-      "q108_survivorship", "q110_ann_index_build", "q113_ann_index_append")
+    // Solo set DERIVED from measured query shape, not a hand list (r9
+    // verdict item 1). Three rounds running, a registry resort packed
+    // multi-stage queries into a shared 4-query group and inflated them
+    // >2x on the driver box (q22a r7, q40/q41 r8, q79/q80/q81 r9); the
+    // per-victim soloNames fix was whack-a-mole because the next
+    // alphabetical insertion re-shifts every group boundary. The shape
+    // rule makes the pathology unreachable: any query that is itself a
+    // multi-stage pipeline (many Spark jobs: persists, driver loops,
+    // index writes, AQE stage trains) or that pushes a large volume
+    // through exchanges runs in a singleton group, by measurement.
+    // Shapes are profiled in one untimed pass at the sf0.01 sibling —
+    // job counts and exchange bytes are plan/data-shape facts, cheap at
+    // small SF and monotone in SF (iterative pipelines only gain jobs
+    // at larger scale), unlike timings, which is why the profile can be
+    // small-SF while the timed groups run at the bench SF.
+    val shapes = profileShapes(cpus, sfDir, names)
+    val soloNames: Set[String] = names.map(_._1).filter { n =>
+      // Unprofiled (profile-pass failure) => solo: the safe default.
+      val (jobs, bytes) = shapes.getOrElse(n, (Long.MaxValue, Long.MaxValue))
+      jobs >= SoloJobs || bytes >= SoloShuffleBytes
+    }.toSet
+    System.err.println(s"[bench-shape] solo (jobs>=$SoloJobs or shufBytes>=$SoloShuffleBytes): " +
+      soloNames.toSeq.sorted.map(n => s"$n(j=${shapes.get(n).map(_._1).getOrElse(-1L)}," +
+        s"b=${shapes.get(n).map(_._2).getOrElse(-1L)})").mkString(", "))
     val groups: Seq[Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]] = {
       val out = Seq.newBuilder[Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]]
       var cur = Vector.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
@@ -366,8 +438,12 @@ object Bench {
       .mkString("{", ",", "}")
     val diags = results.map(_._3).mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // The rule-derived solo set rides into the committed artifact so a
+    // round-over-round reader can audit the grouping the numbers were
+    // measured under (r9 verdict item 1: grouping is structural now).
+    val soloJson = soloNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""diag":$diags,"sf":"$sfDir"}"""
+      f""""diag":$diags,"solo":$soloJson,"sf":"$sfDir"}"""
     println(fullLine)
     // The stdout channel has failed twice (round 3: tail truncation ate
     // the total; round 4: the sbt logger's "[info] " prefix broke the

@@ -174,10 +174,66 @@ object AnnIndex {
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Train + write all four artifacts for `embFrame` under `dir`. The
-    * caller owns the `_SUCCESS` marker; it must INVALIDATE (delete) it
-    * before calling and recreate it after, so a killed build can never
-    * leave a valid-looking marker over partial artifacts.
+  // ---- versioned publication (r9 ADVICE, medium) ----------------------
+  //
+  // A rebuild used to overwrite the live serving directory in place:
+  // q110's forced rebuild deleted the _SUCCESS marker and rewrote
+  // ivf_assignments/pq_codes under the SAME path a concurrent probe
+  // (another thread, or another JVM sharing the dataset-tagged dir)
+  // might be mid-scan on — the marker only guarded adoption decisions,
+  // not in-flight readers. Indexes are now immutable VERSION dirs under
+  // the dataset-tagged root, with a CURRENT pointer file flipped by an
+  // atomic rename: a reader resolves CURRENT once and scans an
+  // immutable dir; a builder writes v{N+1} beside it and flips the
+  // pointer only after the version's own _SUCCESS lands. Versions older
+  // than the previous one are retired (the previous survives one more
+  // publish so an in-flight reader that resolved just before the flip
+  // finishes against intact files). This is the pointer-flip discipline
+  // every serving system with atomic index swaps uses (and the same
+  // move Layout.compact makes for table fixtures).
+
+  /** Resolve the root's CURRENT pointer to a complete version dir. */
+  private def currentVersion(root: String): Option[String] =
+    try {
+      val cur = new java.io.File(root, "CURRENT")
+      if (!cur.exists()) None
+      else {
+        val vdir = new java.io.File(root, java.nio.file.Files.readString(cur.toPath).trim)
+        if (new java.io.File(vdir, "_SUCCESS").exists()) Some(vdir.toString) else None
+      }
+    } catch { case _: Throwable => None }
+
+  /** Write a fresh immutable version via `write(versionDir)`, mark it
+    * complete, atomically flip CURRENT to it, retire versions older
+    * than the predecessor. Returns the published version dir.
+    */
+  private def publishVersion(root: String)(write: String => Unit): String = {
+    val rootF = new java.io.File(root)
+    rootF.mkdirs(): Unit
+    def versions: Seq[Int] = Option(rootF.list()).getOrElse(Array.empty).toSeq
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+    val next = (versions :+ 0).max + 1
+    val vdir = new java.io.File(rootF, f"v$next%06d")
+    write(vdir.toString)
+    new java.io.File(vdir, "_SUCCESS").createNewFile(): Unit
+    val tmp = new java.io.File(rootF, s".CURRENT.$next.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, vdir.getName): Unit
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(rootF, "CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    versions.filter(_ < next - 1).foreach { v =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(rootF, f"v$v%06d"))
+    }
+    vdir.toString
+  }
+
+  /** Train + write all four artifacts for `embFrame` under `dir` (an
+    * unpublished version dir — [[publishVersion]] owns marker and
+    * pointer, so a killed build can never become adoptable).
     */
   private def writeIndex(s: SparkSession, embFrame: DataFrame, dir: String): Unit = {
     val emb = embFrame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -227,23 +283,21 @@ object AnnIndex {
           x => x.getField("code")).as("codes"),
         sqrt(sum(GraftFunctions.dotProduct(col("ce"), col("ce")))).as("qnorm"))
 
-  /** Build all four artifacts under the dataset-tagged dir. Synchronized
-    * via computeIfAbsent per JVM (the Layout/Multimodal fixture rule);
-    * `force` drops the cache entry first so q110 re-prices the build.
+  /** Build (or adopt) the index for this dataset, returning the CURRENT
+    * complete version dir. Synchronized via computeIfAbsent per JVM (the
+    * Layout/Multimodal fixture rule); `force` drops the cache entry and
+    * publishes a fresh version so q110 re-prices the build — concurrent
+    * probes keep serving the prior version until the pointer flips.
     */
   def build(s: SparkSession, d: String, force: Boolean = false): String = {
     GraftFunctions.register(s)
     val tag = Tables.datasetTag(d)
     if (force) built.remove(tag): Unit
     built.computeIfAbsent(tag, tag => {
-      val dir = shmDir(tag)
-      val marker = new java.io.File(dir, "_SUCCESS")
-      if (force || !marker.exists()) {
-        marker.delete(): Unit
-        writeIndex(s, corpus(s, d), dir)
-        marker.createNewFile(): Unit
-      }
-      dir
+      val root = shmDir(tag)
+      val existing = if (force) None else currentVersion(root)
+      existing.getOrElse(
+        publishVersion(root)(vdir => writeIndex(s, corpus(s, d), vdir)))
     })
   }
 
@@ -265,29 +319,50 @@ object AnnIndex {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** The probe set: the q23e/q23f convention (vec_id < 10), collected —
-    * O(probes·dim), the only driver materialization either serve path
-    * makes beyond the routing table/codebook.
+  /** Hard cap on an external probe batch: the serve paths materialize
+    * the probes driver-side (routing / ADC LUTs are O(probes·dim) and
+    * O(probes·M·K)), so the collect must be bounded BY CONSTRUCTION —
+    * a caller with more probes splits into batches (each batch is one
+    * routed, pruned scan; batches stream through the same index).
     */
-  private def collectProbes(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
-    corpus(s, d).filter(col("vec_id") < 10)
-      .collect().toIndexedSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
+  val MaxProbes = 1024
 
-  /** Q111 serve path: probe routing driver-side against the persisted
-    * routing table (same (−cos, cid) tie-break as the trainer), then ONE
-    * statically partition-pruned scan of the probed inverted lists,
-    * scored in place with the codegen'd cosine kernel. Reads
-    * nprobe-of-K partitions — the explain carries the cid-IN partition
-    * filter (pinned by AnnIndexSpec).
+  /** The registered queries' probe set — the q23e/q23f convention
+    * (vec_id < 10, from the corpus itself). q111/q112 instantiate the
+    * parameterized serve paths with this frame.
     */
-  def ivfProbe(s: SparkSession, d: String): DataFrame = {
+  def defaultProbes(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).filter(col("vec_id") < 10).toDF("vec_id", "e")
+
+  /** Collect an external (id, vector) probe frame driver-side: the
+    * first column must cast to long, the second to array<double> —
+    * any (id, embedding) frame serves, not just corpus slices (r9
+    * verdict item 2). Collects at most MaxProbes + 1 rows (the limit
+    * rides into the plan — an oversized probe frame can never flood
+    * the driver) and fails fast when the cap is exceeded.
+    */
+  private[ops] def collectProbes(probes: DataFrame): Seq[(Long, Seq[Double])] = {
+    val cols = probes.columns
+    require(cols.length >= 2,
+      s"probe frame needs (id, vector) columns, got ${cols.mkString(",")}")
+    val rows = probes
+      .select(col(cols(0)).cast("long").as("pid"), dbl(col(cols(1))).as("pe"))
+      .limit(MaxProbes + 1)
+      .collect().toIndexedSeq
+    require(rows.length <= MaxProbes,
+      s"probe batch exceeds MaxProbes=$MaxProbes — split into batches")
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+  }
+
+  /** Shared IVF serve core: route each collected probe against the
+    * centroid table driver-side, then ONE statically partition-pruned
+    * scan of the probed inverted lists across the given segment roots,
+    * scored in place and top-k'd per probe.
+    */
+  private def ivfServe(s: SparkSession, listRoots: Seq[String],
+      cents: Seq[(Int, Seq[Double])],
+      probes: Seq[(Long, Seq[Double])]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    GraftFunctions.register(s)
-    val dir = ensure(s, d)
-    val cents = readCentroids(s, dir)
-    val probes = collectProbes(s, d)
     val routed: Seq[(Long, Seq[Double], Int)] = probes.flatMap { case (pid, pe) =>
       cents.map { case (cid, ce) => (-cosineScala(pe, ce), cid) }
         .sorted.take(Nprobe)
@@ -298,8 +373,14 @@ object AnnIndex {
       import s.implicits._
       routed.toDF("probe_id", "pe", "cid")
     }
-    val lists = s.read.parquet(s"$dir/ivf_assignments")
-      .filter(col("cid").isin(neededCids: _*))
+    // Segments are separate partitioned roots — load each and union
+    // (Spark rejects conflicting partition roots in one load); the cid
+    // partition filter prunes each segment's directories independently.
+    val lists = listRoots
+      .map(p => s.read.parquet(s"$p/ivf_assignments")
+        .filter(col("cid").isin(neededCids: _*))
+        .select(col("cid"), col("vec_id"), col("e")))
+      .reduce(_ unionAll _)
     val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
     lists.join(broadcast(probeDf), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -311,6 +392,25 @@ object AnnIndex {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Q111 serve path: probe routing driver-side against the persisted
+    * routing table (same (−cos, cid) tie-break as the trainer), then ONE
+    * statically partition-pruned scan of the probed inverted lists,
+    * scored in place with the codegen'd cosine kernel. Reads
+    * nprobe-of-K partitions — the explain carries the cid-IN partition
+    * filter (pinned by AnnIndexSpec).
+    */
+  def ivfProbe(s: SparkSession, d: String): DataFrame =
+    ivfProbe(s, d, defaultProbes(s, d))
+
+  /** Parameterized IVF serve (r9 verdict item 2): any (id, vector)
+    * probe frame against this dataset's persisted index.
+    */
+  def ivfProbe(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val dir = ensure(s, d)
+    ivfServe(s, Seq(dir), readCentroids(s, dir), collectProbes(probeDf))
+  }
+
   /** Q112 serve path: ADC over the persisted codes. Each probe's M×K
     * lookup table of subvector dot products is precomputed driver-side
     * (O(M·K·sub) per probe) and shipped flat; a corpus row's quantized
@@ -319,14 +419,20 @@ object AnnIndex {
     * join. The 256-per-probe pool re-ranks exactly against the true
     * embeddings (q23f's refine discipline).
     */
-  def pqProbe(s: SparkSession, d: String): DataFrame = {
+  def pqProbe(s: SparkSession, d: String): DataFrame =
+    pqProbe(s, d, defaultProbes(s, d))
+
+  /** Parameterized PQ serve (r9 verdict item 2): any (id, vector) probe
+    * frame, ADC-scored against this dataset's persisted codes.
+    */
+  def pqProbe(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
     val dir = ensure(s, d)
     val cb: Map[(Int, Int), Seq[Double]] = s.read.parquet(s"$dir/pq_codebook")
       .select(col("m"), col("code"), col("ce"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
-    val probes = collectProbes(s, d)
+    val probes = collectProbes(probeDf)
     // Flat LUT per probe: lut[m*K + code] = dot(pe_m, centroid(m, code)).
     val probeLut: Seq[(Long, Seq[Double], Seq[Double], Double)] = probes.map {
       case (pid, pe) =>
@@ -339,14 +445,14 @@ object AnnIndex {
         val pnorm = math.sqrt(pe.map(x => x * x).sum)
         (pid, pe, lut, pnorm)
     }
-    val probeDf = {
+    val lutDf = {
       import s.implicits._
       probeLut.toDF("probe_id", "pe", "lut", "pnorm")
     }
     val codes = s.read.parquet(s"$dir/pq_codes")
     // qdot = Σ_m lut[m*K + codes[m]] — an aggregate over the M codes;
     // qcos against the stored reconstructed norm ranks the pool.
-    val scored = codes.join(broadcast(probeDf), col("vec_id") =!= col("probe_id"))
+    val scored = codes.join(broadcast(lutDf), col("vec_id") =!= col("probe_id"))
       .withColumn("qdot",
         aggregate(sequence(lit(0), lit(Mpq - 1)), lit(0.0),
           (acc, m) => acc + element_at(col("lut"),
@@ -389,14 +495,9 @@ object AnnIndex {
     GraftFunctions.register(s)
     val key = Tables.datasetTag(d) + "/append_base"
     built.computeIfAbsent(key, key => {
-      val dir = shmDir(key)
-      val marker = new java.io.File(dir, "_SUCCESS")
-      if (!marker.exists()) {
-        marker.delete(): Unit
-        writeIndex(s, baseSlice(corpus(s, d)), dir)
-        marker.createNewFile(): Unit
-      }
-      dir
+      val root = shmDir(key)
+      currentVersion(root).getOrElse(
+        publishVersion(root)(vdir => writeIndex(s, baseSlice(corpus(s, d)), vdir)))
     })
   }
 
@@ -411,20 +512,26 @@ object AnnIndex {
     */
   def appendDelta(s: SparkSession, d: String): (String, String) = {
     val baseDir = ensureAppendBase(s, d)
-    val deltaDir = shmDir(Tables.datasetTag(d) + "/append_delta")
+    val deltaRoot = shmDir(Tables.datasetTag(d) + "/append_delta")
     val batch = batchSlice(corpus(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    val deltaDir = try {
       val cents = readCentroids(s, baseDir)
-      batch.select(nearestCentroid(col("e"), cents).as("cid"),
-          col("vec_id"), col("e"))
-        .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$deltaDir/ivf_assignments")
       val cb = s.read.parquet(s"$baseDir/pq_codebook")
-      encodePq(pqSliced(batch), cb)
-        .write.mode("overwrite").parquet(s"$deltaDir/pq_codes")
-    } finally batch.unpersist(): Unit
+      // Delta segments publish through the same pointer-flip discipline
+      // as full builds: the append re-runs per q113 invocation and a
+      // probe adopting the delta mid-rewrite must never see a partial
+      // segment.
+      publishVersion(deltaRoot) { vdir =>
+        batch.select(nearestCentroid(col("e"), cents).as("cid"),
+            col("vec_id"), col("e"))
+          .repartition(col("cid"))
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$vdir/ivf_assignments")
+        encodePq(pqSliced(batch), cb)
+          .write.mode("overwrite").parquet(s"$vdir/pq_codes")
+      }
+    } finally { batch.unpersist(): Unit }
     (baseDir, deltaDir)
   }
 
@@ -432,38 +539,93 @@ object AnnIndex {
     * and pruning, with the list scan reading both segments.
     */
   def ivfProbeAppended(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
     val (baseDir, deltaDir) = appendDelta(s, d)
-    val cents = readCentroids(s, baseDir)
-    val probes = collectProbes(s, d)
-    val routed: Seq[(Long, Seq[Double], Int)] = probes.flatMap { case (pid, pe) =>
-      cents.map { case (cid, ce) => (-cosineScala(pe, ce), cid) }
-        .sorted.take(Nprobe)
-        .map { case (_, cid) => (pid, pe, cid) }
+    ivfServe(s, Seq(baseDir, deltaDir), readCentroids(s, baseDir),
+      collectProbes(defaultProbes(s, d)))
+  }
+
+  // ---- delta compaction (r9 verdict item 3) ---------------------------
+
+  /** Fold the delta segment into the base index (the LSM compaction the
+    * append lifecycle needs: repeated appends accumulate segments and
+    * files per inverted list, shrinking the pruning benefit). The work
+    * is bounded by the DELTA, not the corpus:
+    *
+    *   - touched lists (the delta's cids — a bounded ≤K driver collect)
+    *     are merged base+delta and rewritten through ONE exchange on
+    *     cid, restoring one file per list;
+    *   - UNTOUCHED base lists are carried over as raw file copies — no
+    *     scan, no shuffle (at 100 TB: a pure object-store copy/link);
+    *   - centroids and codebook copy unchanged (nothing retrains);
+    *   - pq_codes segments concatenate file-level (the codes table is
+    *     not cid-pruned; merging its parquet files needs no scan).
+    *
+    * Publishes an immutable compacted version under its own root via
+    * the pointer-flip discipline; base and delta stay untouched, so
+    * q113's append pricing and in-flight readers are unaffected.
+    */
+  def compact(s: SparkSession, d: String): String = {
+    val (baseDir, deltaDir) = appendDelta(s, d)
+    val root = shmDir(Tables.datasetTag(d) + "/append_compacted")
+    publishVersion(root) { vdir =>
+      val deltaLists = s.read.parquet(s"$deltaDir/ivf_assignments")
+      val touched: Set[Int] = deltaLists.select("cid").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val baseLists = s.read.parquet(s"$baseDir/ivf_assignments")
+        .filter(col("cid").isin(touched.toSeq.sorted: _*))
+        .select(col("cid"), col("vec_id"), col("e"))
+      baseLists.unionAll(deltaLists.select(col("cid"), col("vec_id"), col("e")))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$vdir/ivf_assignments")
+      copyTree(new java.io.File(s"$baseDir/ivf_centroids"),
+        new java.io.File(s"$vdir/ivf_centroids"))
+      copyTree(new java.io.File(s"$baseDir/pq_codebook"),
+        new java.io.File(s"$vdir/pq_codebook"))
+      // Untouched lists: file-level carry-over into the merged layout.
+      Option(new java.io.File(s"$baseDir/ivf_assignments").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+        .filter(f => !touched.contains(f.getName.stripPrefix("cid=").toInt))
+        .foreach(f => copyTree(f, new java.io.File(s"$vdir/ivf_assignments/${f.getName}")))
+      // Codes: concatenate both segments' parquet files under one dir.
+      val codesOut = new java.io.File(s"$vdir/pq_codes")
+      codesOut.mkdirs(): Unit
+      Seq("base" -> s"$baseDir/pq_codes", "delta" -> s"$deltaDir/pq_codes")
+        .foreach { case (pfx, src) =>
+          Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .foreach(f => java.nio.file.Files.copy(f.toPath,
+              new java.io.File(codesOut, s"$pfx-${f.getName}").toPath): Unit)
+        }
     }
-    val neededCids = routed.map(_._3).distinct.sorted
-    val probeDf = {
-      import s.implicits._
-      routed.toDF("probe_id", "pe", "cid")
+  }
+
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs(): Unit
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else if (src.isFile) {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     }
-    // Segments are separate partitioned roots — load each and union
-    // (Spark rejects conflicting partition roots in one load); the cid
-    // partition filter prunes each segment's directories independently.
-    val lists = Seq(s"$baseDir/ivf_assignments", s"$deltaDir/ivf_assignments")
-      .map(p => s.read.parquet(p)
-        .filter(col("cid").isin(neededCids: _*))
-        .select(col("cid"), col("vec_id"), col("e")))
-      .reduce(_ unionAll _)
-    val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
-    lists.join(broadcast(probeDf), Seq("cid"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", GraftFunctions.cosineSim(col("e"), col("pe")))
-      .withColumn("rnk", row_number().over(wT).cast("long"))
-      .filter(col("rnk") <= TopK)
-      .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
-        round(col("cos"), 4).as("cosine"))
-      .orderBy("probe_id", "rnk")
+  }
+
+  /** IVF serve over the COMPACTED index — one segment root again (spec
+    * use: recall must hold and the scan must read a single root).
+    */
+  def ivfProbeCompacted(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val dir = compactedOrCompact(s, d)
+    ivfServe(s, Seq(dir), readCentroids(s, dir),
+      collectProbes(defaultProbes(s, d)))
+  }
+
+  private def compactedOrCompact(s: SparkSession, d: String): String = {
+    val root = shmDir(Tables.datasetTag(d) + "/append_compacted")
+    currentVersion(root).getOrElse(compact(s, d))
   }
 
   /** Q110 — index build, FORCED (the bench line prices the build every
@@ -533,5 +695,30 @@ object AnnIndex {
             |UNION ALL SELECT 'pq_codes', count(*) FROM embeddings
             |ORDER BY artifact""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q110, q111, q112, q113)
+  /** Q127 — delta compaction: fold the append delta back into the base
+    * (one exchange over delta + touched lists, raw carry-over for the
+    * rest — see [[compact]]), then census the compacted index. Oracled
+    * on the same conservation law as q110/q113: compaction must neither
+    * drop nor duplicate a vector, and the trained artifacts keep their
+    * configured sizes (nothing retrains). The bench line prices the
+    * COMPACTION: base and delta are fixtures by the time it runs, the
+    * merge re-runs every invocation.
+    */
+  val q127: Q = Q(
+    "q127_ann_index_compact",
+    (s, d) => {
+      val dir = compact(s, d)
+      import s.implicits._
+      Seq("ivf_assignments", "ivf_centroids", "pq_codebook", "pq_codes")
+        .map(a => (a, s.read.parquet(s"$dir/$a").count()))
+        .toDF("artifact", "n_rows")
+        .orderBy("artifact")
+    },
+    Some(s"""SELECT 'ivf_assignments' AS artifact, count(*) AS n_rows FROM embeddings
+            |UNION ALL SELECT 'ivf_centroids', CAST($K AS BIGINT)
+            |UNION ALL SELECT 'pq_codebook', CAST(${Mpq * Kpq} AS BIGINT)
+            |UNION ALL SELECT 'pq_codes', count(*) FROM embeddings
+            |ORDER BY artifact""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q110, q111, q112, q113, q127)
 }

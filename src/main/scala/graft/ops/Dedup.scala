@@ -420,8 +420,12 @@ object Dedup {
   /** Q22c — SimHash fingerprints + near-dup pairs at Hamming distance ≤ 3,
     * banded on 4×16-bit chunks so at least one band matches any pair
     * within distance 3 (pigeonhole). The fingerprint is one codegen'd
-    * kernel pass per row. Rows-only driver check; ScalaTest covers
-    * fingerprint determinism and known-dup recall.
+    * kernel pass per row. DuckDB-oracled (r9 verdict item 4): the oracle
+    * recomputes Spark's xxhash64 bit-for-bit in SQL (`DuckXxh`), folds
+    * the same majority rule into fingerprints, and — because banding is
+    * EXACT at radius 3 — emits all pairs at Hamming ≤ 3 directly.
+    * ScalaTest additionally covers fingerprint determinism and known-dup
+    * recall.
     */
   val q22c: Q = Q(
     "q22c_simhash_pairs",
@@ -452,7 +456,7 @@ object Dedup {
         .filter(col("hamming") <= 3)
         .orderBy("da", "db")
     },
-    None)
+    Some(DuckXxh.q22cOracleSql))
 
   /** Q38 — dup-cluster resolution: connected components over the
     * near-dup pair graph (q22a's edges), labeling every document with the
