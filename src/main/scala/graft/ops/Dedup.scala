@@ -365,9 +365,11 @@ object Dedup {
     * threshold as q22a, and both signatures and verification read the
     * SAME df-capped shingle table q22a joins on, so the "subset of q22a /
     * full recall over q22a" contracts hold even when the cap binds.
-    * ScalaTest asserts candidate recall over q22a's ground truth. No SQL
-    * oracle: band hashing isn't portable to DuckDB (rows-only driver
-    * check).
+    * ScalaTest asserts candidate recall over q22a's ground truth.
+    * DuckDB-oracled (r10): `DuckXxh.q22bOracleSql` rebuilds signatures
+    * and banding in SQL, with band equality expressed on the signature
+    * 4-tuples instead of the chained band hash (equality-preserving up
+    * to xxh64 collisions).
     */
   /** Candidate (da, db) pairs from the band-bucket equality joins, BEFORE
     * exact verification (exposed for the bench's scale diagnostics).
@@ -415,7 +417,7 @@ object Dedup {
         .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("da", "db")
     },
-    None)
+    Some(DuckXxh.q22bOracleSql))
 
   /** Q22c — SimHash fingerprints + near-dup pairs at Hamming distance ≤ 3,
     * banded on 4×16-bit chunks so at least one band matches any pair

@@ -115,6 +115,55 @@ object DuckXxh {
   def toSigned(x: String): String =
     s"CAST(CASE WHEN ($x) >= 9223372036854775808::UBIGINT THEN ($x)::HUGEINT - $M::HUGEINT ELSE ($x)::HUGEINT END AS BIGINT)"
 
+  /** The q22b oracle: MinHash + banded-LSH near-dup pairs. Rebuilds the
+    * whole pipeline in SQL — df-capped shingle sets (q22a's CTEs), the
+    * 32-element signature `sig[h] = min_s hashInt(h, xxh64(shingle))`
+    * (signed min, Spark's array_min), 8 bands of 4 — with ONE
+    * structural substitution: Spark buckets candidates by a CHAINED
+    * band hash (`minhashBandsLong`), the oracle by equality of the
+    * band's signature 4-tuple. Band-hash equality ⟺ tuple equality up
+    * to xxh64 collisions — the same collision-freedom argument the q33
+    * fingerprint oracle rests on (and any collision-induced false
+    * candidate would additionally have to pass exact Jaccard ≥ 0.5 to
+    * change the output).
+    */
+  def q22bOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, t[i.i] || ' ' || t[i.i+1] || ' ' || t[i.i+2] AS s
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t)-1)) AS i) i
+       |  WHERE len(t) >= 3),
+       |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM sh),
+       |keep AS (
+       |  SELECT s FROM sh GROUP BY s
+       |  HAVING count(*) <= greatest(1000, CAST(floor(0.005 * (SELECT nd FROM nd)) AS BIGINT))),
+       |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+       |sv(tok) AS (SELECT DISTINCT s FROM shc),
+       |${stringHashCtes("sv")},
+       |shh AS (SELECT shc.doc_id, hv.h FROM shc JOIN hv ON shc.s = hv.tok),
+       |seeds(hidx) AS (SELECT unnest(range(0, 32))),
+       |mh0 AS (SELECT doc_id, hidx, ${hashIntAcc("hidx::UBIGINT", "h")} AS x FROM shh CROSS JOIN seeds),
+       |mh1 AS (SELECT doc_id, hidx, ${fmix1("x")} AS x FROM mh0),
+       |mh2 AS (SELECT doc_id, hidx, ${fmix2("x")} AS x FROM mh1),
+       |mh3 AS (SELECT doc_id, hidx, ${toSigned(fmix3("x"))} AS v FROM mh2),
+       |sig AS (SELECT doc_id, hidx, min(v) AS m FROM mh3 GROUP BY doc_id, hidx),
+       |bnd AS (SELECT doc_id, (hidx // 4)::INT AS b, list(m ORDER BY hidx) AS key
+       |        FROM sig GROUP BY doc_id, (hidx // 4)::INT),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM bnd a JOIN bnd b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT da, db, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+       |FROM cand JOIN inter USING (da, db)
+       |JOIN cnt ca ON da = ca.doc_id JOIN cnt cb ON db = cb.doc_id
+       |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+       |ORDER BY da, db""".stripMargin
+
   /** The q22c oracle: SimHash-64 fingerprints per document (majority bit
     * over xxhash64 token hashes, duplicates counted — `HashKernels
     * .simhash64`'s exact rule), then ALL pairs at Hamming distance <= 3.

@@ -138,9 +138,18 @@ object StatOps {
     * the digit cross-engine. One 9-group census; shares divide by the
     * windowed total over the 9-row result.
     */
-  /** The q120 body over any frame with a positive `amount` column. */
+  /** The q120 body over any frame with an `amount` column. Amounts below
+    * 1 are filtered INSIDE the helper (r9 ADVICE): an amount in (0, 1)
+    * would yield digit 0 and expected_share = log10(1 + 1/0) — Infinity
+    * in Spark vs a divide-by-zero NULL/error in a DuckDB oracle — and a
+    * negative amount a '-' substring → NULL digit. Benford's law is
+    * only stated for first SIGNIFICANT digits anyway; guarding here
+    * (not at the call site) means reuse on another column can't
+    * silently diverge cross-engine.
+    */
   def benfordProfile(amounts: DataFrame): DataFrame = {
     val d = amounts
+      .filter(col("amount") >= 1)
       .select(substring(floor(col("amount")).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
@@ -158,7 +167,7 @@ object StatOps {
     Some("""WITH d AS (
             |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
             |    AS INTEGER) AS digit
-            |  FROM lineitem),
+            |  FROM lineitem WHERE l_extendedprice >= 1),
             |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
             |t AS (SELECT digit, n, sum(n) OVER () AS total FROM c)
             |SELECT digit, n, round(n * 1.0 / total, 4) AS share,

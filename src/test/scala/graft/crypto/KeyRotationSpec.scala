@@ -148,4 +148,65 @@ class KeyRotationSpec extends SparkTestBase {
       assert(cold == want, "cold post-rotation read must return the original rows")
     } finally kms.stop()
   }
+
+  /** Every KEK id referenced by the files under `dir` — the key material
+    * (internal OR external) stores its JSON plaintext, so the ids are
+    * extractable from raw bytes without parquet internals.
+    */
+  private def kekIds(dir: String): Set[String] = {
+    val re = """"keyEncryptionKeyID"\s*:\s*"([^"]+)"""".r
+    new java.io.File(dir).listFiles().filter(_.isFile).toSet.flatMap { (f: java.io.File) =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      re.findAllMatchIn(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+        .map(_.group(1)).toSet
+    }
+  }
+
+  /** r9 verdict item 5: the reference's DEFAULT is internal key material
+    * (write_encrypted_parquet.py:84), which `rotateMasterKeys` cannot
+    * rotate (the wrapped KEKs live inside the immutable footer). The
+    * rewrite-based rotation must mint entirely fresh KEKs — no rotated
+    * file may reference any pre-rotation KEK id — while reads stay green
+    * and the privilege lattice holds.
+    */
+  test("internal-material rotation by rewrite: fresh KEKs, no old id survives") {
+    val kms = new TestKmsServer().start()
+    try {
+      val dir = Files.createTempDirectory("graft-rotate-int-").toString + "/people"
+      val policy = EncryptionPolicy(
+        columnKeys = Map(
+          PrivilegeLevel.Confidential -> Seq("first_name", "last_name"),
+          PrivilegeLevel.Restricted   -> Seq("social_security_number")),
+        internalKeyMaterial = true) // the reference's default
+      val df = Fixtures.people(spark)
+      EncryptedParquet.write(df, dir, policy, kms.url, mode = "overwrite")
+      val want = df.collect().map(_.toSeq).toSet
+      val oldIds = kekIds(dir)
+      assert(oldIds.nonEmpty, "internal key material must carry KEK ids in the footer")
+      assert(materialFiles(dir).isEmpty, "internal material must have no sidecar files")
+
+      val (wrapsBefore, _) = kms.counts
+      EncryptedParquet.rotateByRewrite(spark, dir, policy, kms.url, Some("RESTRICTED"))
+
+      val newIds = kekIds(dir)
+      assert(newIds.nonEmpty, "rotated files must carry key material")
+      assert((newIds & oldIds).isEmpty,
+        s"rotated files still reference pre-rotation KEKs: ${newIds & oldIds}")
+      assert(kms.counts._1 > wrapsBefore,
+        "rotation must wrap fresh KEKs at the KMS, not reuse cached ones")
+
+      // Reads green at privilege; the lattice still gates tokenless access.
+      val got = EncryptedParquet.read(spark, dir, kms.url, Some("RESTRICTED"))
+        .collect().map(_.toSeq).toSet
+      assert(got == want, "post-rotation read must return the original rows")
+      intercept[Throwable] {
+        EncryptedParquet.read(spark, dir, kms.url, None)
+          .select("social_security_number").collect()
+      }
+      // No generation mixing or leftovers: the swap left exactly one
+      // dataset directory behind.
+      assert(!new java.io.File(dir + ".rotate-tmp").exists())
+      assert(!new java.io.File(dir + ".rotate-old").exists())
+    } finally kms.stop()
+  }
 }

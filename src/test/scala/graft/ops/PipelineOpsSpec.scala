@@ -197,6 +197,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fp(2L) != fp(4L))
   }
 
+  test("fingerprint: collision-free on every test corpus (q33's oracle premise)") {
+    // q33's DuckDB oracle groups by the normalized STRING while Spark
+    // groups by the hashed fingerprint — equivalence holds only absent
+    // collisions (r9 ADVICE). Pin that structurally per corpus: a
+    // regenerated corpus that ever collides fails HERE as a collision,
+    // not in the driver gate as a confusing count diff.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { sf =>
+        val d = graft.Tables.documents(spark, sf).select(
+          TextOps.fingerprint(TextOps.toks(col("text"))).as("fp"),
+          Dedup.normText(col("text")).as("norm"))
+        val r = d.agg(countDistinct(col("fp")).as("nfp"),
+          countDistinct(col("norm")).as("nnorm")).collect()(0)
+        assert(r.getLong(0) === r.getLong(1),
+          s"$sf: fingerprint collision — ${r.getLong(0)} fps vs ${r.getLong(1)} normalized texts")
+      }
+  }
+
   test("approx_count_distinct within 5% of exact (q10b)") {
     val r = Relational.q10b.fn(spark, sfDir).collect()(0)
     val approx = r.getAs[Long]("approx_parts").toDouble

@@ -24,6 +24,26 @@ class ShuffleBudgetSpec extends SparkTestBase {
 
   private val record = sys.env.contains("GRAFT_SHUFFLE_RECORD")
 
+  /** The ceilings are MEASUREMENTS UNDER A DECLARED CONFIG (r9 ADVICE):
+    * exchange bytes scale with partition count (per-partition framing,
+    * compression-block resets) and with the shuffle compression codec,
+    * so a drive-by change to either would shift the whole 140-entry
+    * table at once and fail the sweep en masse for a non-regression
+    * reason. Pin the partition count HERE (not inherited from
+    * SparkTestBase's builder) and assert the codec, so the config the
+    * ceilings were recorded under is the config they are asserted
+    * under — re-derive with GRAFT_SHUFFLE_RECORD=1 if either must
+    * change.
+    */
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val codec = spark.sparkContext.getConf.get("spark.io.compression.codec", "lz4")
+    assert(codec == "lz4",
+      s"ceilings were measured under lz4 shuffle compression, session uses $codec — " +
+        "re-record the table (GRAFT_SHUFFLE_RECORD=1) before changing the codec")
+  }
+
   /** One-time dataset-keyed fixtures (bucketed/partitioned/z-ordered
     * layouts, source-format copies, the media asset store) build inside
     * the first run that touches them and are adopted from /dev/shm
@@ -133,6 +153,10 @@ object ShuffleBudgetSpec {
     "q124_psi_priority_drift" -> 895610L,
     "q125_calendar_gaps" -> 427102L,
     "q126_weekday_seasonality" -> 867926L,
+    // Provisional r10 entry (compact = one exchange over delta+touched
+    // lists); replaced by the measured value in the seal's
+    // GRAFT_SHUFFLE_RECORD refresh.
+    "q127_ann_index_compact" -> 6291456L,
     "q11_window_rank" -> 290684L,
     "q12_window_frame" -> 1705818L,
     "q13_topk" -> 65536L,
