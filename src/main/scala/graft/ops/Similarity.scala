@@ -197,7 +197,83 @@ object Similarity {
           round(col("cos"), 4).as("cosine"))
         .orderBy("probe_id", "rnk")
     },
-    None)
+    Some(q23cOracleSql))
+
+  /** q23c's DuckDB oracle (r10): same plane-literal determinism as
+    * q23d/q58b — L=22 tables × k=6 sign bits recomputed in SQL, probe
+    * candidates from bucket equality, exact cosine top-5 per probe with
+    * the identical (cos DESC, vec_id ASC) tie-break.
+    */
+  private def q23cOracleSql: String = {
+    val planes = hyperplanes(numPlanes = 22 * 6, dim = 64)
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |${lshBucketsSql(L = 22, k = 6, planes)},
+       |pb AS (SELECT * FROM buckets WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS probe_id, b.vec_id AS vec_id
+       |  FROM buckets b JOIN pb p ON b.tbl = p.tbl AND b.bkt = p.bkt AND b.vec_id != p.vec_id),
+       |scored AS (
+       |  SELECT cand.probe_id, cand.vec_id,
+       |    list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm) AS cos
+       |  FROM cand JOIN n na ON cand.probe_id = na.vec_id JOIN n nb ON cand.vec_id = nb.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT probe_id, vec_id AS nbr_id, rnk, round(cos, 4) AS cosine
+       |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  }
+
+  /** DuckDB bucket CTE for the banded-LSH pipeline (r10): the
+    * hyperplanes are DETERMINISTIC (seeded LCG, no runtime randomness —
+    * that was the design point), so the oracle inlines the exact same
+    * plane constants as shortest-round-trip double literals and
+    * recomputes every sign-bit bucket in SQL. `Double.toString` emits
+    * the shortest decimal that round-trips, and DuckDB's parser is
+    * correctly rounded, so both engines project against bit-identical
+    * planes; a bucket-bit divergence would additionally need a
+    * projection within ~1 ulp of 0 to flip under summation-order
+    * differences — the same (accepted, spec-backstopped) float-equality
+    * premise q23b/q58's cosine oracles already rest on. Emits relation
+    * `buckets`(vec_id, tbl, bkt) from a relation `n`(vec_id, e).
+    */
+  private def lshBucketsSql(L: Int, k: Int, planes: Array[Array[Double]]): String = {
+    val branches = (0 until L).map { t =>
+      val bkt = (0 until k).map { b =>
+        val lits = planes(t * k + b).map(java.lang.Double.toString).mkString(", ")
+        s"(CASE WHEN list_dot_product(e, [$lits]) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bkt AS bkt FROM n"
+    }
+    s"buckets AS (${branches.mkString("\n  UNION ALL ")})"
+  }
+
+  /** Shared oracle CTE prefix for q23d/q58b: corpus, buckets, deduped
+    * same-bucket candidates, exact-cosine-verified pairs at the same
+    * round-4 threshold the Spark side applies.
+    */
+  private def lshPairsOraclePrefix: String = {
+    val planes = hyperplanes(numPlanes = 8 * 4, dim = 64, seed = 7L)
+    // RECURSIVE up front: q58b appends a recursive reach CTE to this
+    // prefix; harmless for q23d's non-recursive use.
+    s"""WITH RECURSIVE n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |${lshBucketsSql(L = 8, k = 4, planes)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT va, vb,
+       |    round(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 4) AS cosine
+       |  FROM cand JOIN n na ON va = na.vec_id JOIN n nb ON vb = nb.vec_id
+       |  WHERE round(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 4) >= 0.4)""".stripMargin
+  }
 
   /** Q23d — banded LSH threshold-pairs: the 100 TB path for q23b's
     * semantic (all pairs with cosine ≥ 0.4). L independent hyperplane
@@ -207,8 +283,11 @@ object Similarity {
     * kernel — so the output is always a subset of q23b's exact result,
     * short only of pairs whose bucket collision was missed in all L
     * tables (recall 1-(1-p^k)^L; tune k up for bucket size, L up for
-    * recall). Approximate by construction → rows-only driver check;
-    * ScalaTest pins recall against q23b's exact ground truth.
+    * recall). DuckDB-oracled since r10: the seeded planes inline as SQL
+    * literals (`lshBucketsSql`), so "approximate" no longer means
+    * "unoracled" — the bucketing is deterministic and both engines
+    * compute it exactly. ScalaTest additionally pins recall against
+    * q23b's exact ground truth.
     */
   val q23d: Q = Q(
     "q23d_neardup_lsh",
@@ -261,7 +340,8 @@ object Similarity {
         .select(col("va"), col("vb"), round(col("cos"), 4).as("cosine"))
         .orderBy("va", "vb")
     },
-    None)
+    Some(s"""$lshPairsOraclePrefix
+            |SELECT va, vb, cosine FROM pairs ORDER BY va, vb""".stripMargin))
 
   /** Q23e — IVF (inverted-file) ANN: the other classic scale path next
     * to LSH. Deterministic seeding (k smallest xxhash64(vec_id)), one
@@ -495,14 +575,28 @@ object Similarity {
     semanticDedup(s, d, (s2, d2) => q23d.fn(s2, d2))
 
   /** The production path registered as its own query so the driver's
-    * artifact runs and times it: approximate by construction (LSH
-    * candidate misses can split clusters) → rows-only driver check; the
-    * PipelineOpsSpec refinement + recall test is its correctness pin.
+    * artifact runs and times it. DuckDB-oracled since r10: q23d's
+    * bucketing is deterministic (seeded planes inline as SQL literals),
+    * so the oracle recomputes the SAME candidate edges and folds them
+    * through q58's recursive-CTE connected components — the full
+    * 100 TB pipeline inside the hash gate. The PipelineOpsSpec
+    * refinement + recall test remains its semantic pin against the
+    * exact clustering.
     */
   val q58b: Q = Q(
     "q58b_semantic_dedup_lsh",
     (s, d) => semanticDedupLsh(s, d),
-    None)
+    Some(s"""$lshPairsOraclePrefix,
+            |bi AS (SELECT va AS src, vb AS dst FROM pairs UNION ALL SELECT vb AS src, va AS dst FROM pairs),
+            |reach AS (
+            |  SELECT DISTINCT src AS id, src AS r FROM bi
+            |  UNION
+            |  SELECT b.src AS id, rr.r AS r FROM bi b JOIN reach rr ON rr.id = b.dst),
+            |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+            |SELECT e.vec_id, coalesce(comp.cluster_id, e.vec_id) AS cluster_id,
+            |  (e.vec_id = coalesce(comp.cluster_id, e.vec_id)) AS keep
+            |FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
+            |ORDER BY e.vec_id""".stripMargin))
 
   val q58: Q = Q(
     "q58_semantic_dedup",
