@@ -10,8 +10,9 @@ import graft.{SparkEntry, SparkTestBase}
   * at ANY scale factor (a payload that shouldn't shuffle multiplies the
   * sum identically at sf0.01 and at 100 TB), so the full registry is
   * swept at sf0.01 and the exchange-heaviest pipelines are anchored at
-  * the bench scale. Ceilings are ~2× the measured values (recorded in
-  * BASELINE §C10) — loose enough for partition-count/compression
+  * the bench scale. Ceilings are ~2× the measured values (refreshed
+  * per-round as part of the seal — r9 verdict item 7; last recorded in
+  * BASELINE §C11) — loose enough for partition-count/compression
   * jitter, tight enough that a payload-through-exchange regression
   * (integer multiples) fails.
   *
@@ -27,7 +28,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
   /** The ceilings are MEASUREMENTS UNDER A DECLARED CONFIG (r9 ADVICE):
     * exchange bytes scale with partition count (per-partition framing,
     * compression-block resets) and with the shuffle compression codec,
-    * so a drive-by change to either would shift the whole 140-entry
+    * so a drive-by change to either would shift the whole 146-entry
     * table at once and fail the sweep en masse for a non-regression
     * reason. Pin the partition count HERE (not inherited from
     * SparkTestBase's builder) and assert the codec, so the config the
@@ -140,12 +141,13 @@ object ShuffleBudgetSpec {
     "q111_ann_ivf_probe" -> 65536L,
     "q112_ann_pq_probe" -> 706282L,
     "q113_ann_index_append" -> 87654L,
-    "q114_ohlc_bars" -> 1493356L,
+    "q114_ohlc_bars" -> 1493118L,
     "q115_pmi_cooccur" -> 443426L,
     "q116_zipf_fit" -> 177638L,
     "q117_purchase_gaps" -> 949480L,
     "q118_entropy_profile" -> 65536L,
     "q119_gini_spend" -> 732878L,
+    "q11_window_rank" -> 290618L,
     "q120_benford_digits" -> 1443262L,
     "q121_chi2_independence" -> 65536L,
     "q122_autocorr_daily" -> 842044L,
@@ -153,20 +155,16 @@ object ShuffleBudgetSpec {
     "q124_psi_priority_drift" -> 895610L,
     "q125_calendar_gaps" -> 427102L,
     "q126_weekday_seasonality" -> 867926L,
-    // Provisional r10 entry (compact = one exchange over delta+touched
-    // lists); replaced by the measured value in the seal's
-    // GRAFT_SHUFFLE_RECORD refresh.
-    "q127_ann_index_compact" -> 6291456L,
-    "q11_window_rank" -> 290684L,
-    "q12_window_frame" -> 1705818L,
+    "q127_ann_index_compact" -> 470406L,
+    "q12_window_frame" -> 1705488L,
     "q13_topk" -> 65536L,
     "q14_setops" -> 65536L,
-    "q15_strings" -> 140212L,
-    "q16_dates" -> 876664L,
+    "q15_strings" -> 140130L,
+    "q16_dates" -> 875408L,
     "q17_math" -> 65536L,
     "q18_arrays" -> 65536L,
-    "q19_json" -> 207818L,
-    "q20_subquery" -> 301066L,
+    "q19_json" -> 207724L,
+    "q20_subquery" -> 301116L,
     "q21_dedup_exact" -> 184828L,
     "q22a_jaccard_pairs" -> 2733498L,
     "q22b_minhash_pairs" -> 1164542L,
@@ -185,7 +183,7 @@ object ShuffleBudgetSpec {
     "q24e_encrypted_dedup" -> 184828L,
     "q24f_encrypted_stream" -> 65536L,
     "q25_tumbling_window" -> 527660L,
-    "q26_sliding_window" -> 655306L,
+    "q26_sliding_window" -> 655216L,
     "q27_session_window" -> 224990L,
     "q28_percentiles" -> 3382346L,
     "q28b_approx_percentiles" -> 2599948L,
@@ -210,10 +208,10 @@ object ShuffleBudgetSpec {
     "q46_json_source" -> 65536L,
     "q47_csv_source" -> 65536L,
     "q48_grouping_sets" -> 1503578L,
-    "q49_edit_distance" -> 269586L,
+    "q49_edit_distance" -> 269472L,
     "q50_resample_gapfill" -> 154526L,
     "q51_orc_source" -> 65536L,
-    "q52_merge_upsert" -> 364036L,
+    "q52_merge_upsert" -> 364096L,
     "q53_histogram" -> 867524L,
     "q54_moment_stats" -> 2017250L,
     "q55_interval_join" -> 337780L,
@@ -224,14 +222,14 @@ object ShuffleBudgetSpec {
     "q59_contamination" -> 273298L,
     "q60_filtered_topk" -> 65536L,
     "q61_heavy_hitters" -> 177638L,
-    "q62_stream_static_join" -> 939006L,
+    "q62_stream_static_join" -> 938722L,
     "q63_doc_chunks" -> 364784L,
     "q64_token_packing" -> 183602L,
     "q65_bloom_decontam" -> 227892L,
     "q66_bpe_merges" -> 301810L,
     "q67_mixture_sample" -> 65536L,
     "q68_quality_mixture" -> 198884L,
-    "q69_sessionize" -> 1032168L,
+    "q69_sessionize" -> 1032446L,
     "q70_quantize_embed" -> 406078L,
     "q71_snapshot_diff" -> 344984L,
     "q72_bm25" -> 348050L,
@@ -240,7 +238,7 @@ object ShuffleBudgetSpec {
     "q75_latest_compaction" -> 548924L,
     "q76_lm_familiarity" -> 243018L,
     "q77_train_shards" -> 65536L,
-    "q78_scd2_history" -> 1377294L,
+    "q78_scd2_history" -> 1376854L,
     "q79_dataset_card" -> 415822L,
     "q80_chunk_dedup" -> 379530L,
     "q81_source_overlap" -> 280724L,
@@ -273,7 +271,7 @@ object ShuffleBudgetSpec {
     "q22b_minhash_pairs" -> 8450604L,
     "q38_dup_clusters" -> 22991642L,
     "q41_corpus_curation" -> 4828986L,
-    "q58_semantic_dedup" -> 4117100L,
-    "q64_token_packing" -> 1787314L,
+    "q58_semantic_dedup" -> 4117194L,
+    "q64_token_packing" -> 1894936L,
     "q99_assoc_rules" -> 7724472L)
 }
