@@ -628,6 +628,100 @@ object AnnIndex {
     currentVersion(root).getOrElse(compact(s, d))
   }
 
+  // ---- continuous ingest (Structured Streaming micro-batch deltas) ----
+
+  /** Source files the ingest stream is split into — with
+    * `maxFilesPerTrigger = 1` each file is one micro-batch, so the
+    * lifecycle test exercises SEVERAL checkpointed batches, not a
+    * single degenerate one.
+    */
+  val StreamFiles = 3
+
+  /** Continuous ingest: the "newly arriving" 10% slice replayed through
+    * a checkpointed Structured Streaming job, each micro-batch landing
+    * as its OWN delta segment against the FROZEN base index via
+    * `foreachBatch` — q113's append discipline made continuous:
+    *
+    *   - assignment against the base centroids and encoding against the
+    *     base codebook are pure scan-stage argmins over the BATCH only
+    *     (no Lloyd, no training, nothing corpus-sized moves);
+    *   - each segment write is keyed by batchId and `overwrite` — the
+    *     canonical idempotent foreachBatch sink, so checkpoint replay
+    *     after a crash rewrites the same segment instead of duplicating
+    *     it, and a finished checkpoint makes re-runs no-ops;
+    *   - a `_COMPLETE` marker lands after BOTH artifacts: readers union
+    *     only complete segments, so a probe during ingest sees each
+    *     segment atomically (the streaming analogue of the version
+    *     pointer flip);
+    *   - segments accumulate until [[compact]] folds them — the full
+    *     LSM serving lifecycle: build → serve → stream-ingest → compact.
+    *
+    * Returns (baseDir, complete segment dirs). Idempotent per `root`:
+    * the checkpoint remembers processed files across invocations.
+    */
+  private[ops] def streamIngestInto(s: SparkSession, d: String,
+      root: String): (String, Seq[String]) = {
+    GraftFunctions.register(s)
+    val baseDir = ensureAppendBase(s, d)
+    val cents = readCentroids(s, baseDir)
+    val srcDir = s"$root/src"
+    val segRoot = s"$root/segments"
+    if (!new java.io.File(srcDir, "_SUCCESS").exists()) {
+      batchSlice(corpus(s, d)).repartition(StreamFiles)
+        .write.mode("overwrite").parquet(srcDir)
+    }
+    val schema = s.read.parquet(srcDir).schema
+    // Dedicated session clone: streaming state (listeners, SQL conf
+    // snapshots) stays off the caller's session, the q24f rule.
+    val s2 = s.newSession()
+    GraftFunctions.register(s2)
+    s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val seg = s"$segRoot/b$id"
+        GraftFunctions.register(batch.sparkSession)
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          b.select(nearestCentroid(col("e"), cents).as("cid"),
+              col("vec_id"), col("e"))
+            .repartition(col("cid"))
+            .write.mode("overwrite").partitionBy("cid")
+            .parquet(s"$seg/ivf_assignments")
+          val cb = batch.sparkSession.read.parquet(s"$baseDir/pq_codebook")
+          encodePq(pqSliced(b.toDF()), cb)
+            .write.mode("overwrite").parquet(s"$seg/pq_codes")
+          new java.io.File(seg, "_COMPLETE").createNewFile(): Unit
+        } finally b.unpersist(): Unit
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val segs = Option(new java.io.File(segRoot).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && new java.io.File(f, "_COMPLETE").exists())
+      .map(_.toString).sorted.toIndexedSeq
+    (baseDir, segs)
+  }
+
+  /** IVF serve across explicit segment roots (base first) — the spec's
+    * read path over a streamed, not-yet-compacted index.
+    */
+  private[ops] def ivfProbeSegments(s: SparkSession, d: String,
+      roots: Seq[String]): DataFrame = {
+    GraftFunctions.register(s)
+    ivfServe(s, roots, readCentroids(s, roots.head),
+      collectProbes(defaultProbes(s, d)))
+  }
+
+  /** The CURRENT complete version for this dataset, resolved from disk
+    * exactly as a foreign JVM would (no builder cache) — the spec's
+    * concurrent-reader hook.
+    */
+  private[ops] def currentServing(d: String): Option[String] =
+    currentVersion(shmDir(Tables.datasetTag(d)))
+
   /** Q110 — index build, FORCED (the bench line prices the build every
     * run; probe queries adopt the result). Returns per-artifact row
     * counts read back from the written parquet — a conservation check
@@ -720,5 +814,48 @@ object AnnIndex {
             |UNION ALL SELECT 'pq_codes', count(*) FROM embeddings
             |ORDER BY artifact""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q110, q111, q112, q113, q127)
+  /** Q128 — continuous ingest: the 10% slice streamed through a
+    * checkpointed foreachBatch job in [[StreamFiles]] micro-batches,
+    * each landing as its own delta segment against the frozen base
+    * (see [[streamIngestInto]]); the census covers base + all streamed
+    * segments and is oracled on the same conservation law as
+    * q113/q127 — streaming ingest must neither drop nor duplicate a
+    * vector, and nothing retrains. The bench line prices the INGEST:
+    * each invocation streams into a fresh run root (fresh checkpoint),
+    * deleted after the eager census so /dev/shm never accumulates.
+    */
+  val q128: Q = Q(
+    "q128_ann_stream_ingest",
+    (s, d) => {
+      val base = new java.io.File(shmDir(Tables.datasetTag(d) + "/stream_runs"))
+      base.mkdirs(): Unit
+      val root = java.nio.file.Files.createTempDirectory(base.toPath, "run-").toString
+      val rows = try {
+        val (baseDir, segs) = streamIngestInto(s, d, root)
+        def n(p: String): Long =
+          try s.read.parquet(p).count() catch { case _: Throwable => 0L }
+        Seq(
+          ("ivf_assignments",
+            n(s"$baseDir/ivf_assignments") + segs.map(g => n(s"$g/ivf_assignments")).sum),
+          ("ivf_centroids", n(s"$baseDir/ivf_centroids")),
+          ("pq_codebook", n(s"$baseDir/pq_codebook")),
+          ("pq_codes",
+            n(s"$baseDir/pq_codes") + segs.map(g => n(s"$g/pq_codes")).sum))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }
+      import s.implicits._
+      rows.toDF("artifact", "n_rows").orderBy("artifact")
+    },
+    Some(s"""SELECT 'ivf_assignments' AS artifact, count(*) AS n_rows FROM embeddings
+            |UNION ALL SELECT 'ivf_centroids', CAST($K AS BIGINT)
+            |UNION ALL SELECT 'pq_codebook', CAST(${Mpq * Kpq} AS BIGINT)
+            |UNION ALL SELECT 'pq_codes', count(*) FROM embeddings
+            |ORDER BY artifact""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q110, q111, q112, q113, q127, q128)
 }

@@ -189,6 +189,74 @@ class AnnIndexSpec extends SparkTestBase {
     assert(AnnIndex.build(spark, sfDir) === v3)
   }
 
+  test("a concurrent reader always resolves a complete index across forced rebuilds") {
+    // The r9 ADVICE race, exercised live: a reader resolving CURRENT
+    // from disk (as a foreign JVM would — no builder cache) while
+    // forced rebuilds publish fresh versions must only ever see
+    // complete, readable artifacts. The deterministic retire-after-two
+    // pin above proves the file lifecycle; this pins the read path.
+    AnnIndex.build(spark, sfDir, force = true)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val resolutions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          AnnIndex.currentServing(sfDir) match {
+            case Some(dir) =>
+              assert(spark.read.parquet(s"$dir/ivf_centroids").count() === AnnIndex.K.toLong)
+              assert(spark.read.parquet(s"$dir/pq_codebook").count() ===
+                (AnnIndex.Mpq * AnnIndex.Kpq).toLong)
+              resolutions.incrementAndGet(): Unit
+            case None =>
+              failures.add(new AssertionError("CURRENT resolved to no complete version")): Unit
+          }
+        } catch { case t: Throwable => failures.add(t): Unit }
+      }
+    })
+    reader.start()
+    try (1 to 2).foreach(_ => AnnIndex.build(spark, sfDir, force = true))
+    finally { stop.set(true); reader.join(30000) }
+    assert(failures.isEmpty, s"reader failed during rebuild: ${failures.peek()}")
+    assert(resolutions.get() > 0, "reader never resolved a version while rebuilds ran")
+  }
+
+  // ---- continuous ingest (q128) ---------------------------------------
+
+  test("q128 stream ingest: one segment per micro-batch; checkpointed re-run is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-annstream-spec-").toString
+    val (baseDir, segs) = AnnIndex.streamIngestInto(spark, sfDir, root)
+    assert(segs.size === AnnIndex.StreamFiles,
+      s"expected one delta segment per micro-batch (${AnnIndex.StreamFiles}), got ${segs.size}")
+    def n(p: String): Long = spark.read.parquet(p).count()
+    val corpusN = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(n(s"$baseDir/ivf_assignments") + segs.map(g => n(s"$g/ivf_assignments")).sum
+      === corpusN, "streamed index must cover the corpus exactly")
+    assert(n(s"$baseDir/pq_codes") + segs.map(g => n(s"$g/pq_codes")).sum === corpusN,
+      "streamed codes must cover the corpus exactly")
+    // A finished checkpoint makes the ingest idempotent: a re-run over
+    // the same root processes no files and rewrites no segment.
+    def listing(dirs: Seq[String]): Map[String, Long] = dirs.flatMap { d =>
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(d)).map(f => f.getPath -> f.lastModified())
+    }.toMap
+    val before = listing(segs)
+    val (_, segs2) = AnnIndex.streamIngestInto(spark, sfDir, root)
+    assert(segs2 === segs, "finished checkpoint must make a re-run a no-op")
+    assert(listing(segs2) === before, "re-run rewrote a segment despite the checkpoint")
+  }
+
+  test("streamed-index IVF recall holds the floor at sf0.1") {
+    val root = java.nio.file.Files.createTempDirectory("graft-annstream-recall-").toString
+    val (baseDir, segs) = AnnIndex.streamIngestInto(spark, benchSf, root)
+    val approx = topkSet(AnnIndex.ivfProbeSegments(spark, benchSf, baseDir +: segs))
+    val r = (exactTopk & approx).size.toDouble / exactTopk.size
+    info(f"streamed-index recall $r%.3f")
+    assert(r >= 0.68, f"streamed-index IVF recall regressed to $r%.3f (floor 0.68)")
+  }
+
   // ---- delta compaction (r9 verdict item 3) ---------------------------
 
   test("q127 compaction conserves the corpus and the trained artifacts") {
