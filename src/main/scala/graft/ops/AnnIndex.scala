@@ -357,11 +357,16 @@ object AnnIndex {
   /** Shared IVF serve core: route each collected probe against the
     * centroid table driver-side, then ONE statically partition-pruned
     * scan of the probed inverted lists across the given segment roots,
-    * scored in place and top-k'd per probe.
+    * scored in place and top-k'd per probe. An optional tombstone frame
+    * (vec_id, …) masks deleted vectors BEFORE ranking (a left-anti join
+    * the optimizer broadcasts — tombstone sets are delete-sized, never
+    * corpus-sized), so a deleted vector can neither appear in results
+    * nor displace a live one from the top-k.
     */
   private def ivfServe(s: SparkSession, listRoots: Seq[String],
       cents: Seq[(Int, Seq[Double])],
-      probes: Seq[(Long, Seq[Double])]): DataFrame = {
+      probes: Seq[(Long, Seq[Double])],
+      tombstones: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val routed: Seq[(Long, Seq[Double], Int)] = probes.flatMap { case (pid, pe) =>
       cents.map { case (cid, ce) => (-cosineScala(pe, ce), cid) }
@@ -376,11 +381,13 @@ object AnnIndex {
     // Segments are separate partitioned roots — load each and union
     // (Spark rejects conflicting partition roots in one load); the cid
     // partition filter prunes each segment's directories independently.
-    val lists = listRoots
+    val loaded = listRoots
       .map(p => s.read.parquet(s"$p/ivf_assignments")
         .filter(col("cid").isin(neededCids: _*))
         .select(col("cid"), col("vec_id"), col("e")))
       .reduce(_ unionAll _)
+    val lists = tombstones.fold(loaded)(ts =>
+      loaded.join(ts.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
     lists.join(broadcast(probeDf), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -426,13 +433,21 @@ object AnnIndex {
     * frame, ADC-scored against this dataset's persisted codes.
     */
   def pqProbe(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
     val dir = ensure(s, d)
-    val cb: Map[(Int, Int), Seq[Double]] = s.read.parquet(s"$dir/pq_codebook")
+    pqServe(s, d, dir, s.read.parquet(s"$dir/pq_codes"), collectProbes(probeDf))
+  }
+
+  /** Shared PQ serve core over an explicit codes frame (the segment
+    * composition / tombstone masking happens in the caller): ADC LUTs
+    * driver-side, M-lookup scoring over the codes, exact refine.
+    */
+  private def pqServe(s: SparkSession, d: String, cbDir: String,
+      codes: DataFrame, probes: Seq[(Long, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb: Map[(Int, Int), Seq[Double]] = s.read.parquet(s"$cbDir/pq_codebook")
       .select(col("m"), col("code"), col("ce"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
-    val probes = collectProbes(probeDf)
     // Flat LUT per probe: lut[m*K + code] = dot(pe_m, centroid(m, code)).
     val probeLut: Seq[(Long, Seq[Double], Seq[Double], Double)] = probes.map {
       case (pid, pe) =>
@@ -449,7 +464,6 @@ object AnnIndex {
       import s.implicits._
       probeLut.toDF("probe_id", "pe", "lut", "pnorm")
     }
-    val codes = s.read.parquet(s"$dir/pq_codes")
     // qdot = Σ_m lut[m*K + codes[m]] — an aggregate over the M codes;
     // qcos against the stored reconstructed norm ranks the pool.
     val scored = codes.join(broadcast(lutDf), col("vec_id") =!= col("probe_id"))
@@ -626,6 +640,143 @@ object AnnIndex {
   private def compactedOrCompact(s: SparkSession, d: String): String = {
     val root = shmDir(Tables.datasetTag(d) + "/append_compacted")
     currentVersion(root).getOrElse(compact(s, d))
+  }
+
+  // ---- deletes (tombstone segments) ------------------------------------
+
+  /** The deterministic delete set the lifecycle queries exercise: 10%
+    * of the corpus, split across BOTH segments — vec_id % 20 == 3 lives
+    * in the base (odd), vec_id % 20 == 10 lives in the append delta
+    * (multiple of 10) — so deletion is exercised against every segment
+    * kind, not just the base.
+    */
+  private def deleteSlice(df: DataFrame): DataFrame =
+    df.filter(pmod(col("vec_id"), lit(20)).isin(3, 10))
+
+  /** Record deletes as a TOMBSTONE SEGMENT — the LSM delete discipline:
+    * a delete is a WRITE, nothing in the index mutates. Each tombstone
+    * row carries (vec_id, cid), the cid resolved against the base
+    * centroids at delete time, so compaction later knows exactly which
+    * inverted lists are dirtied WITHOUT scanning any of them (the
+    * distinct-cid collect is bounded by K). Published via the same
+    * pointer-flip discipline as every other segment: a reader adopting
+    * tombstones mid-rewrite never sees a partial set. Serve paths mask
+    * against the tombstones ([[ivfProbeLive]]); [[compactWithDeletes]]
+    * makes the drop physical.
+    */
+  def writeTombstones(s: SparkSession, d: String): (String, String, String) = {
+    val (baseDir, deltaDir) = appendDelta(s, d)
+    val cents = readCentroids(s, baseDir)
+    val root = shmDir(Tables.datasetTag(d) + "/tombstones")
+    val tsDir = publishVersion(root) { vdir =>
+      deleteSlice(corpus(s, d))
+        .select(col("vec_id"), nearestCentroid(col("e"), cents).as("cid"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/tombstones")
+    }
+    (baseDir, deltaDir, tsDir)
+  }
+
+  /** IVF serve over the LIVE view (base ∪ delta) minus tombstones — the
+    * pre-compaction read path: deleted vectors are masked before
+    * ranking, so they never appear as neighbors nor displace live ones.
+    */
+  def ivfProbeLive(s: SparkSession, d: String): DataFrame =
+    ivfProbeLive(s, d, defaultProbes(s, d))
+
+  def ivfProbeLive(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val (baseDir, deltaDir, tsDir) = writeTombstones(s, d)
+    ivfServe(s, Seq(baseDir, deltaDir), readCentroids(s, baseDir),
+      collectProbes(probeDf),
+      tombstones = Some(s.read.parquet(s"$tsDir/tombstones")))
+  }
+
+  /** PQ serve over the LIVE view: the codes scan unions base + delta
+    * segments and the tombstone mask is a left-anti join applied BEFORE
+    * ADC scoring — a deleted vector never enters the candidate pool, so
+    * it can't reach the exact-refine stage either.
+    */
+  def pqProbeLive(s: SparkSession, d: String): DataFrame =
+    pqProbeLive(s, d, defaultProbes(s, d))
+
+  def pqProbeLive(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val (baseDir, deltaDir, tsDir) = writeTombstones(s, d)
+    val codes = s.read.parquet(s"$baseDir/pq_codes", s"$deltaDir/pq_codes")
+      .join(s.read.parquet(s"$tsDir/tombstones").select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+    pqServe(s, d, baseDir, codes, collectProbes(probeDf))
+  }
+
+  /** Delete-aware compaction: fold delta AND tombstones into a fresh
+    * physical index. Work is bounded by what the writes dirtied, never
+    * by the corpus:
+    *
+    *   - touched lists = delta cids ∪ tombstone cids (two bounded ≤K
+    *     driver collects — the tombstone segment RECORDED its cids at
+    *     delete time precisely so no list scan is needed here);
+    *     they are merged base+delta, anti-joined against the tombstones
+    *     and rewritten through ONE exchange on cid (a uniform delete
+    *     touches every list — the honest worst case; a localized delete
+    *     rewrites only its lists);
+    *   - untouched base lists carry over as raw file copies (no scan —
+    *     at 100 TB an object-store copy/link), correct BECAUSE every
+    *     tombstoned vector's list is touched by construction;
+    *   - pq_codes are rewritten through one anti-join filter pass — the
+    *     codes table is the 32×-compressed corpus (n·(M+8) bytes), so
+    *     its rewrite is the cheap path even at 10^9 vectors, and a
+    *     physical drop beats carrying a read-side mask forever;
+    *   - centroids and codebook copy unchanged (nothing retrains;
+    *     deletion never warrants re-clustering until a full rebuild).
+    *
+    * Publishes an immutable version under its own root; base, delta and
+    * tombstones stay untouched for in-flight readers.
+    */
+  def compactWithDeletes(s: SparkSession, d: String): String = {
+    val (baseDir, deltaDir, tsDir) = writeTombstones(s, d)
+    val ts = s.read.parquet(s"$tsDir/tombstones")
+    val root = shmDir(Tables.datasetTag(d) + "/delete_compacted")
+    publishVersion(root) { vdir =>
+      val deltaLists = s.read.parquet(s"$deltaDir/ivf_assignments")
+      val touched: Set[Int] =
+        (deltaLists.select("cid").distinct().collect().map(_.getInt(0)) ++
+          ts.select("cid").distinct().collect().map(_.getInt(0))).toSet
+      val baseLists = s.read.parquet(s"$baseDir/ivf_assignments")
+        .filter(col("cid").isin(touched.toSeq.sorted: _*))
+        .select(col("cid"), col("vec_id"), col("e"))
+      baseLists.unionAll(deltaLists.select(col("cid"), col("vec_id"), col("e")))
+        .join(ts.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$vdir/ivf_assignments")
+      copyTree(new java.io.File(s"$baseDir/ivf_centroids"),
+        new java.io.File(s"$vdir/ivf_centroids"))
+      copyTree(new java.io.File(s"$baseDir/pq_codebook"),
+        new java.io.File(s"$vdir/pq_codebook"))
+      Option(new java.io.File(s"$baseDir/ivf_assignments").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+        .filter(f => !touched.contains(f.getName.stripPrefix("cid=").toInt))
+        .foreach(f => copyTree(f, new java.io.File(s"$vdir/ivf_assignments/${f.getName}")))
+      s.read.parquet(s"$baseDir/pq_codes", s"$deltaDir/pq_codes")
+        .join(ts.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$vdir/pq_codes")
+    }
+  }
+
+  /** IVF serve over the delete-compacted index: ONE segment root, NO
+    * tombstone mask — the drop is physical, which is exactly what the
+    * spec asserts (no deleted id can appear because none is stored).
+    */
+  def ivfProbeDeleteCompacted(s: SparkSession, d: String): DataFrame =
+    ivfProbeDeleteCompacted(s, d, defaultProbes(s, d))
+
+  def ivfProbeDeleteCompacted(s: SparkSession, d: String,
+      probeDf: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val root = shmDir(Tables.datasetTag(d) + "/delete_compacted")
+    val dir = currentVersion(root).getOrElse(compactWithDeletes(s, d))
+    ivfServe(s, Seq(dir), readCentroids(s, dir), collectProbes(probeDf))
   }
 
   // ---- continuous ingest (Structured Streaming micro-batch deltas) ----
@@ -857,5 +1008,34 @@ object AnnIndex {
             |UNION ALL SELECT 'pq_codes', count(*) FROM embeddings
             |ORDER BY artifact""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q110, q111, q112, q113, q127, q128)
+  /** Q129 — tombstone deletes + delete-aware compaction: 10% of the
+    * corpus (split across base AND delta segments) is deleted via a
+    * tombstone segment (see [[writeTombstones]] — a delete is a write;
+    * the segment records each victim's cid so compaction knows its
+    * dirty lists without scanning any), then [[compactWithDeletes]]
+    * makes the drop physical. The census reads the compacted index and
+    * the oracle is EXACT: every surviving vector and no deleted one, in
+    * both the lists and the codes; trained artifacts keep their
+    * configured sizes (deletion never retrains). The bench line prices
+    * tombstone write + delete-compaction; base and delta are fixtures.
+    */
+  val q129: Q = Q(
+    "q129_ann_index_delete",
+    (s, d) => {
+      val dir = compactWithDeletes(s, d)
+      import s.implicits._
+      Seq("ivf_assignments", "ivf_centroids", "pq_codebook", "pq_codes")
+        .map(a => (a, s.read.parquet(s"$dir/$a").count()))
+        .toDF("artifact", "n_rows")
+        .orderBy("artifact")
+    },
+    Some(s"""SELECT 'ivf_assignments' AS artifact, count(*) AS n_rows
+            |  FROM embeddings WHERE vec_id % 20 NOT IN (3, 10)
+            |UNION ALL SELECT 'ivf_centroids', CAST($K AS BIGINT)
+            |UNION ALL SELECT 'pq_codebook', CAST(${Mpq * Kpq} AS BIGINT)
+            |UNION ALL SELECT 'pq_codes', count(*)
+            |  FROM embeddings WHERE vec_id % 20 NOT IN (3, 10)
+            |ORDER BY artifact""".stripMargin))
+
+  val queries: Seq[Q] = Seq(q110, q111, q112, q113, q127, q128, q129)
 }

@@ -125,9 +125,10 @@ class AnnIndexSpec extends SparkTestBase {
   }
 
   private def exactFor(probes: org.apache.spark.sql.DataFrame,
-      sf: String): Set[(Long, Long)] = {
+      sf: String, live: Long => Boolean = _ => true): Set[(Long, Long)] = {
     val corpus = AnnIndex.corpus(spark, sf).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter { case (vid, _) => live(vid) }
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -255,6 +256,70 @@ class AnnIndexSpec extends SparkTestBase {
     val r = (exactTopk & approx).size.toDouble / exactTopk.size
     info(f"streamed-index recall $r%.3f")
     assert(r >= 0.68, f"streamed-index IVF recall regressed to $r%.3f (floor 0.68)")
+  }
+
+  // ---- tombstone deletes (q129) ----------------------------------------
+
+  /** The deterministic q129 delete set: vec_id % 20 ∈ {3, 10}. */
+  private def isDeleted(id: Long): Boolean = { val m = id % 20; m == 3 || m == 10 }
+
+  test("q129 delete-compaction physically drops every tombstoned vector, conserves the rest") {
+    val census = AnnIndex.q129.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = AnnIndex.corpus(spark, sfDir).select("vec_id")
+      .collect().map(_.getLong(0))
+    val liveN = ids.count(!isDeleted(_)).toLong
+    assert(ids.exists(isDeleted), "fixture must actually delete something")
+    assert(census("ivf_assignments") === liveN && census("pq_codes") === liveN,
+      s"compacted index must hold exactly the live vectors: $census vs $liveN")
+    // The drop is PHYSICAL: no tombstoned id survives in any artifact.
+    val dir = AnnIndex.compactWithDeletes(spark, sfDir)
+    Seq("ivf_assignments", "pq_codes").foreach { a =>
+      val ghosts = spark.read.parquet(s"$dir/$a").select("vec_id")
+        .collect().map(_.getLong(0)).filter(isDeleted)
+      assert(ghosts.isEmpty, s"$a still stores deleted ids: ${ghosts.take(5).mkString(",")}")
+    }
+  }
+
+  /** The deleted-corpus ground truth is HARDER than the full-corpus one
+    * (every deletion promotes a rank-6..10 vector — farther from the
+    * probe, likelier to sit in an un-probed list — into the true
+    * top-5), so these tests use the 30-probe synthetic set for variance
+    * (the external-probe rationale above) and recompute the exact
+    * baseline over the LIVE corpus only.
+    */
+  private lazy val liveExact: Set[(Long, Long)] =
+    exactFor(syntheticProbes(benchSf), benchSf, !isDeleted(_))
+
+  test("live serve masks tombstones before ranking; recall holds vs the live truth at sf0.1") {
+    val res = AnnIndex.ivfProbeLive(spark, benchSf, syntheticProbes(benchSf))
+    val approx = topkSet(res)
+    val ghosts = approx.collect { case (_, nbr) if isDeleted(nbr) => nbr }
+    assert(ghosts.isEmpty,
+      s"masked serve returned deleted ids: ${ghosts.take(5).mkString(",")}")
+    assert(res.count() === 150L, "mask must not shrink the top-k surface")
+    val r = (liveExact & approx).size.toDouble / liveExact.size
+    info(f"live-masked IVF recall $r%.3f")
+    assert(r >= 0.68, f"live-masked IVF recall $r%.3f below floor 0.68")
+  }
+
+  test("live PQ serve masks tombstones before ADC scoring at sf0.1") {
+    val approx = topkSet(AnnIndex.pqProbeLive(spark, benchSf, syntheticProbes(benchSf)))
+    assert(!approx.exists { case (_, nbr) => isDeleted(nbr) },
+      "masked PQ serve returned a deleted id")
+    val r = (liveExact & approx).size.toDouble / liveExact.size
+    info(f"live-masked PQ recall $r%.3f")
+    assert(r >= 0.90, f"live-masked PQ recall $r%.3f below floor 0.90")
+  }
+
+  test("delete-compacted index holds the recall floor with NO mask at sf0.1") {
+    val approx = topkSet(
+      AnnIndex.ivfProbeDeleteCompacted(spark, benchSf, syntheticProbes(benchSf)))
+    assert(!approx.exists { case (_, nbr) => isDeleted(nbr) },
+      "unmasked serve over the compacted index returned a deleted id")
+    val r = (liveExact & approx).size.toDouble / liveExact.size
+    info(f"delete-compacted IVF recall $r%.3f")
+    assert(r >= 0.68, f"delete-compacted IVF recall $r%.3f below floor 0.68")
   }
 
   // ---- delta compaction (r9 verdict item 3) ---------------------------
