@@ -62,10 +62,16 @@ object AnnIndex {
 
   private def dbl(c: Column): Column = c.cast("array<double>")
 
-  /** The embeddings corpus in index form: (vec_id, e: array<double>). */
+  /** The embeddings corpus in index form: (vec_id, e: array<double>,
+    * label). The label rides into the inverted lists as an inline
+    * FILTERABLE ATTRIBUTE (see [[ivfProbeFiltered]]): a predicate on it
+    * evaluates during the pruned list scan itself — pre-filtering — so
+    * a filtered probe never joins back to the corpus.
+    */
   private[ops] def corpus(s: SparkSession, d: String): DataFrame =
     Tables.spread(Tables.embeddings(s, d)
-      .select(col("vec_id"), dbl(col("embedding")).as("e")), col("vec_id"))
+      .select(col("vec_id"), dbl(col("embedding")).as("e"), col("label")),
+      col("vec_id"))
 
   // ---- shared IVF trainer (extracted from q23e; q23e delegates here) --
 
@@ -164,12 +170,30 @@ object AnnIndex {
 
   // ---- persisted index ------------------------------------------------
 
+  /** Index FORMAT level: part of the on-disk root, so a code change to
+    * the artifact schema (f2: inverted lists carry the inline `label`
+    * attribute) can never adopt a fixture written by the previous
+    * format — `Tables.datasetTag` keys on the DATA, not the code.
+    * Bumping the level orphans the old root; [[shmDir]] sweeps stale
+    * format dirs so /dev/shm never accumulates across bumps.
+    */
+  val FormatLevel = "f2"
+
   private def shmDir(suffix: String): String = {
     val shm = new java.io.File("/dev/shm")
     val base = if (shm.isDirectory && shm.canWrite)
       new java.io.File(shm, "graft-annindex") else
       new java.io.File(sys.props("java.io.tmpdir"), "graft-annindex")
-    new java.io.File(base, suffix).toString
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName != FormatLevel)
+      .foreach { stale =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(stale)
+      }
+    new java.io.File(new java.io.File(base, FormatLevel), suffix).toString
   }
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -256,7 +280,7 @@ object AnnIndex {
       // cid, one file per list — the layout a 100 TB inverted file
       // wants, since a probe reads whole lists.
       emb.select(nearestCentroid(col("e"), centroids).as("cid"),
-          col("vec_id"), col("e"))
+          col("vec_id"), col("label"), col("e"))
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$dir/ivf_assignments")
@@ -332,7 +356,7 @@ object AnnIndex {
     * parameterized serve paths with this frame.
     */
   def defaultProbes(s: SparkSession, d: String): DataFrame =
-    corpus(s, d).filter(col("vec_id") < 10).toDF("vec_id", "e")
+    corpus(s, d).filter(col("vec_id") < 10).select("vec_id", "e")
 
   /** Collect an external (id, vector) probe frame driver-side: the
     * first column must cast to long, the second to array<double> —
@@ -366,11 +390,13 @@ object AnnIndex {
   private def ivfServe(s: SparkSession, listRoots: Seq[String],
       cents: Seq[(Int, Seq[Double])],
       probes: Seq[(Long, Seq[Double])],
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None,
+      attrFilter: Option[Column] = None,
+      nprobe: Int = Nprobe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val routed: Seq[(Long, Seq[Double], Int)] = probes.flatMap { case (pid, pe) =>
       cents.map { case (cid, ce) => (-cosineScala(pe, ce), cid) }
-        .sorted.take(Nprobe)
+        .sorted.take(nprobe)
         .map { case (_, cid) => (pid, pe, cid) }
     }
     val neededCids = routed.map(_._3).distinct.sorted
@@ -384,6 +410,12 @@ object AnnIndex {
     val loaded = listRoots
       .map(p => s.read.parquet(s"$p/ivf_assignments")
         .filter(col("cid").isin(neededCids: _*))
+        // Attribute pre-filter FIRST, on the raw scan: the predicate
+        // pushes into the parquet read of the pruned lists (row-group
+        // stats skip non-matching chunks), so a selective filter cuts
+        // the scored candidates at the source — never a post-top-k cut
+        // (which would return fewer than k) nor a corpus join.
+        .filter(attrFilter.getOrElse(lit(true)))
         .select(col("cid"), col("vec_id"), col("e")))
       .reduce(_ unionAll _)
     val lists = tombstones.fold(loaded)(ts =>
@@ -417,6 +449,38 @@ object AnnIndex {
     val dir = ensure(s, d)
     ivfServe(s, Seq(dir), readCentroids(s, dir), collectProbes(probeDf))
   }
+
+  /** Metadata-FILTERED IVF serve: top-k among only the vectors matching
+    * `attrFilter` (a predicate over the inline list attributes —
+    * currently `label`). This is PRE-filtering, the production
+    * vector-search shape: the attribute was denormalized into the
+    * inverted lists at WRITE time precisely so the predicate evaluates
+    * inside the pruned list scan — no corpus join, no post-top-k cut
+    * that could return fewer than k, and parquet row-group stats skip
+    * non-matching chunks. Post-filtering (top-k first, filter after)
+    * under-fills results at exactly the selectivities where filtering
+    * matters; a serve-time join back to the corpus re-introduces the
+    * corpus-sized input the index exists to avoid.
+    */
+  /** Filtered probes WIDEN the probe set (2×, capped at K): a selective
+    * predicate thins every probed list, so holding nprobe constant
+    * starves the candidate pool at exactly the selectivities filtering
+    * targets — the standard IVF filtered-search compensation. Scan cost
+    * stays BELOW an unfiltered probe's: 2× the partitions, each
+    * row-group-skipped to the matching ~10%.
+    */
+  val FilteredNprobe: Int = math.min(K, Nprobe * 2)
+
+  def ivfProbeFiltered(s: SparkSession, d: String, attrFilter: Column,
+      probeDf: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val dir = ensure(s, d)
+    ivfServe(s, Seq(dir), readCentroids(s, dir), collectProbes(probeDf),
+      attrFilter = Some(attrFilter), nprobe = FilteredNprobe)
+  }
+
+  def ivfProbeFiltered(s: SparkSession, d: String, attrFilter: Column): DataFrame =
+    ivfProbeFiltered(s, d, attrFilter, defaultProbes(s, d))
 
   /** Q112 serve path: ADC over the persisted codes. Each probe's M×K
     * lookup table of subvector dot products is precomputed driver-side
@@ -538,7 +602,7 @@ object AnnIndex {
       // segment.
       publishVersion(deltaRoot) { vdir =>
         batch.select(nearestCentroid(col("e"), cents).as("cid"),
-            col("vec_id"), col("e"))
+            col("vec_id"), col("label"), col("e"))
           .repartition(col("cid"))
           .write.mode("overwrite").partitionBy("cid")
           .parquet(s"$vdir/ivf_assignments")
@@ -588,8 +652,9 @@ object AnnIndex {
         .collect().map(_.getInt(0)).toSet
       val baseLists = s.read.parquet(s"$baseDir/ivf_assignments")
         .filter(col("cid").isin(touched.toSeq.sorted: _*))
-        .select(col("cid"), col("vec_id"), col("e"))
-      baseLists.unionAll(deltaLists.select(col("cid"), col("vec_id"), col("e")))
+        .select(col("cid"), col("vec_id"), col("label"), col("e"))
+      baseLists.unionAll(
+          deltaLists.select(col("cid"), col("vec_id"), col("label"), col("e")))
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$vdir/ivf_assignments")
@@ -743,8 +808,9 @@ object AnnIndex {
           ts.select("cid").distinct().collect().map(_.getInt(0))).toSet
       val baseLists = s.read.parquet(s"$baseDir/ivf_assignments")
         .filter(col("cid").isin(touched.toSeq.sorted: _*))
-        .select(col("cid"), col("vec_id"), col("e"))
-      baseLists.unionAll(deltaLists.select(col("cid"), col("vec_id"), col("e")))
+        .select(col("cid"), col("vec_id"), col("label"), col("e"))
+      baseLists.unionAll(
+          deltaLists.select(col("cid"), col("vec_id"), col("label"), col("e")))
         .join(ts.select(col("vec_id")), Seq("vec_id"), "left_anti")
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
@@ -837,7 +903,7 @@ object AnnIndex {
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           b.select(nearestCentroid(col("e"), cents).as("cid"),
-              col("vec_id"), col("e"))
+              col("vec_id"), col("label"), col("e"))
             .repartition(col("cid"))
             .write.mode("overwrite").partitionBy("cid")
             .parquet(s"$seg/ivf_assignments")
@@ -1037,5 +1103,19 @@ object AnnIndex {
             |  FROM embeddings WHERE vec_id % 20 NOT IN (3, 10)
             |ORDER BY artifact""".stripMargin))
 
-  val queries: Seq[Q] = Seq(q110, q111, q112, q113, q127, q128, q129)
+  /** Q130 — metadata-filtered ANN serve: top-k among vectors with
+    * `label = 7` only (~10% selectivity), pre-filtered inside the
+    * pruned list scan (see [[ivfProbeFiltered]]). Approximate →
+    * rows-only driver check; AnnIndexSpec pins that every neighbor
+    * matches the predicate, that the surface stays full (k results per
+    * probe — post-filtering would under-fill), the recall floor vs the
+    * label-restricted exact truth, and the filter's pushdown into the
+    * list scan.
+    */
+  val q130: Q = Q(
+    "q130_ann_filtered_probe",
+    (s, d) => ivfProbeFiltered(s, d, col("label") === 7),
+    None)
+
+  val queries: Seq[Q] = Seq(q110, q111, q112, q113, q127, q128, q129, q130)
 }

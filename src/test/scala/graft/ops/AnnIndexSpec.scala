@@ -258,6 +258,47 @@ class AnnIndexSpec extends SparkTestBase {
     assert(r >= 0.68, f"streamed-index IVF recall regressed to $r%.3f (floor 0.68)")
   }
 
+  // ---- metadata-filtered serve (q130) ----------------------------------
+
+  test("q130 filtered probe: only matching labels, full surface, pushed-down predicate") {
+    import org.apache.spark.sql.functions._
+    val label7: Set[Long] = AnnIndex.corpus(spark, benchSf)
+      .filter(col("label") === 7).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(label7.nonEmpty, "fixture needs label-7 vectors")
+    val res = AnnIndex.ivfProbeFiltered(spark, benchSf, col("label") === 7,
+      syntheticProbes(benchSf))
+    val approx = topkSet(res)
+    val strays = approx.collect { case (_, nbr) if !label7.contains(nbr) => nbr }
+    assert(strays.isEmpty, s"filtered probe returned non-matching ids: ${strays.take(5)}")
+    // PRE-filtering keeps the surface full: every probe still gets its
+    // k neighbors (post-filtering would under-fill at 10% selectivity).
+    assert(res.count() === 150L, "filtered probe under-filled the top-k surface")
+    // The predicate reaches the parquet scan of the pruned lists.
+    val plan = AnnIndex.ivfProbeFiltered(spark, sfDir, col("label") === 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,7)"),
+      s"label predicate must push into the list scan:\n$plan")
+    assert(plan.contains("PartitionFilters: [cid"),
+      "filtered probe lost its cid partition pruning")
+  }
+
+  test("q130 filtered recall holds vs the label-restricted exact truth at sf0.1") {
+    import org.apache.spark.sql.functions._
+    val label7: Set[Long] = AnnIndex.corpus(spark, benchSf)
+      .filter(col("label") === 7).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val probes = syntheticProbes(benchSf)
+    val exact = exactFor(probes, benchSf, label7.contains)
+    val approx = topkSet(AnnIndex.ivfProbeFiltered(spark, benchSf,
+      col("label") === 7, probes))
+    val r = (exact & approx).size.toDouble / exact.size
+    // 0.92 sealed with the widened FilteredNprobe (2× = 12 of 16 lists);
+    // at the base nprobe=6 the thinned candidate pool gave only 0.61.
+    info(f"filtered IVF recall $r%.3f")
+    assert(r >= 0.80, f"filtered IVF recall $r%.3f below floor 0.80")
+  }
+
   // ---- tombstone deletes (q129) ----------------------------------------
 
   /** The deterministic q129 delete set: vec_id % 20 ∈ {3, 10}. */

@@ -28,7 +28,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
   /** The ceilings are MEASUREMENTS UNDER A DECLARED CONFIG (r9 ADVICE):
     * exchange bytes scale with partition count (per-partition framing,
     * compression-block resets) and with the shuffle compression codec,
-    * so a drive-by change to either would shift the whole 148-entry
+    * so a drive-by change to either would shift the whole 149-entry
     * table at once and fail the sweep en masse for a non-regression
     * reason. Pin the partition count HERE (not inherited from
     * SparkTestBase's builder) and assert the codec, so the config the
@@ -157,7 +157,8 @@ object ShuffleBudgetSpec {
     "q126_weekday_seasonality" -> 867926L,
     "q127_ann_index_compact" -> 470406L,
     "q128_ann_stream_ingest" -> 121794L,
-    "q129_ann_index_delete" -> 491620L,
+    "q129_ann_index_delete" -> 496912L,
+    "q130_ann_filtered_probe" -> 65536L,
     "q12_window_frame" -> 1705488L,
     "q13_topk" -> 65536L,
     "q14_setops" -> 65536L,
