@@ -646,40 +646,78 @@ object AnnIndex {
   def compact(s: SparkSession, d: String): String = {
     val (baseDir, deltaDir) = appendDelta(s, d)
     val root = shmDir(Tables.datasetTag(d) + "/append_compacted")
-    publishVersion(root) { vdir =>
-      val deltaLists = s.read.parquet(s"$deltaDir/ivf_assignments")
-      val touched: Set[Int] = deltaLists.select("cid").distinct()
-        .collect().map(_.getInt(0)).toSet
-      val baseLists = s.read.parquet(s"$baseDir/ivf_assignments")
-        .filter(col("cid").isin(touched.toSeq.sorted: _*))
-        .select(col("cid"), col("vec_id"), col("label"), col("e"))
-      baseLists.unionAll(
-          deltaLists.select(col("cid"), col("vec_id"), col("label"), col("e")))
-        .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$vdir/ivf_assignments")
-      copyTree(new java.io.File(s"$baseDir/ivf_centroids"),
-        new java.io.File(s"$vdir/ivf_centroids"))
-      copyTree(new java.io.File(s"$baseDir/pq_codebook"),
-        new java.io.File(s"$vdir/pq_codebook"))
-      // Untouched lists: file-level carry-over into the merged layout.
-      Option(new java.io.File(s"$baseDir/ivf_assignments").listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
-        .filter(f => !touched.contains(f.getName.stripPrefix("cid=").toInt))
-        .foreach(f => copyTree(f, new java.io.File(s"$vdir/ivf_assignments/${f.getName}")))
-      // Codes: concatenate both segments' parquet files under one dir.
-      val codesOut = new java.io.File(s"$vdir/pq_codes")
-      codesOut.mkdirs(): Unit
-      Seq("base" -> s"$baseDir/pq_codes", "delta" -> s"$deltaDir/pq_codes")
-        .foreach { case (pfx, src) =>
-          Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-            .foreach(f => java.nio.file.Files.copy(f.toPath,
-              new java.io.File(codesOut, s"$pfx-${f.getName}").toPath): Unit)
-        }
+    publishVersion(root)(compactInto(s, baseDir, Seq(deltaDir), None, _))
+  }
+
+  /** Fold ANY number of delta segments (q113 appends, q128 streamed
+    * micro-batch segments) and optional tombstones into one physical
+    * index under `vdir` — the shared compaction core behind [[compact]],
+    * [[compactWithDeletes]] and [[compactSegmentRoots]]:
+    *
+    *   - touched lists = every delta's cids ∪ the tombstones' recorded
+    *     cids (bounded ≤K collects); merged base+deltas, tombstones
+    *     anti-joined out, ONE exchange on cid, one file per list;
+    *   - untouched base lists carry over file-level (correct because a
+    *     tombstoned vector's list is touched by construction);
+    *   - codes: without tombstones a pure file-level concat (prefix per
+    *     segment — no scan); with tombstones one anti-join filter pass
+    *     over the 32×-compressed table;
+    *   - trained artifacts copy unchanged from the base.
+    */
+  private def compactInto(s: SparkSession, baseDir: String,
+      deltaDirs: Seq[String], ts: Option[DataFrame], vdir: String): Unit = {
+    val cols = Seq(col("cid"), col("vec_id"), col("label"), col("e"))
+    val deltaLists = deltaDirs
+      .map(p => s.read.parquet(s"$p/ivf_assignments").select(cols: _*))
+      .reduce(_ unionAll _)
+    val touched: Set[Int] =
+      (deltaLists.select("cid").distinct().collect().map(_.getInt(0)) ++
+        ts.toSeq.flatMap(_.select("cid").distinct().collect().map(_.getInt(0)))).toSet
+    val baseLists = s.read.parquet(s"$baseDir/ivf_assignments")
+      .filter(col("cid").isin(touched.toSeq.sorted: _*))
+      .select(cols: _*)
+    val merged = baseLists.unionAll(deltaLists)
+    ts.fold(merged)(t => merged.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$vdir/ivf_assignments")
+    copyTree(new java.io.File(s"$baseDir/ivf_centroids"),
+      new java.io.File(s"$vdir/ivf_centroids"))
+    copyTree(new java.io.File(s"$baseDir/pq_codebook"),
+      new java.io.File(s"$vdir/pq_codebook"))
+    // Untouched lists: file-level carry-over into the merged layout.
+    Option(new java.io.File(s"$baseDir/ivf_assignments").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      .filter(f => !touched.contains(f.getName.stripPrefix("cid=").toInt))
+      .foreach(f => copyTree(f, new java.io.File(s"$vdir/ivf_assignments/${f.getName}")))
+    ts match {
+      case Some(t) =>
+        s.read.parquet((baseDir +: deltaDirs).map(p => s"$p/pq_codes"): _*)
+          .join(t.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$vdir/pq_codes")
+      case None =>
+        val codesOut = new java.io.File(s"$vdir/pq_codes")
+        codesOut.mkdirs(): Unit
+        (("base" -> s"$baseDir/pq_codes") +:
+          deltaDirs.zipWithIndex.map { case (p, i) => s"d$i" -> s"$p/pq_codes" })
+          .foreach { case (pfx, src) =>
+            Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .foreach(f => java.nio.file.Files.copy(f.toPath,
+                new java.io.File(codesOut, s"$pfx-${f.getName}").toPath): Unit)
+          }
     }
   }
+
+  /** Compact explicit segment roots (the streamed-ingest read side)
+    * into a pointer-flipped version under `outRoot` — proves q128's
+    * accumulated micro-batch segments fold through the SAME compaction
+    * the append lifecycle uses.
+    */
+  private[ops] def compactSegmentRoots(s: SparkSession, baseDir: String,
+      segDirs: Seq[String], outRoot: String): String =
+    publishVersion(outRoot)(compactInto(s, baseDir, segDirs, None, _))
 
   private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
     if (src.isDirectory) {
@@ -801,33 +839,7 @@ object AnnIndex {
     val (baseDir, deltaDir, tsDir) = writeTombstones(s, d)
     val ts = s.read.parquet(s"$tsDir/tombstones")
     val root = shmDir(Tables.datasetTag(d) + "/delete_compacted")
-    publishVersion(root) { vdir =>
-      val deltaLists = s.read.parquet(s"$deltaDir/ivf_assignments")
-      val touched: Set[Int] =
-        (deltaLists.select("cid").distinct().collect().map(_.getInt(0)) ++
-          ts.select("cid").distinct().collect().map(_.getInt(0))).toSet
-      val baseLists = s.read.parquet(s"$baseDir/ivf_assignments")
-        .filter(col("cid").isin(touched.toSeq.sorted: _*))
-        .select(col("cid"), col("vec_id"), col("label"), col("e"))
-      baseLists.unionAll(
-          deltaLists.select(col("cid"), col("vec_id"), col("label"), col("e")))
-        .join(ts.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$vdir/ivf_assignments")
-      copyTree(new java.io.File(s"$baseDir/ivf_centroids"),
-        new java.io.File(s"$vdir/ivf_centroids"))
-      copyTree(new java.io.File(s"$baseDir/pq_codebook"),
-        new java.io.File(s"$vdir/pq_codebook"))
-      Option(new java.io.File(s"$baseDir/ivf_assignments").listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
-        .filter(f => !touched.contains(f.getName.stripPrefix("cid=").toInt))
-        .foreach(f => copyTree(f, new java.io.File(s"$vdir/ivf_assignments/${f.getName}")))
-      s.read.parquet(s"$baseDir/pq_codes", s"$deltaDir/pq_codes")
-        .join(ts.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$vdir/pq_codes")
-    }
+    publishVersion(root)(compactInto(s, baseDir, Seq(deltaDir), Some(ts), _))
   }
 
   /** IVF serve over the delete-compacted index: ONE segment root, NO

@@ -258,6 +258,25 @@ class AnnIndexSpec extends SparkTestBase {
     assert(r >= 0.68, f"streamed-index IVF recall regressed to $r%.3f (floor 0.68)")
   }
 
+  test("accumulated streamed segments fold through compaction: one root, conserved, recall holds") {
+    // The full LSM loop: stream-ingest N micro-batch segments, then fold
+    // them ALL through the same compaction core the append lifecycle
+    // uses — one segment root again, corpus conserved, recall unchanged.
+    val root = java.nio.file.Files.createTempDirectory("graft-annstream-compact-").toString
+    val (baseDir, segs) = AnnIndex.streamIngestInto(spark, benchSf, root)
+    assert(segs.size > 1, "need several segments for a meaningful fold")
+    val vdir = AnnIndex.compactSegmentRoots(spark, baseDir, segs, s"$root/compacted")
+    val corpusN = spark.read.parquet(s"$benchSf/embeddings.parquet").count()
+    assert(spark.read.parquet(s"$vdir/ivf_assignments").count() === corpusN,
+      "stream-compacted lists must cover the corpus exactly")
+    assert(spark.read.parquet(s"$vdir/pq_codes").count() === corpusN,
+      "stream-compacted codes must cover the corpus exactly")
+    val approx = topkSet(AnnIndex.ivfProbeSegments(spark, benchSf, Seq(vdir)))
+    val r = (exactTopk & approx).size.toDouble / exactTopk.size
+    info(f"stream-compacted recall $r%.3f")
+    assert(r >= 0.68, f"stream-compacted IVF recall $r%.3f below floor 0.68")
+  }
+
   // ---- metadata-filtered serve (q130) ----------------------------------
 
   test("q130 filtered probe: only matching labels, full surface, pushed-down predicate") {
