@@ -385,14 +385,19 @@ object AnnIndex {
     * (vec_id, …) masks deleted vectors BEFORE ranking (a left-anti join
     * the optimizer broadcasts — tombstone sets are delete-sized, never
     * corpus-sized), so a deleted vector can neither appear in results
-    * nor displace a live one from the top-k.
+    * nor displace a live one from the top-k. The LSM sequencing rule:
+    * a tombstone masks only segments OLDER than itself —
+    * `tsMaskRoots` is that boundary (the first N roots are masked;
+    * deletes mask everything, an upsert's tombstone must NOT mask the
+    * newer segment carrying the replacement copy of the same vec_id).
     */
   private def ivfServe(s: SparkSession, listRoots: Seq[String],
       cents: Seq[(Int, Seq[Double])],
       probes: Seq[(Long, Seq[Double])],
       tombstones: Option[DataFrame] = None,
       attrFilter: Option[Column] = None,
-      nprobe: Int = Nprobe): DataFrame = {
+      nprobe: Int = Nprobe,
+      tsMaskRoots: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val routed: Seq[(Long, Seq[Double], Int)] = probes.flatMap { case (pid, pe) =>
       cents.map { case (cid, ce) => (-cosineScala(pe, ce), cid) }
@@ -407,19 +412,26 @@ object AnnIndex {
     // Segments are separate partitioned roots — load each and union
     // (Spark rejects conflicting partition roots in one load); the cid
     // partition filter prunes each segment's directories independently.
-    val loaded = listRoots
-      .map(p => s.read.parquet(s"$p/ivf_assignments")
-        .filter(col("cid").isin(neededCids: _*))
-        // Attribute pre-filter FIRST, on the raw scan: the predicate
-        // pushes into the parquet read of the pruned lists (row-group
-        // stats skip non-matching chunks), so a selective filter cuts
-        // the scored candidates at the source — never a post-top-k cut
-        // (which would return fewer than k) nor a corpus join.
-        .filter(attrFilter.getOrElse(lit(true)))
-        .select(col("cid"), col("vec_id"), col("e")))
+    val lists = listRoots.zipWithIndex
+      .map { case (p, i) =>
+        val seg = s.read.parquet(s"$p/ivf_assignments")
+          .filter(col("cid").isin(neededCids: _*))
+          // Attribute pre-filter FIRST, on the raw scan: the predicate
+          // pushes into the parquet read of the pruned lists (row-group
+          // stats skip non-matching chunks), so a selective filter cuts
+          // the scored candidates at the source — never a post-top-k cut
+          // (which would return fewer than k) nor a corpus join.
+          .filter(attrFilter.getOrElse(lit(true)))
+          .select(col("cid"), col("vec_id"), col("e"))
+        tombstones.filter(_ => i < tsMaskRoots).fold(seg)(ts =>
+          seg.join(ts.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            // A using-column join reorders the join key FIRST; the
+            // roots union POSITIONALLY, so re-select the canonical
+            // order or masked and unmasked segments would swap
+            // cid/vec_id against each other.
+            .select(col("cid"), col("vec_id"), col("e")))
+      }
       .reduce(_ unionAll _)
-    val lists = tombstones.fold(loaded)(ts =>
-      loaded.join(ts.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
     lists.join(broadcast(probeDf), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -448,6 +460,50 @@ object AnnIndex {
     GraftFunctions.register(s)
     val dir = ensure(s, d)
     ivfServe(s, Seq(dir), readCentroids(s, dir), collectProbes(probeDf))
+  }
+
+  /** Bound on how many MaxProbes-sized batches [[ivfProbeBatched]] will
+    * drive in one call: the per-batch plans union into one job, so an
+    * unbounded probe frame must not balloon the plan — beyond this,
+    * the caller owns the outer loop (e.g. one call per arriving probe
+    * file), which is how a serving deployment drives it anyway.
+    */
+  val MaxBatches = 64
+
+  /** Probe frames LARGER than MaxProbes, served by batching — the
+    * "split into batches" contract of [[collectProbes]] made
+    * executable: the frame is cut into ⌈n/MaxProbes⌉ driver-bounded
+    * batches (each collect is ≤ MaxProbes rows by construction), each
+    * batch routes and prunes independently, and the per-batch results
+    * union into one output. Per-batch work is identical to
+    * [[ivfProbe]]; nothing about the index or the scans changes.
+    */
+  def ivfProbeBatched(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val dir = ensure(s, d)
+    val cents = readCentroids(s, dir)
+    val cols = probeDf.columns
+    require(cols.length >= 2,
+      s"probe frame needs (id, vector) columns, got ${cols.mkString(",")}")
+    // EXACT batch slicing by rank (an id-modulo split could overfill a
+    // batch on a skewed id space and trip the per-batch cap): one
+    // window pass over the probe frame — probe-sized, never corpus-
+    // sized — gives each batch at most MaxProbes rows by construction.
+    val w = org.apache.spark.sql.expressions.Window.orderBy("pid")
+    val keyed = probeDf
+      .select(col(cols(0)).cast("long").as("pid"), dbl(col(cols(1))).as("pe"))
+      .withColumn("batch", ((row_number().over(w) - 1) / MaxProbes).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = keyed.count()
+      val batches = math.max(((n + MaxProbes - 1) / MaxProbes).toInt, 1)
+      require(batches <= MaxBatches,
+        s"$n probes need $batches batches > MaxBatches=$MaxBatches — drive the outer loop")
+      (0 until batches).map { b =>
+        ivfServe(s, Seq(dir), cents,
+          collectProbes(keyed.filter(col("batch") === b).select("pid", "pe")))
+      }.reduce(_ unionAll _).orderBy("probe_id", "rnk")
+    } finally keyed.unpersist(): Unit
   }
 
   /** Metadata-FILTERED IVF serve: top-k among only the vectors matching
@@ -588,28 +644,36 @@ object AnnIndex {
     * run, base never mutated); readers union base + delta, and
     * partition pruning applies to both segments' cid dirs.
     */
+  /** Write one delta segment under `vdir`: assignment against the base
+    * index's centroids and encoding against its codebook — pure
+    * scan-stage argmins over the batch, nothing retrains. The shared
+    * write body behind [[appendDelta]] and [[upsert]].
+    */
+  private def writeDeltaSegment(s: SparkSession, baseDir: String,
+      batch: DataFrame, vdir: String): Unit = {
+    val cents = readCentroids(s, baseDir)
+    val cb = s.read.parquet(s"$baseDir/pq_codebook")
+    batch.select(nearestCentroid(col("e"), cents).as("cid"),
+        col("vec_id"), col("label"), col("e"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$vdir/ivf_assignments")
+    encodePq(pqSliced(batch), cb)
+      .write.mode("overwrite").parquet(s"$vdir/pq_codes")
+  }
+
   def appendDelta(s: SparkSession, d: String): (String, String) = {
     val baseDir = ensureAppendBase(s, d)
     val deltaRoot = shmDir(Tables.datasetTag(d) + "/append_delta")
     val batch = batchSlice(corpus(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deltaDir = try {
-      val cents = readCentroids(s, baseDir)
-      val cb = s.read.parquet(s"$baseDir/pq_codebook")
-      // Delta segments publish through the same pointer-flip discipline
-      // as full builds: the append re-runs per q113 invocation and a
-      // probe adopting the delta mid-rewrite must never see a partial
-      // segment.
-      publishVersion(deltaRoot) { vdir =>
-        batch.select(nearestCentroid(col("e"), cents).as("cid"),
-            col("vec_id"), col("label"), col("e"))
-          .repartition(col("cid"))
-          .write.mode("overwrite").partitionBy("cid")
-          .parquet(s"$vdir/ivf_assignments")
-        encodePq(pqSliced(batch), cb)
-          .write.mode("overwrite").parquet(s"$vdir/pq_codes")
-      }
-    } finally { batch.unpersist(): Unit }
+    // Delta segments publish through the same pointer-flip discipline
+    // as full builds: the append re-runs per q113 invocation and a
+    // probe adopting the delta mid-rewrite must never see a partial
+    // segment.
+    val deltaDir = try
+      publishVersion(deltaRoot)(writeDeltaSegment(s, baseDir, batch.toDF(), _))
+    finally { batch.unpersist(): Unit }
     (baseDir, deltaDir)
   }
 
@@ -662,11 +726,21 @@ object AnnIndex {
     *   - codes: without tombstones a pure file-level concat (prefix per
     *     segment — no scan); with tombstones one anti-join filter pass
     *     over the 32×-compressed table;
-    *   - trained artifacts copy unchanged from the base.
+    *   - trained artifacts copy unchanged from the base;
+    *   - the LSM sequencing rule rides through: `tsMaskDeltas = true`
+    *     for deletes (the tombstone is the NEWEST write, it masks every
+    *     segment), false for upserts (the replacement segment is newer
+    *     than its tombstone and must survive the fold).
     */
   private def compactInto(s: SparkSession, baseDir: String,
-      deltaDirs: Seq[String], ts: Option[DataFrame], vdir: String): Unit = {
+      deltaDirs: Seq[String], ts: Option[DataFrame], vdir: String,
+      tsMaskDeltas: Boolean = true): Unit = {
     val cols = Seq(col("cid"), col("vec_id"), col("label"), col("e"))
+    // Re-select the canonical column order after the using-column
+    // anti-join (it reorders the key first, and the segment frames
+    // union positionally).
+    def anti(df: DataFrame): DataFrame = ts.fold(df)(t =>
+      df.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti").select(cols: _*))
     val deltaLists = deltaDirs
       .map(p => s.read.parquet(s"$p/ivf_assignments").select(cols: _*))
       .reduce(_ unionAll _)
@@ -676,8 +750,8 @@ object AnnIndex {
     val baseLists = s.read.parquet(s"$baseDir/ivf_assignments")
       .filter(col("cid").isin(touched.toSeq.sorted: _*))
       .select(cols: _*)
-    val merged = baseLists.unionAll(deltaLists)
-    ts.fold(merged)(t => merged.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+    anti(baseLists)
+      .unionAll(if (tsMaskDeltas) anti(deltaLists) else deltaLists)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$vdir/ivf_assignments")
@@ -693,8 +767,14 @@ object AnnIndex {
       .foreach(f => copyTree(f, new java.io.File(s"$vdir/ivf_assignments/${f.getName}")))
     ts match {
       case Some(t) =>
-        s.read.parquet((baseDir +: deltaDirs).map(p => s"$p/pq_codes"): _*)
+        val baseCodes = s.read.parquet(s"$baseDir/pq_codes")
           .join(t.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        val deltaCodes = deltaDirs
+          .map(p => s.read.parquet(s"$p/pq_codes"))
+          .reduceOption(_ unionAll _)
+          .map(dc => if (tsMaskDeltas)
+            dc.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti") else dc)
+        deltaCodes.fold(baseCodes)(baseCodes.unionAll)
           .write.mode("overwrite").parquet(s"$vdir/pq_codes")
       case None =>
         val codesOut = new java.io.File(s"$vdir/pq_codes")
@@ -769,14 +849,24 @@ object AnnIndex {
     */
   def writeTombstones(s: SparkSession, d: String): (String, String, String) = {
     val (baseDir, deltaDir) = appendDelta(s, d)
-    val cents = readCentroids(s, baseDir)
     val root = shmDir(Tables.datasetTag(d) + "/tombstones")
-    val tsDir = publishVersion(root) { vdir =>
-      deleteSlice(corpus(s, d))
+    (baseDir, deltaDir, tombstonesFor(s, baseDir, deleteSlice(corpus(s, d)), root))
+  }
+
+  /** Publish a tombstone segment for `victims` (vec_id, e, …) under
+    * `outRoot`: each victim's cid is resolved from its STORED embedding
+    * against `baseDir`'s centroids — assignment is deterministic, so
+    * this lands the tombstone on exactly the list holding the copy it
+    * masks, without scanning any list.
+    */
+  private def tombstonesFor(s: SparkSession, baseDir: String,
+      victims: DataFrame, outRoot: String): String = {
+    val cents = readCentroids(s, baseDir)
+    publishVersion(outRoot) { vdir =>
+      victims
         .select(col("vec_id"), nearestCentroid(col("e"), cents).as("cid"))
         .coalesce(1).write.mode("overwrite").parquet(s"$vdir/tombstones")
     }
-    (baseDir, deltaDir, tsDir)
   }
 
   /** IVF serve over the LIVE view (base ∪ delta) minus tombstones — the
@@ -809,6 +899,42 @@ object AnnIndex {
       .join(s.read.parquet(s"$tsDir/tombstones").select(col("vec_id")),
         Seq("vec_id"), "left_anti")
     pqServe(s, d, baseDir, codes, collectProbes(probeDf))
+  }
+
+  /** UPSERT = delete(old) + append(new), composed from the existing
+    * segment kinds — the LSM update discipline: a tombstone masks the
+    * stored copy (cid resolved from the OLD embedding's deterministic
+    * assignment, fetched from the updates' `old_e` column), and the new
+    * embedding lands as a delta segment assigned against the frozen
+    * index. A live probe then sees EXACTLY ONE copy per vec_id — the
+    * new one — because the tombstone masks only segments OLDER than the
+    * replacement (the LSM sequencing rule; serve and compaction both
+    * honor the boundary). Nothing retrains. `updates` columns:
+    * (vec_id, e [new], label, old_e [stored]). Returns
+    * (indexDir, segmentDir, tombstoneDir) for the serve/compact paths.
+    */
+  def upsert(s: SparkSession, d: String, updates: DataFrame,
+      root: String): (String, String, String) = {
+    GraftFunctions.register(s)
+    val dir = ensure(s, d)
+    val tsDir = tombstonesFor(s, dir,
+      updates.select(col("vec_id"), col("old_e").as("e")), s"$root/tombstones")
+    val segDir = publishVersion(s"$root/segment")(
+      writeDeltaSegment(s, dir, updates.select("vec_id", "e", "label"), _))
+    (dir, segDir, tsDir)
+  }
+
+  /** Fold an upsert (replacement segment + its tombstones) into one
+    * physical index: the tombstone drops the OLD copies only
+    * (`tsMaskDeltas = false` — the replacement segment is newer than
+    * its tombstone), so the fold conserves the corpus exactly: one old
+    * copy out, one new copy in, per upserted id.
+    */
+  private[ops] def compactUpsert(s: SparkSession, baseDir: String,
+      segDir: String, tsDir: String, outRoot: String): String = {
+    val ts = s.read.parquet(s"$tsDir/tombstones")
+    publishVersion(outRoot)(
+      compactInto(s, baseDir, Seq(segDir), Some(ts), _, tsMaskDeltas = false))
   }
 
   /** Delete-aware compaction: fold delta AND tombstones into a fresh
@@ -934,14 +1060,19 @@ object AnnIndex {
     (baseDir, segs)
   }
 
-  /** IVF serve across explicit segment roots (base first) — the spec's
-    * read path over a streamed, not-yet-compacted index.
+  /** IVF serve across explicit segment roots (base first), with an
+    * optional tombstone mask and probe frame — the spec's read path
+    * over streamed / upserted, not-yet-compacted indexes.
     */
   private[ops] def ivfProbeSegments(s: SparkSession, d: String,
-      roots: Seq[String]): DataFrame = {
+      roots: Seq[String], probeDf: DataFrame = null,
+      tsDir: Option[String] = None,
+      tsMaskRoots: Int = Int.MaxValue): DataFrame = {
     GraftFunctions.register(s)
-    ivfServe(s, roots, readCentroids(s, roots.head),
-      collectProbes(defaultProbes(s, d)))
+    val probes = Option(probeDf).getOrElse(defaultProbes(s, d))
+    ivfServe(s, roots, readCentroids(s, roots.head), collectProbes(probes),
+      tombstones = tsDir.map(p => s.read.parquet(s"$p/tombstones")),
+      tsMaskRoots = tsMaskRoots)
   }
 
   /** The CURRENT complete version for this dataset, resolved from disk

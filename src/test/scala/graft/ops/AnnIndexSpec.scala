@@ -161,6 +161,31 @@ class AnnIndexSpec extends SparkTestBase {
     assert(r >= 0.90, f"external-probe PQ recall $r%.3f below floor 0.90")
   }
 
+  test("batched serve: an over-cap probe frame splits into exact batches, results match") {
+    import org.apache.spark.sql.functions._
+    AnnIndex.build(spark, sfDir)
+    // 1500 probes (3 re-keyed copies of the 500-vector corpus) — over
+    // the 1024 cap, so the single-collect path refuses it while the
+    // batched path serves it in two ≤MaxProbes slices.
+    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
+    val probes = (0 until 3).map(k =>
+      base.select((col("vec_id") + lit(1000000L * (k + 1))).as("pid"), col("e")))
+      .reduce(_ unionAll _)
+    val n = probes.count()
+    assert(n > AnnIndex.MaxProbes, "fixture must exceed the single-batch cap")
+    intercept[IllegalArgumentException] { AnnIndex.ivfProbe(spark, sfDir, probes) }
+    val res = AnnIndex.ivfProbeBatched(spark, sfDir, probes)
+    assert(res.count() === n * AnnIndex.TopK, "batched serve must cover every probe")
+    // Per-batch work is identical to the single-batch path: the same
+    // probes served alone return exactly the same neighbor rows.
+    val ten = probes.filter(col("pid") < 1000010L)
+    val alone = AnnIndex.ivfProbe(spark, sfDir, ten).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inBatch = res.filter(col("probe_id") < 1000010L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(alone === inBatch, "batching changed a probe's served neighbors")
+  }
+
   test("oversized probe batch fails fast at the MaxProbes cap") {
     import org.apache.spark.sql.functions._
     val big = spark.range(AnnIndex.MaxProbes + 1)
@@ -380,6 +405,62 @@ class AnnIndexSpec extends SparkTestBase {
     val r = (liveExact & approx).size.toDouble / liveExact.size
     info(f"delete-compacted IVF recall $r%.3f")
     assert(r >= 0.68, f"delete-compacted IVF recall $r%.3f below floor 0.68")
+  }
+
+  // ---- upsert = delete(old) + append(new) -------------------------------
+
+  test("upsert masks the stored copy and serves the new embedding, one copy per id") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-annupsert-").toString
+    // Update every vec_id % 20 == 7 to its REVERSED embedding — a
+    // deterministic, directionally-different new vector.
+    val updates = AnnIndex.corpus(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(20)) === 7)
+      .select(col("vec_id"), reverse(col("e")).as("e"), col("label"),
+        col("e").as("old_e"))
+    val nUp = updates.count()
+    assert(nUp > 0, "fixture needs upsert victims")
+    val (dir, segDir, tsDir) = AnnIndex.upsert(spark, sfDir, updates, root)
+    // Probe WITH the new embeddings (re-keyed out of the id space):
+    // rank-1 must be the upserted id at cosine exactly 1.0 — only the
+    // NEW copy can score 1.0 against its own direction, so this pins
+    // both freshness (new copy served) and masking (old copy gone).
+    val probes = updates.select((col("vec_id") + 1000000L).as("pid"), col("e"))
+    // tsMaskRoots = 1: the tombstone masks the pre-existing index only,
+    // never the newer replacement segment (the LSM sequencing rule —
+    // an id-blind mask would delete BOTH copies).
+    val res = AnnIndex.ivfProbeSegments(spark, sfDir, Seq(dir, segDir),
+      probes, Some(tsDir), tsMaskRoots = 1).cache()
+    try {
+      assert(res.count() === nUp * AnnIndex.TopK, "upserted serve lost surface")
+      val top1 = res.filter(col("rnk") === 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      assert(top1.length === nUp)
+      top1.foreach { case (pid, nbr, cos) =>
+        assert(nbr === pid - 1000000L, s"probe $pid top-1 is $nbr, not its upserted id")
+        assert(cos === 1.0, s"probe $pid top-1 cosine $cos != 1.0 — served a stale copy?")
+      }
+      // Exactly one copy per (probe, id): the tombstone removed the old
+      // row, so no vec_id appears twice in any probe's neighbor list.
+      val dups = res.groupBy("probe_id", "nbr_id").count().filter(col("count") > 1).count()
+      assert(dups === 0L, "a probe saw both copies of an upserted vector")
+    } finally { res.unpersist(): Unit }
+    // Folding the upsert conserves the corpus exactly — one old copy
+    // out, one new copy in, per id — and freshness survives compaction.
+    val vdir = AnnIndex.compactUpsert(spark, dir, segDir, tsDir,
+      s"$root/compacted")
+    val corpusN = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(spark.read.parquet(s"$vdir/ivf_assignments").count() === corpusN,
+      "upsert compaction must conserve the corpus (one copy per id)")
+    assert(spark.read.parquet(s"$vdir/pq_codes").count() === corpusN,
+      "upsert compaction must conserve the codes")
+    val cres = AnnIndex.ivfProbeSegments(spark, sfDir, Seq(vdir), probes)
+    val ctop1 = cres.filter(col("rnk") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    ctop1.foreach { case (pid, nbr, cos) =>
+      assert(nbr === pid - 1000000L && cos === 1.0,
+        s"compacted upsert lost freshness for probe $pid: top-1 $nbr @ $cos")
+    }
   }
 
   // ---- delta compaction (r9 verdict item 3) ---------------------------
