@@ -179,22 +179,32 @@ object AnnIndex {
     */
   val FormatLevel = "f2"
 
-  private def shmDir(suffix: String): String = {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Stale-format sweep: runs ONCE per JVM (a format can only change
+    * with the code, so re-sweeping per call buys nothing), and only
+    * under this repo's serial-JVM discipline — a sweep is a delete of
+    * dirs a DIFFERENT FormatLevel build owns, so two concurrently
+    * running builds at different levels must never share the root
+    * (the same rule Bench.sweepLocalDirs already imposes).
+    */
+  private lazy val sweptStaleFormats: java.io.File = {
     val shm = new java.io.File("/dev/shm")
     val base = if (shm.isDirectory && shm.canWrite)
       new java.io.File(shm, "graft-annindex") else
       new java.io.File(sys.props("java.io.tmpdir"), "graft-annindex")
     Option(base.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName != FormatLevel)
-      .foreach { stale =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(stale)
-      }
-    new java.io.File(new java.io.File(base, FormatLevel), suffix).toString
+      .foreach(deleteRecursively)
+    new java.io.File(base, FormatLevel)
   }
+
+  private def shmDir(suffix: String): String =
+    new java.io.File(sweptStaleFormats, suffix).toString
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -246,11 +256,7 @@ object AnnIndex {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     versions.filter(_ < next - 1).foreach { v =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(rootF, f"v$v%06d"))
+      deleteRecursively(new java.io.File(rootF, f"v$v%06d"))
     }
     vdir.toString
   }
@@ -365,12 +371,19 @@ object AnnIndex {
     * rides into the plan — an oversized probe frame can never flood
     * the driver) and fails fast when the cap is exceeded.
     */
-  private[ops] def collectProbes(probes: DataFrame): Seq[(Long, Seq[Double])] = {
+  /** Normalize any (id, vector, …) frame to (pid: long, pe:
+    * array<double>) — the single owner of the probe-frame contract,
+    * shared by the single-batch collect and the batched driver.
+    */
+  private def normalizeProbes(probes: DataFrame): DataFrame = {
     val cols = probes.columns
     require(cols.length >= 2,
       s"probe frame needs (id, vector) columns, got ${cols.mkString(",")}")
-    val rows = probes
-      .select(col(cols(0)).cast("long").as("pid"), dbl(col(cols(1))).as("pe"))
+    probes.select(col(cols(0)).cast("long").as("pid"), dbl(col(cols(1))).as("pe"))
+  }
+
+  private[ops] def collectProbes(probes: DataFrame): Seq[(Long, Seq[Double])] = {
+    val rows = normalizeProbes(probes)
       .limit(MaxProbes + 1)
       .collect().toIndexedSeq
     require(rows.length <= MaxProbes,
@@ -482,16 +495,12 @@ object AnnIndex {
     GraftFunctions.register(s)
     val dir = ensure(s, d)
     val cents = readCentroids(s, dir)
-    val cols = probeDf.columns
-    require(cols.length >= 2,
-      s"probe frame needs (id, vector) columns, got ${cols.mkString(",")}")
     // EXACT batch slicing by rank (an id-modulo split could overfill a
     // batch on a skewed id space and trip the per-batch cap): one
     // window pass over the probe frame — probe-sized, never corpus-
     // sized — gives each batch at most MaxProbes rows by construction.
     val w = org.apache.spark.sql.expressions.Window.orderBy("pid")
-    val keyed = probeDf
-      .select(col(cols(0)).cast("long").as("pid"), dbl(col(cols(1))).as("pe"))
+    val keyed = normalizeProbes(probeDf)
       .withColumn("batch", ((row_number().over(w) - 1) / MaxProbes).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1037,6 +1046,12 @@ object AnnIndex {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
         val seg = s"$segRoot/b$id"
+        // Checkpoint-replay atomicity: a crash AFTER this batch's
+        // _COMPLETE landed but BEFORE the checkpoint committed its
+        // offset replays the batch — the rewrite must first re-mark
+        // the segment incomplete, or a concurrent reader honoring the
+        // only-complete-segments rule would scan it mid-overwrite.
+        new java.io.File(seg, "_COMPLETE").delete(): Unit
         GraftFunctions.register(batch.sparkSession)
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -1054,9 +1069,13 @@ object AnnIndex {
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
+    // Numeric batch order, NOT lexicographic ("b10" < "b2" as strings):
+    // segment order is LSM recency order, which tombstone boundaries
+    // (tsMaskRoots) depend on for any caller composing these roots.
     val segs = Option(new java.io.File(segRoot).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && new java.io.File(f, "_COMPLETE").exists())
-      .map(_.toString).sorted.toIndexedSeq
+      .sortBy(_.getName.stripPrefix("b").toLong)
+      .map(_.toString).toIndexedSeq
     (baseDir, segs)
   }
 
@@ -1201,13 +1220,7 @@ object AnnIndex {
           ("pq_codebook", n(s"$baseDir/pq_codebook")),
           ("pq_codes",
             n(s"$baseDir/pq_codes") + segs.map(g => n(s"$g/pq_codes")).sum))
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(root))
-      }
+      } finally deleteRecursively(new java.io.File(root))
       import s.implicits._
       rows.toDF("artifact", "n_rows").orderBy("artifact")
     },
