@@ -251,13 +251,21 @@ object Bench {
     val out = names.map { case (name, fn) =>
       org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
       qm.reset()
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench-shape] $name profile failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-shape] $name profile failed: ${e.getMessage}")
+          false
+        }
       org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
       try spark.catalog.clearCache() catch { case _: Throwable => () }
-      name -> ((qm.jobs.sum, qm.shufBytes.sum))
+      // A failed profile run must NOT record its partial counts: a heavy
+      // query dying early would measure artificially light, land in a
+      // shared timed group, and reintroduce the very contamination the
+      // shape rule exists to prevent. MaxValue sentinels make the
+      // documented unprofiled=>solo default actually reachable.
+      name -> (if (ok) (qm.jobs.sum, qm.shufBytes.sum)
+               else (Long.MaxValue, Long.MaxValue))
     }.toMap
     spark.stop()
     System.err.println(f"[bench-shape] profiled ${names.size} queries at $dir " +
@@ -265,6 +273,36 @@ object Bench {
     System.err.println("[bench-shape] map: " + out.toSeq.sortBy(_._1)
       .map { case (n, (j, b)) => s"$n:$j:$b" }.mkString(" "))
     out
+  }
+
+  /** The committed previous-seal per-query wall map ("BENCH_SEAL.json",
+    * refreshed at each round's reseal; path override for local runs).
+    * Embedded verbatim into the total_summary line so a >2x query in a
+    * one-shot driver run is adjudicable as host-vs-plan from the
+    * artifact alone (r10 verdict item 6): the reader compares each
+    * query's wall against its seal wall alongside the run's own
+    * per-query loadavg and task/cpu/gc evidence — no local rerun of the
+    * same commit needed. Extraction is a brace-matched substring, not a
+    * JSON parse: the seal file is this program's own single-line output.
+    */
+  private def sealQueries: Option[String] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEAL", "BENCH_SEAL.json")
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val key = "\"queries\":"
+      val i = txt.indexOf(key)
+      if (i < 0) None
+      else {
+        val start = txt.indexOf('{', i + key.length)
+        var depth = 0
+        var j = start
+        while (j < txt.length && (depth > 0 || j == start)) {
+          if (txt(j) == '{') depth += 1 else if (txt(j) == '}') depth -= 1
+          j += 1
+        }
+        if (start >= 0 && depth == 0) Some(txt.substring(start, j)) else None
+      }
+    } catch { case _: Throwable => None }
   }
 
   /** Remove leftover shuffle dirs from SIGKILL'd prior runs: the tmpfs
@@ -288,6 +326,7 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     sweepLocalDirs()
     System.err.println(s"[bench-env] ${Diag.envLine}")
+    val loadStart = try Diag.load1.toDouble catch { case _: Throwable => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Optional comma-separated filter for local bisection (driver unset).
@@ -401,7 +440,7 @@ object Bench {
         }
         try spark.catalog.clearCache() catch { case _: Throwable => () }
       }
-      group.map { case (name, fn) =>
+      def timedRun(name: String, fn: QFn): (Double, String) = {
         org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
         qm.reset()
         val t0 = System.nanoTime()
@@ -422,16 +461,45 @@ object Bench {
         System.err.println(f"[bench-diag] $name wall=$dt%.1fs " +
           f"jit=${(Diag.compileMs - comp0) / 1000.0}%.1fs " +
           f"gc=${(Diag.gcMs - gc0) / 1000.0}%.1fs ${qm.line} load=${Diag.load1}")
-        // Task-time/CPU/GC sums ride along into the final JSON so a
-        // one-shot BENCH_r{N} run is attributable after the fact: wall >>
-        // taskSum/32 means stalled tasks (host/IO); cpu >> plan-expected
-        // means the JVM ran the query degraded (e.g. interpreted).
+        // Task-time/CPU/GC sums plus the instantaneous 1-min loadavg ride
+        // into the final JSON so a one-shot BENCH_r{N} run is attributable
+        // after the fact: wall >> taskSum/32 means stalled tasks (host/
+        // IO); cpu >> plan-expected means the JVM ran the query degraded
+        // (e.g. interpreted); a high load marks external host contention.
+        val ld = try Diag.load1.toDouble catch { case _: Throwable => -1.0 }
         val diag = f""""$name":{"task":${qm.taskMs.sum / 1000.0}%.1f,""" +
-          f""""cpu":${qm.cpuMs.sum / 1000.0}%.1f,"tgc":${qm.gcMs.sum / 1000.0}%.1f}"""
+          f""""cpu":${qm.cpuMs.sum / 1000.0}%.1f,"tgc":${qm.gcMs.sum / 1000.0}%.1f,""" +
+          f""""load":$ld%.2f}"""
         // Drop persisted tables between queries — a leftover cache from a
         // dedup query measurably contaminates its successors.
         try spark.catalog.clearCache() catch { case _: Throwable => () }
-        (name, if (ok) dt else -1.0, diag)
+        (if (ok) dt else -1.0, diag)
+      }
+      // SHARED groups are timed TWICE — forward order, then reverse —
+      // keeping each query's MINIMUM (r10 verdict item 1): the solo rule
+      // protects multi-stage pipelines, but cheap adjacent-in-registry
+      // queries in a shared group still inflated 1.7-2.5x on the drifting
+      // driver host (q05/q07/q08/q09b, BENCH_r10, plans untouched). The
+      // min of two order-reversed runs cancels both failure modes at
+      // once: position-dependent contamination (a query slow only when it
+      // runs after a particular neighbor is fast in the other order) and
+      // transient host stalls (a drift spike rarely spans both runs). The
+      // extra pass costs seconds — shared groups hold only sub-second
+      // queries, by the shape rule's construction. Solo groups keep the
+      // single deeply-warmed timed run: their queries are the expensive
+      // ones, and a fresh-context singleton has no neighbor to contaminate
+      // it.
+      val orders: Seq[Seq[(String, QFn)]] =
+        if (group.sizeIs == 1) Seq(group) else Seq(group, group.reverse)
+      val measured: Map[String, (Double, String)] = orders.flatMap { ord =>
+        ord.map { case (name, fn) => name -> timedRun(name, fn) }
+      }.groupBy(_._1).map { case (n, runs) =>
+        val best = runs.map(_._2).filter(_._1 >= 0).sortBy(_._1).headOption
+        n -> best.getOrElse(runs.head._2)
+      }
+      group.map { case (name, _) =>
+        val (dt, diag) = measured(name)
+        (name, dt, diag)
       }
     }.toSeq
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
@@ -497,9 +565,16 @@ object Bench {
     // The FULL per-query wall map is included (r8): round-over-round
     // per-query diffs must come off the driver artifact itself, not a
     // local rerun of the same commit.
+    // The committed seal's per-query map and the run's loadavg endpoints
+    // ride along (r10 verdict item 6): BENCH_r{N}.json is then
+    // self-contained for regression adjudication — every query carries
+    // (current wall, seal wall, load at measurement) in one artifact.
+    val loadEnd = try Diag.load1.toDouble catch { case _: Throwable => -1.0 }
     println(f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec",""" +
       f""""n_queries":${results.size},"n_ok":${ok.size},"queries":$qs,""" +
-      f""""slowest":$slowest,"slowest_diag":$slowestDiag,"sf":"$sfDir"}""")
+      f""""slowest":$slowest,"slowest_diag":$slowestDiag,""" +
+      f""""seal":${sealQueries.getOrElse("{}")},""" +
+      f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"sf":"$sfDir"}""")
     // r8 postmortem: the full 128-query map made the total_summary line
     // itself outgrow the driver's tail capture and BENCH_r08.json
     // recorded "parsed": null. The map stays (round-over-round diffs

@@ -160,18 +160,50 @@ object EncryptedParquet {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
-    rm(new java.io.File(tmp)); rm(new java.io.File(old))
+    val pathF = new java.io.File(path)
+    val oldF = new java.io.File(old)
+    val tmpF = new java.io.File(tmp)
+    // Crash recovery BEFORE any delete: a prior invocation that renamed
+    // path -> .rotate-old but died before .rotate-tmp -> path leaves the
+    // ONLY original at .rotate-old — blindly sweeping both siblings here
+    // (as this method once did) would destroy every remaining copy.
+    // Restore the original first; the sweep below then only ever removes
+    // redundant copies.
+    if (!pathF.exists() && oldF.exists()) {
+      require(oldF.renameTo(pathF),
+        s"half-swapped rotation state at $path: restore of $old failed — " +
+          "original preserved there, nothing deleted")
+    }
+    require(pathF.exists(), s"no dataset at $path to rotate")
+    rm(tmpF); rm(oldF)
     KeyToolkit.removeCacheEntriesForAllTokens()
+    val rowsBefore = read(spark, path, kmsUrl, accessToken).count()
     write(read(spark, path, kmsUrl, accessToken), tmp, policy, kmsUrl,
       mode = "overwrite", zstdLevel = zstdLevel, pageV2 = pageV2)
-    val pathF = new java.io.File(path)
-    require(pathF.renameTo(new java.io.File(old)) &&
-      new java.io.File(tmp).renameTo(pathF),
-      s"rotation swap failed for $path — old data left intact")
-    rm(new java.io.File(old))
-    // Post-rotation readers must unwrap the FRESH KEKs, not replay a
-    // warm pre-rotation cache entry keyed by the same token.
+    require(pathF.renameTo(oldF),
+      s"rotation swap failed for $path — dataset untouched")
+    if (!tmpF.renameTo(pathF)) {
+      // Roll the first rename back so the dataset is never left missing
+      // mid-swap; the rotated copy stays at tmp for inspection.
+      require(oldF.renameTo(pathF),
+        s"rotation swap failed for $path AND restore failed — " +
+          s"original preserved at $old")
+      throw new IllegalStateException(
+        s"rotation swap failed for $path — original restored, rotated copy at $tmp")
+    }
+    // Readers (including the verification below) must unwrap the FRESH
+    // KEKs, not replay a warm pre-rotation cache entry keyed by the same
+    // token.
     KeyToolkit.removeCacheEntriesForAllTokens()
+    // Drop the pre-rotation copy only after the swapped-in dataset proves
+    // complete and readable (parquet count() decrypts and reads every
+    // file's footer — cheap, metadata-only, but a truncated or
+    // key-broken file fails it).
+    val rowsAfter = read(spark, path, kmsUrl, accessToken).count()
+    require(rowsAfter == rowsBefore,
+      s"rotated dataset at $path has $rowsAfter rows, expected $rowsBefore — " +
+        s"pre-rotation copy preserved at $old")
+    rm(oldF)
   }
 
   /** Eager read: project, collect, return a local DataFrame. For

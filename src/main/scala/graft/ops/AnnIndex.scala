@@ -1150,8 +1150,12 @@ object AnnIndex {
     "q113_ann_index_append",
     (s, d) => {
       val (baseDir, deltaDir) = appendDelta(s, d)
+      // Absent-artifact (= empty segment) reads count 0; any OTHER
+      // failure — corrupt segment, IO error — must propagate, not
+      // surface later as an inscrutable conservation-count mismatch.
       def n(path: String): Long =
-        try s.read.parquet(path).count() catch { case _: Throwable => 0L }
+        try s.read.parquet(path).count()
+        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
       import s.implicits._
       Seq(
         ("ivf_assignments",
@@ -1211,8 +1215,11 @@ object AnnIndex {
       val root = java.nio.file.Files.createTempDirectory(base.toPath, "run-").toString
       val rows = try {
         val (baseDir, segs) = streamIngestInto(s, d, root)
+        // Same narrowing as q113's census: only an absent artifact
+        // (AnalysisException) counts as empty; real failures propagate.
         def n(p: String): Long =
-          try s.read.parquet(p).count() catch { case _: Throwable => 0L }
+          try s.read.parquet(p).count()
+          catch { case _: org.apache.spark.sql.AnalysisException => 0L }
         Seq(
           ("ivf_assignments",
             n(s"$baseDir/ivf_assignments") + segs.map(g => n(s"$g/ivf_assignments")).sum),
