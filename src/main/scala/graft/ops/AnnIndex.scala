@@ -87,6 +87,57 @@ object AnnIndex {
   private[ops] def nearestCentroid(vec: Column, cents: Seq[(Int, Seq[Double])]): Column =
     least(centroidEntries(vec, cents): _*).getField("cid")
 
+  /** k-threshold for the assignment strategy (r10 verdict item 2). At or
+    * below, assignment is ONE literal argmin expression ([[nearestCentroid]]
+    * — no join, no exchange, inlined into the scan stage: the cheapest
+    * possible plan at the bench's K=16). Beyond it the routing table
+    * becomes a broadcast DataFrame and assignment is a broadcast-join +
+    * partial-agg argmin ([[joinAssignCids]], the pqAssign shape): a
+    * literal `least(...)` over tens of thousands of array literals blows
+    * codegen/constant-pool limits long before data does, while the join
+    * broadcasts the O(k·dim) routing table once per job — which is what
+    * makes SURVEY §9's k=sqrt(n)≈32k "routing table broadcast, loaded
+    * once per serve job" posture true in code.
+    */
+  val LiteralAssignMaxK = 128
+
+  /** Append a `cid` column — each row's nearest centroid by cosine, ties
+    * to the smallest cid — preserving every existing column, choosing the
+    * strategy by k (see [[LiteralAssignMaxK]]). Both paths compute the
+    * identical (−cos, cid) ordering with the same codegen'd kernel, so
+    * assignment is bit-identical between them (pinned by AnnAssignSpec).
+    * Rows must carry a unique `vec_id` and the vector in `e` (the
+    * segment-write schema). The single assignment entry point for every
+    * site that labels vectors with lists: build, delta append, streamed
+    * micro-batches, tombstone cid resolution, Lloyd iterations.
+    */
+  private[ops] def assignCids(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    if (cents.size <= LiteralAssignMaxK)
+      df.withColumn("cid", nearestCentroid(col("e"), cents))
+    else joinAssignCids(df, cents)
+
+  /** High-k assignment: broadcast-nested-loop against the O(k·dim)
+    * routing-table frame, argmin via map-side-partial `min_by`. The
+    * k-fold row expansion is consumed by the partial aggregate inside
+    * the same stage — only n rows cross the exchange, each carrying its
+    * vector once (the `first` partials fold map-side too), so shuffle
+    * bytes match a plain repartition of the input regardless of k.
+    */
+  private[ops] def joinAssignCids(df: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val centDf = cents.toDF("cent_cid", "ce")
+    val others = df.columns.filterNot(_ == "vec_id").toSeq
+    df.crossJoin(broadcast(centDf))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("cent_cid"),
+          struct((-GraftFunctions.cosineSim(col("e"), col("ce"))).as("negsim"),
+            col("cent_cid").as("cid"))).as("cid"),
+        others.map(c => first(col(c)).as(c)): _*)
+      .select(df.columns.map(col) :+ col("cid"): _*)
+  }
+
   /** Seeded k-means over a persisted corpus frame: seeds are the k
     * corpus vectors with the smallest vec_id hash (stable across runs
     * and executors), refined by `steps` Lloyd iterations — element-wise
@@ -103,9 +154,8 @@ object AnnIndex {
       .collect().toIndexedSeq.zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
     (1 to steps).foldLeft(seeds) { (cents, _) =>
-      val means = emb
-        .select(nearestCentroid(col("e"), cents).as("cid"),
-          posexplode(col("e")).as(Seq("pos", "v")))
+      val means = assignCids(emb.select(col("vec_id"), col("e")), cents)
+        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
         .groupBy("cid")
         .agg(transform(
@@ -285,8 +335,8 @@ object AnnIndex {
       // 16.1 s CPU on the r9 seal's q110 line). One exchange on
       // cid, one file per list — the layout a 100 TB inverted file
       // wants, since a probe reads whole lists.
-      emb.select(nearestCentroid(col("e"), centroids).as("cid"),
-          col("vec_id"), col("label"), col("e"))
+      assignCids(emb, centroids)
+        .select(col("cid"), col("vec_id"), col("label"), col("e"))
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$dir/ivf_assignments")
@@ -662,8 +712,8 @@ object AnnIndex {
       batch: DataFrame, vdir: String): Unit = {
     val cents = readCentroids(s, baseDir)
     val cb = s.read.parquet(s"$baseDir/pq_codebook")
-    batch.select(nearestCentroid(col("e"), cents).as("cid"),
-        col("vec_id"), col("label"), col("e"))
+    assignCids(batch, cents)
+      .select(col("cid"), col("vec_id"), col("label"), col("e"))
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$vdir/ivf_assignments")
@@ -872,8 +922,8 @@ object AnnIndex {
       victims: DataFrame, outRoot: String): String = {
     val cents = readCentroids(s, baseDir)
     publishVersion(outRoot) { vdir =>
-      victims
-        .select(col("vec_id"), nearestCentroid(col("e"), cents).as("cid"))
+      assignCids(victims.select(col("vec_id"), col("e")), cents)
+        .select(col("vec_id"), col("cid"))
         .coalesce(1).write.mode("overwrite").parquet(s"$vdir/tombstones")
     }
   }
@@ -1055,8 +1105,8 @@ object AnnIndex {
         GraftFunctions.register(batch.sparkSession)
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          b.select(nearestCentroid(col("e"), cents).as("cid"),
-              col("vec_id"), col("label"), col("e"))
+          assignCids(b.toDF(), cents)
+            .select(col("cid"), col("vec_id"), col("label"), col("e"))
             .repartition(col("cid"))
             .write.mode("overwrite").partitionBy("cid")
             .parquet(s"$seg/ivf_assignments")

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The two IVF assignment strategies (r10 verdict item 2): the literal
+  * argmin expression used at the bench's K=16 and the broadcast-join
+  * argmin used beyond [[AnnIndex.LiteralAssignMaxK]] must agree
+  * bit-for-bit, the switch must actually change the plan (no
+  * thousand-literal `least(...)` ever reaches codegen), and a synthetic
+  * high-k training run must complete on the join path.
+  */
+class AnnAssignSpec extends SparkTestBase {
+
+  private def cents(k: Int, dim: Int): Seq[(Int, Seq[Double])] =
+    (1 to k).map(c => c -> (0 until dim).map(j => math.sin(c * 31 + j * 7)))
+
+  private def corpusDf(n: Int, dim: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n)
+      .map(i => (i.toLong, (0 until dim).map(j => math.cos(i * 13 + j * 3)), i % 5))
+      .toDF("vec_id", "e", "label")
+  }
+
+  test("literal and join assignment agree bit-for-bit at K=16") {
+    val cs = cents(16, 8)
+    val df = corpusDf(500, 8)
+    def cidMap(assigned: DataFrame): Map[Long, Int] =
+      assigned.select("vec_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lit = cidMap(df.withColumn("cid", AnnIndex.nearestCentroid(col("e"), cs)))
+    val joined = cidMap(AnnIndex.joinAssignCids(df, cs))
+    assert(lit.size == 500)
+    assert(lit == joined)
+  }
+
+  test("assignCids picks the literal plan at K=16 and the join plan at k=1024") {
+    // An exchange below the assignment keeps ConvertToLocalRelation from
+    // folding the whole projection into a LocalTableScan — the plan pin
+    // needs the assignment expressions visible, as they are over any
+    // real (file-sourced) corpus.
+    val df = corpusDf(64, 8).repartition(2)
+    val smallPlan = AnnIndex.assignCids(df, cents(16, 8))
+      .queryExecution.executedPlan.toString
+    assert(smallPlan.contains("least("),
+      s"expected the literal argmin at K=16:\n$smallPlan")
+    assert(!smallPlan.contains("BroadcastNestedLoopJoin"))
+    val big = AnnIndex.assignCids(df, cents(1024, 8))
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("BroadcastNestedLoopJoin"),
+      s"expected the broadcast-join argmin at k=1024:\n$bigPlan")
+    assert(!bigPlan.contains("least("),
+      "a 1024-literal least(...) expression must never be planned")
+    assert(big.count() == 64)
+  }
+
+  test("synthetic k=1024 Lloyd training completes on the join path") {
+    val emb = corpusDf(2048, 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val trained = AnnIndex.trainIvf(emb, 1024, 1)
+      assert(trained.size == 1024)
+      assert(trained.map(_._1).distinct.size == 1024)
+      assert(trained.forall(_._2.length == 8))
+    } finally emb.unpersist(): Unit
+  }
+}
