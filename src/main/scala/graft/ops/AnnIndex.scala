@@ -444,23 +444,26 @@ object AnnIndex {
   /** Shared IVF serve core: route each collected probe against the
     * centroid table driver-side, then ONE statically partition-pruned
     * scan of the probed inverted lists across the given segment roots,
-    * scored in place and top-k'd per probe. An optional tombstone frame
-    * (vec_id, …) masks deleted vectors BEFORE ranking (a left-anti join
-    * the optimizer broadcasts — tombstone sets are delete-sized, never
-    * corpus-sized), so a deleted vector can neither appear in results
-    * nor displace a live one from the top-k. The LSM sequencing rule:
-    * a tombstone masks only segments OLDER than itself —
-    * `tsMaskRoots` is that boundary (the first N roots are masked;
-    * deletes mask everything, an upsert's tombstone must NOT mask the
-    * newer segment carrying the replacement copy of the same vec_id).
+    * scored in place and top-k'd per probe. Tombstone frames (vec_id, …)
+    * mask deleted vectors BEFORE ranking (left-anti joins the optimizer
+    * broadcasts — tombstone sets are delete-sized, never corpus-sized),
+    * so a deleted vector can neither appear in results nor displace a
+    * live one from the top-k. The LSM sequencing rule: a tombstone masks
+    * only segments OLDER than itself — each tombstone carries its own
+    * recency boundary `(frame, maskRoots)`: it masks exactly the roots
+    * at index < maskRoots (roots are listed base-first, oldest to
+    * newest). A delete masks everything (`Int.MaxValue`); an upsert's
+    * tombstone must NOT mask the newer segment carrying the replacement
+    * copy of the same vec_id, so its boundary sits just below that
+    * segment. N tombstones with N distinct boundaries compose (the
+    * interleaved delete/upsert histories the lifecycle soak generates).
     */
   private def ivfServe(s: SparkSession, listRoots: Seq[String],
       cents: Seq[(Int, Seq[Double])],
       probes: Seq[(Long, Seq[Double])],
-      tombstones: Option[DataFrame] = None,
+      tombstones: Seq[(DataFrame, Int)] = Nil,
       attrFilter: Option[Column] = None,
-      nprobe: Int = Nprobe,
-      tsMaskRoots: Int = Int.MaxValue): DataFrame = {
+      nprobe: Int = Nprobe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val routed: Seq[(Long, Seq[Double], Int)] = probes.flatMap { case (pid, pe) =>
       cents.map { case (cid, ce) => (-cosineScala(pe, ce), cid) }
@@ -486,8 +489,10 @@ object AnnIndex {
           // (which would return fewer than k) nor a corpus join.
           .filter(attrFilter.getOrElse(lit(true)))
           .select(col("cid"), col("vec_id"), col("e"))
-        tombstones.filter(_ => i < tsMaskRoots).fold(seg)(ts =>
-          seg.join(ts.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        val mask = tombstones.filter(_._2 > i).map(_._1.select(col("vec_id")))
+          .reduceOption(_ unionAll _)
+        mask.fold(seg)(m =>
+          seg.join(m, Seq("vec_id"), "left_anti")
             // A using-column join reorders the join key FIRST; the
             // roots union POSITIONALLY, so re-select the canonical
             // order or masked and unmasked segments would swap
@@ -769,48 +774,61 @@ object AnnIndex {
   def compact(s: SparkSession, d: String): String = {
     val (baseDir, deltaDir) = appendDelta(s, d)
     val root = shmDir(Tables.datasetTag(d) + "/append_compacted")
-    publishVersion(root)(compactInto(s, baseDir, Seq(deltaDir), None, _))
+    publishVersion(root)(compactInto(s, baseDir, Seq(deltaDir), Nil, _))
   }
 
   /** Fold ANY number of delta segments (q113 appends, q128 streamed
-    * micro-batch segments) and optional tombstones into one physical
-    * index under `vdir` — the shared compaction core behind [[compact]],
-    * [[compactWithDeletes]] and [[compactSegmentRoots]]:
+    * micro-batch segments, upsert replacement segments) and ANY number
+    * of tombstone frames into one physical index under `vdir` — the
+    * shared compaction core behind [[compact]], [[compactWithDeletes]],
+    * [[compactUpsert]] and [[compactSegmentRoots]]:
     *
     *   - touched lists = every delta's cids ∪ the tombstones' recorded
     *     cids (bounded ≤K collects); merged base+deltas, tombstones
     *     anti-joined out, ONE exchange on cid, one file per list;
     *   - untouched base lists carry over file-level (correct because a
-    *     tombstoned vector's list is touched by construction);
+    *     tombstoned vector's list is touched by construction — the
+    *     tombstone recorded its victim's cid at write time);
     *   - codes: without tombstones a pure file-level concat (prefix per
     *     segment — no scan); with tombstones one anti-join filter pass
     *     over the 32×-compressed table;
     *   - trained artifacts copy unchanged from the base;
-    *   - the LSM sequencing rule rides through: `tsMaskDeltas = true`
-    *     for deletes (the tombstone is the NEWEST write, it masks every
-    *     segment), false for upserts (the replacement segment is newer
-    *     than its tombstone and must survive the fold).
+    *   - the LSM sequencing rule rides through: each tombstone carries
+    *     its own recency boundary `(frame, maskBelow)` and masks exactly
+    *     the segments at index < maskBelow, where the base is segment 0
+    *     and delta i (oldest first) is segment i+1. A delete is the
+    *     newest write and masks everything (`Int.MaxValue`); an upsert's
+    *     tombstone is older than its replacement segment and must not
+    *     mask it. Arbitrary interleavings of the two compose — the
+    *     histories the lifecycle soak generates.
     */
   private def compactInto(s: SparkSession, baseDir: String,
-      deltaDirs: Seq[String], ts: Option[DataFrame], vdir: String,
-      tsMaskDeltas: Boolean = true): Unit = {
+      deltaDirs: Seq[String], tss: Seq[(DataFrame, Int)],
+      vdir: String): Unit = {
     val cols = Seq(col("cid"), col("vec_id"), col("label"), col("e"))
     // Re-select the canonical column order after the using-column
     // anti-join (it reorders the key first, and the segment frames
-    // union positionally).
-    def anti(df: DataFrame): DataFrame = ts.fold(df)(t =>
-      df.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti").select(cols: _*))
-    val deltaLists = deltaDirs
-      .map(p => s.read.parquet(s"$p/ivf_assignments").select(cols: _*))
-      .reduce(_ unionAll _)
+    // union positionally). segIdx picks the masks that apply to this
+    // segment's recency position.
+    def maskFor(segIdx: Int): Option[DataFrame] =
+      tss.filter(_._2 > segIdx).map(_._1.select(col("vec_id")))
+        .reduceOption(_ unionAll _)
+    def anti(df: DataFrame, segIdx: Int, sel: Seq[Column]): DataFrame =
+      maskFor(segIdx).fold(df)(m =>
+        df.join(m, Seq("vec_id"), "left_anti").select(sel: _*))
+    val deltaLists = deltaDirs.zipWithIndex
+      .map { case (p, i) =>
+        anti(s.read.parquet(s"$p/ivf_assignments").select(cols: _*), i + 1, cols)
+      }
+      .reduceOption(_ unionAll _)
     val touched: Set[Int] =
-      (deltaLists.select("cid").distinct().collect().map(_.getInt(0)) ++
-        ts.toSeq.flatMap(_.select("cid").distinct().collect().map(_.getInt(0)))).toSet
-    val baseLists = s.read.parquet(s"$baseDir/ivf_assignments")
-      .filter(col("cid").isin(touched.toSeq.sorted: _*))
-      .select(cols: _*)
-    anti(baseLists)
-      .unionAll(if (tsMaskDeltas) anti(deltaLists) else deltaLists)
+      (deltaLists.toSeq.flatMap(_.select("cid").distinct().collect().map(_.getInt(0))) ++
+        tss.flatMap(_._1.select("cid").distinct().collect().map(_.getInt(0)))).toSet
+    val baseLists = anti(
+      s.read.parquet(s"$baseDir/ivf_assignments")
+        .filter(col("cid").isin(touched.toSeq.sorted: _*))
+        .select(cols: _*), 0, cols)
+    deltaLists.fold(baseLists)(baseLists.unionAll)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$vdir/ivf_assignments")
@@ -824,18 +842,18 @@ object AnnIndex {
       .filter(f => f.isDirectory && f.getName.startsWith("cid="))
       .filter(f => !touched.contains(f.getName.stripPrefix("cid=").toInt))
       .foreach(f => copyTree(f, new java.io.File(s"$vdir/ivf_assignments/${f.getName}")))
-    ts match {
-      case Some(t) =>
-        val baseCodes = s.read.parquet(s"$baseDir/pq_codes")
-          .join(t.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        val deltaCodes = deltaDirs
-          .map(p => s.read.parquet(s"$p/pq_codes"))
-          .reduceOption(_ unionAll _)
-          .map(dc => if (tsMaskDeltas)
-            dc.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti") else dc)
-        deltaCodes.fold(baseCodes)(baseCodes.unionAll)
-          .write.mode("overwrite").parquet(s"$vdir/pq_codes")
-      case None =>
+    if (tss.nonEmpty) {
+      val codeCols = Seq(col("vec_id"), col("codes"), col("qnorm"))
+      val baseCodes = anti(
+        s.read.parquet(s"$baseDir/pq_codes").select(codeCols: _*), 0, codeCols)
+      val deltaCodes = deltaDirs.zipWithIndex
+        .map { case (p, i) =>
+          anti(s.read.parquet(s"$p/pq_codes").select(codeCols: _*), i + 1, codeCols)
+        }
+        .reduceOption(_ unionAll _)
+      deltaCodes.fold(baseCodes)(baseCodes.unionAll)
+        .write.mode("overwrite").parquet(s"$vdir/pq_codes")
+    } else {
         val codesOut = new java.io.File(s"$vdir/pq_codes")
         codesOut.mkdirs(): Unit
         (("base" -> s"$baseDir/pq_codes") +:
@@ -856,7 +874,7 @@ object AnnIndex {
     */
   private[ops] def compactSegmentRoots(s: SparkSession, baseDir: String,
       segDirs: Seq[String], outRoot: String): String =
-    publishVersion(outRoot)(compactInto(s, baseDir, segDirs, None, _))
+    publishVersion(outRoot)(compactInto(s, baseDir, segDirs, Nil, _))
 
   private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
     if (src.isDirectory) {
@@ -940,7 +958,7 @@ object AnnIndex {
     val (baseDir, deltaDir, tsDir) = writeTombstones(s, d)
     ivfServe(s, Seq(baseDir, deltaDir), readCentroids(s, baseDir),
       collectProbes(probeDf),
-      tombstones = Some(s.read.parquet(s"$tsDir/tombstones")))
+      tombstones = Seq(s.read.parquet(s"$tsDir/tombstones") -> Int.MaxValue))
   }
 
   /** PQ serve over the LIVE view: the codes scan unions base + delta
@@ -993,7 +1011,9 @@ object AnnIndex {
       segDir: String, tsDir: String, outRoot: String): String = {
     val ts = s.read.parquet(s"$tsDir/tombstones")
     publishVersion(outRoot)(
-      compactInto(s, baseDir, Seq(segDir), Some(ts), _, tsMaskDeltas = false))
+      // Boundary 1: the upsert's tombstone masks only the base (segment
+      // 0) — its replacement segment is newer and must survive the fold.
+      compactInto(s, baseDir, Seq(segDir), Seq(ts -> 1), _))
   }
 
   /** Delete-aware compaction: fold delta AND tombstones into a fresh
@@ -1024,7 +1044,7 @@ object AnnIndex {
     val (baseDir, deltaDir, tsDir) = writeTombstones(s, d)
     val ts = s.read.parquet(s"$tsDir/tombstones")
     val root = shmDir(Tables.datasetTag(d) + "/delete_compacted")
-    publishVersion(root)(compactInto(s, baseDir, Seq(deltaDir), Some(ts), _))
+    publishVersion(root)(compactInto(s, baseDir, Seq(deltaDir), Seq(ts -> Int.MaxValue), _))
   }
 
   /** IVF serve over the delete-compacted index: ONE segment root, NO
@@ -1129,19 +1149,20 @@ object AnnIndex {
     (baseDir, segs)
   }
 
-  /** IVF serve across explicit segment roots (base first), with an
-    * optional tombstone mask and probe frame — the spec's read path
-    * over streamed / upserted, not-yet-compacted indexes.
+  /** IVF serve across explicit segment roots (base first, oldest to
+    * newest), with any number of (tombstone dir, recency boundary)
+    * masks and an optional probe frame — the spec/soak read path over
+    * streamed / deleted / upserted, not-yet-compacted indexes.
     */
   private[ops] def ivfProbeSegments(s: SparkSession, d: String,
       roots: Seq[String], probeDf: DataFrame = null,
-      tsDir: Option[String] = None,
-      tsMaskRoots: Int = Int.MaxValue): DataFrame = {
+      tss: Seq[(String, Int)] = Nil): DataFrame = {
     GraftFunctions.register(s)
     val probes = Option(probeDf).getOrElse(defaultProbes(s, d))
     ivfServe(s, roots, readCentroids(s, roots.head), collectProbes(probes),
-      tombstones = tsDir.map(p => s.read.parquet(s"$p/tombstones")),
-      tsMaskRoots = tsMaskRoots)
+      tombstones = tss.map { case (p, b) =>
+        s.read.parquet(s"$p/tombstones") -> b
+      })
   }
 
   /** The CURRENT complete version for this dataset, resolved from disk

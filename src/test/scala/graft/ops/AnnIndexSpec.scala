@@ -426,11 +426,11 @@ class AnnIndexSpec extends SparkTestBase {
     // NEW copy can score 1.0 against its own direction, so this pins
     // both freshness (new copy served) and masking (old copy gone).
     val probes = updates.select((col("vec_id") + 1000000L).as("pid"), col("e"))
-    // tsMaskRoots = 1: the tombstone masks the pre-existing index only,
+    // Boundary 1: the tombstone masks the pre-existing index only,
     // never the newer replacement segment (the LSM sequencing rule —
     // an id-blind mask would delete BOTH copies).
     val res = AnnIndex.ivfProbeSegments(spark, sfDir, Seq(dir, segDir),
-      probes, Some(tsDir), tsMaskRoots = 1).cache()
+      probes, Seq(tsDir -> 1)).cache()
     try {
       assert(res.count() === nUp * AnnIndex.TopK, "upserted serve lost surface")
       val top1 = res.filter(col("rnk") === 1).collect()
