@@ -387,6 +387,43 @@ object AnnIndex {
     */
   private def ensure(s: SparkSession, d: String): String = build(s, d, force = false)
 
+  // ---- explicit-frame entry points (lifecycle soak / spec surface) ----
+  //
+  // The registered queries run against the dataset-keyed fixtures above;
+  // the lifecycle soak (AnnLifecycleSoakSpec) instead drives RANDOM
+  // op sequences over explicit frames and roots, so each published
+  // artifact kind gets an explicit-frame constructor. All of them go
+  // through publishVersion — the soak exercises the exact pointer-flip
+  // publication the production paths use.
+
+  /** Build a full index for an explicit embeddings frame (vec_id, e,
+    * label) under `root`, returning the published version dir.
+    */
+  private[ops] def buildFrom(s: SparkSession, emb: DataFrame, root: String): String = {
+    GraftFunctions.register(s)
+    publishVersion(root)(vdir => writeIndex(s, emb, vdir))
+  }
+
+  /** Publish one delta segment for an explicit batch against the frozen
+    * index at `baseDir`.
+    */
+  private[ops] def appendSegment(s: SparkSession, baseDir: String,
+      batch: DataFrame, root: String): String = {
+    GraftFunctions.register(s)
+    publishVersion(root)(writeDeltaSegment(s, baseDir, batch, _))
+  }
+
+  /** Publish a compacted fold of explicit segments and (tombstone,
+    * recency boundary) masks — the general LSM fold behind every
+    * compaction flavor.
+    */
+  private[ops] def compactAll(s: SparkSession, baseDir: String,
+      deltaDirs: Seq[String], tss: Seq[(DataFrame, Int)],
+      outRoot: String): String = {
+    GraftFunctions.register(s)
+    publishVersion(outRoot)(compactInto(s, baseDir, deltaDirs, tss, _))
+  }
+
   private def readCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
     s.read.parquet(s"$dir/ivf_centroids")
       .collect().toIndexedSeq
@@ -936,7 +973,7 @@ object AnnIndex {
     * this lands the tombstone on exactly the list holding the copy it
     * masks, without scanning any list.
     */
-  private def tombstonesFor(s: SparkSession, baseDir: String,
+  private[ops] def tombstonesFor(s: SparkSession, baseDir: String,
       victims: DataFrame, outRoot: String): String = {
     val cents = readCentroids(s, baseDir)
     publishVersion(outRoot) { vdir =>
@@ -1097,11 +1134,23 @@ object AnnIndex {
       root: String): (String, Seq[String]) = {
     GraftFunctions.register(s)
     val baseDir = ensureAppendBase(s, d)
+    (baseDir, streamIngestFrames(s, baseDir, batchSlice(corpus(s, d)), root))
+  }
+
+  /** The ingest core over an EXPLICIT source frame: split into `nFiles`
+    * source files, stream each as one checkpointed micro-batch into its
+    * own delta segment against the frozen index at `baseDir`. Returns
+    * the complete segment dirs in batch (LSM recency) order. The soak's
+    * stream op and [[streamIngestInto]] share this body.
+    */
+  private[ops] def streamIngestFrames(s: SparkSession, baseDir: String,
+      src: DataFrame, root: String, nFiles: Int = StreamFiles): Seq[String] = {
+    GraftFunctions.register(s)
     val cents = readCentroids(s, baseDir)
     val srcDir = s"$root/src"
     val segRoot = s"$root/segments"
     if (!new java.io.File(srcDir, "_SUCCESS").exists()) {
-      batchSlice(corpus(s, d)).repartition(StreamFiles)
+      src.repartition(nFiles)
         .write.mode("overwrite").parquet(srcDir)
     }
     val schema = s.read.parquet(srcDir).schema
@@ -1125,15 +1174,22 @@ object AnnIndex {
         GraftFunctions.register(batch.sparkSession)
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          assignCids(b.toDF(), cents)
-            .select(col("cid"), col("vec_id"), col("label"), col("e"))
-            .repartition(col("cid"))
-            .write.mode("overwrite").partitionBy("cid")
-            .parquet(s"$seg/ivf_assignments")
-          val cb = batch.sparkSession.read.parquet(s"$baseDir/pq_codebook")
-          encodePq(pqSliced(b.toDF()), cb)
-            .write.mode("overwrite").parquet(s"$seg/pq_codes")
-          new java.io.File(seg, "_COMPLETE").createNewFile(): Unit
+          // A no-data micro-batch (the source can emit one around
+          // stream start/restart) must produce NO segment: an empty
+          // partitionBy write emits zero files, and a marked-complete
+          // fileless segment would fail every later reader (found by
+          // the lifecycle soak — AnnLifecycleSoakSpec).
+          if (!b.isEmpty) {
+            assignCids(b.toDF(), cents)
+              .select(col("cid"), col("vec_id"), col("label"), col("e"))
+              .repartition(col("cid"))
+              .write.mode("overwrite").partitionBy("cid")
+              .parquet(s"$seg/ivf_assignments")
+            val cb = batch.sparkSession.read.parquet(s"$baseDir/pq_codebook")
+            encodePq(pqSliced(b.toDF()), cb)
+              .write.mode("overwrite").parquet(s"$seg/pq_codes")
+            new java.io.File(seg, "_COMPLETE").createNewFile(): Unit
+          }
         } finally b.unpersist(): Unit
       }
       .option("checkpointLocation", s"$root/ckpt")
@@ -1141,12 +1197,11 @@ object AnnIndex {
       .start().awaitTermination()
     // Numeric batch order, NOT lexicographic ("b10" < "b2" as strings):
     // segment order is LSM recency order, which tombstone boundaries
-    // (tsMaskRoots) depend on for any caller composing these roots.
-    val segs = Option(new java.io.File(segRoot).listFiles()).getOrElse(Array.empty)
+    // depend on for any caller composing these roots.
+    Option(new java.io.File(segRoot).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && new java.io.File(f, "_COMPLETE").exists())
       .sortBy(_.getName.stripPrefix("b").toLong)
       .map(_.toString).toIndexedSeq
-    (baseDir, segs)
   }
 
   /** IVF serve across explicit segment roots (base first, oldest to

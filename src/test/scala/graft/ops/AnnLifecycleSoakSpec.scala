@@ -1,0 +1,248 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ANN lifecycle soak (r10 verdict item 3): random sequences of
+  * {append, stream-ingest, delete, upsert, compact} against one shared
+  * base index, checking after every step — artifact read-back, marker
+  * presence — and at every fold/serve: exact conservation (every live
+  * id once, no ghost, no dup), the LSM sequencing rule (a tombstone
+  * masks only segments older than itself), top-1 self-recovery at
+  * cosine 1.0 (the freshest copy is served), and a full top-k surface.
+  *
+  * Every composition bug found so far was caught by a hand-enumerated
+  * case; this property covers the interleavings nobody enumerated. The
+  * two known-bug shapes reproduce as shrunk counterexamples here —
+  * verified by re-breaking the code and running this property:
+  *
+  *   - id-blind tombstone masking (r10: an upsert's tombstone deleting
+  *     BOTH copies of the id) — forcing every mask boundary to
+  *     Int.MaxValue shrank to `List(Upsert(3,2))` failing "pre-fold
+  *     serve: probe 1000003 top-1 (5, 0.9934) — stale copy served or
+  *     fresh copy lost";
+  *   - positional union after a using-column anti-join (r10: masked and
+  *     unmasked segments swapping cid/vec_id against each other) —
+  *     dropping the canonical re-select in ivfServe shrank to
+  *     `List(Upsert(10,1))` failing "pre-fold serve: probe 1000010
+  *     top-1 (12, 0.9935)" (one upsert suffices: the masked base unions
+  *     against the unmasked replacement segment).
+  *
+  * Its first production catch came on the first run: a no-data
+  * micro-batch made stream-ingest publish a marked-complete segment
+  * with a fileless ivf_assignments dir, failing every later reader —
+  * shrunk to `List(Ingest(2,2))`, fixed in streamIngestFrames.
+  *
+  * The stale-`_COMPLETE`-on-replay hazard (e4ae495) is pinned by the
+  * dedicated idempotent-replay spec in AnnIndexSpec; ingest segments
+  * here go through the same `streamIngestFrames` body.
+  */
+class AnnLifecycleSoakSpec extends SparkTestBase {
+
+  private val Dim = 64
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
+  private val soakRoot: java.io.File = {
+    val shm = new java.io.File("/dev/shm")
+    val f = if (shm.isDirectory && shm.canWrite) new java.io.File(shm, "graft-ann-soak")
+            else new java.io.File(sys.props("java.io.tmpdir"), "graft-ann-soak")
+    rmTree(f); f.mkdirs(): Unit
+    f
+  }
+
+  private val runIds = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Deterministic vector for (id, version): upserts bump the version,
+    * so the model can always reproduce both the stored ("old") and the
+    * replacement embedding of any id.
+    */
+  private def vec(id: Long, ver: Int): Seq[Double] =
+    (0 until Dim).map(j => math.sin(id * 31.0 + ver * 131.0 + j * 17.0))
+
+  private def frame(ids: Seq[(Long, Int)]): DataFrame = {
+    import spark.implicits._
+    ids.map { case (id, ver) => (id, vec(id, ver), (id % 10).toInt) }
+      .toDF("vec_id", "e", "label")
+  }
+
+  private val baseIds: Seq[Long] = 0L until 64L
+
+  /** One shared base index for every generated sequence: sequences only
+    * ever ADD segments/tombstones under their own run root, never
+    * mutate the base — the same immutability the production lifecycle
+    * guarantees, so sharing is sound and keeps the soak affordable.
+    */
+  private lazy val baseDir0: String =
+    AnnIndex.buildFrom(spark, frame(baseIds.map(_ -> 0)), s"$soakRoot/base")
+
+  sealed trait Op
+  case class Append(n: Int) extends Op
+  case class Ingest(n: Int, files: Int) extends Op
+  case class Delete(seed: Int, n: Int) extends Op
+  case class Upsert(seed: Int, n: Int) extends Op
+  case object Fold extends Op
+
+  /** Model + disk state: `live` maps each live id to its current
+    * version; segs/tss mirror the on-disk segment roots and (tombstone
+    * dir, recency boundary) masks, base-first oldest-to-newest.
+    */
+  private case class St(base: String, segs: Vector[String],
+      tss: Vector[(String, Int)], live: Map[Long, Int], nextId: Long)
+
+  private def pick(live: Map[Long, Int], seed: Int, n: Int): Seq[Long] = {
+    val ids = live.keys.toSeq.sorted
+    if (ids.isEmpty) Nil
+    else (0 until math.min(n, ids.size)).map(i => ids((seed + i * 7) % ids.size)).distinct
+  }
+
+  private def readIds(dir: String): Seq[Long] =
+    spark.read.parquet(dir).select("vec_id").collect().map(_.getLong(0)).toSeq
+
+  private def step(st: St, op: Op, root: String, k: Int): St = op match {
+    case Append(n) =>
+      val ids = st.nextId until st.nextId + n
+      val seg = AnnIndex.appendSegment(spark, st.base,
+        frame(ids.map(_ -> 0)), s"$root/op$k")
+      val got = readIds(s"$seg/ivf_assignments")
+      assert(got.sorted == ids.toSeq.sorted, s"append wrote $got, expected $ids")
+      assert(new java.io.File(seg, "_SUCCESS").exists(),
+        "published segment missing its completeness marker")
+      St(st.base, st.segs :+ seg, st.tss, st.live ++ ids.map(_ -> 0), st.nextId + n)
+    case Ingest(n, files) =>
+      val ids = st.nextId until st.nextId + n
+      val segs = AnnIndex.streamIngestFrames(spark, st.base,
+        frame(ids.map(_ -> 0)), s"$root/op$k", files)
+      val got = segs.flatMap(g => readIds(s"$g/ivf_assignments"))
+      assert(got.sorted == ids.toSeq.sorted,
+        s"stream ingest wrote $got across ${segs.size} segments, expected $ids")
+      St(st.base, st.segs :++ segs, st.tss, st.live ++ ids.map(_ -> 0), st.nextId + n)
+    case Delete(seed, n) =>
+      val victims = pick(st.live, seed, n)
+      if (victims.isEmpty) st
+      else {
+        val vf = frame(victims.map(id => id -> st.live(id)))
+          .select(col("vec_id"), col("e"))
+        val ts = AnnIndex.tombstonesFor(spark, st.base, vf, s"$root/op$k")
+        assert(readIds(s"$ts/tombstones").sorted == victims.sorted,
+          "tombstone read-back mismatch")
+        // A delete is the newest write: it masks every existing root.
+        St(st.base, st.segs, st.tss :+ (ts -> (1 + st.segs.size)),
+          st.live -- victims, st.nextId)
+      }
+    case Upsert(seed, n) =>
+      val victims = pick(st.live, seed, n)
+      if (victims.isEmpty) st
+      else {
+        // The tombstone resolves cids from the STORED embeddings and
+        // masks only the roots that exist before the replacement
+        // segment lands — the LSM sequencing boundary.
+        val boundary = 1 + st.segs.size
+        val ts = AnnIndex.tombstonesFor(spark, st.base,
+          frame(victims.map(id => id -> st.live(id)))
+            .select(col("vec_id"), col("e")),
+          s"$root/op${k}ts")
+        val newVers = victims.map(id => id -> (st.live(id) + 1))
+        val seg = AnnIndex.appendSegment(spark, st.base, frame(newVers),
+          s"$root/op${k}seg")
+        St(st.base, st.segs :+ seg, st.tss :+ (ts -> boundary),
+          st.live ++ newVers, st.nextId)
+      }
+    case Fold =>
+      val tsFrames = st.tss.map { case (p, b) =>
+        spark.read.parquet(s"$p/tombstones") -> b
+      }
+      val dir = AnnIndex.compactAll(spark, st.base, st.segs, tsFrames, s"$root/op$k")
+      // EXACT conservation at every fold: one copy per live id, no
+      // ghost, no dup — in the lists AND the codes.
+      val got = readIds(s"$dir/ivf_assignments")
+      assert(got.size == got.distinct.size,
+        s"compaction duplicated ids: ${got.diff(got.distinct).distinct.take(5)}")
+      assert(got.toSet == st.live.keySet,
+        s"compaction ghosts=${(got.toSet -- st.live.keySet).take(5)} " +
+          s"lost=${(st.live.keySet -- got.toSet).take(5)}")
+      val codes = readIds(s"$dir/pq_codes")
+      assert(codes.size == codes.distinct.size && codes.toSet == st.live.keySet,
+        "codes table does not match the live set after compaction")
+      St(dir, Vector.empty, Vector.empty, st.live, st.nextId)
+  }
+
+  /** Serve over the CURRENT state (multi-segment, masked — or a single
+    * folded root) and check: full top-k surface, top-1 self-recovery of
+    * the freshest copy at cosine 1.0, no ghost anywhere, one copy per
+    * (probe, neighbor).
+    */
+  private def serveCheck(st: St, what: String): Unit = {
+    val probeIds = pick(st.live, 3, 4)
+    assert(st.live.size > AnnIndex.TopK, "soak corpus shrank below the surface")
+    import spark.implicits._
+    val probes = probeIds.map(id => (id + 1000000L, vec(id, st.live(id))))
+      .toDF("pid", "pe")
+    val res = AnnIndex.ivfProbeSegments(spark, sfDir, st.base +: st.segs,
+      probes, st.tss).collect()
+    assert(res.length == probeIds.size * AnnIndex.TopK,
+      s"$what: surface under-filled (${res.length} rows for ${probeIds.size} probes)")
+    res.filter(_.getLong(2) == 1L).foreach { r =>
+      val pid = r.getLong(0); val nbr = r.getLong(1); val cos = r.getDouble(3)
+      assert(nbr == pid - 1000000L && cos == 1.0,
+        s"$what: probe $pid top-1 ($nbr, $cos) — stale copy served or fresh copy lost")
+    }
+    val ghosts = res.map(_.getLong(1)).filterNot(st.live.keySet)
+    assert(ghosts.isEmpty, s"$what: served deleted ids ${ghosts.toSeq.distinct.take(5)}")
+    val dups = res.groupBy(r => (r.getLong(0), r.getLong(1))).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"$what: duplicate neighbors ${dups.keys.take(5)}")
+  }
+
+  private def runSequence(ops: List[Op]): Unit = {
+    val root = new java.io.File(soakRoot, s"run-${runIds.incrementAndGet()}")
+    try {
+      var st = St(baseDir0, Vector.empty, Vector.empty,
+        baseIds.map(_ -> 0).toMap, 1000L)
+      ops.zipWithIndex.foreach { case (op, k) => st = step(st, op, root.toString, k) }
+      // Serve the accumulated multi-segment state (the read path where
+      // both historical composition bugs lived), then fold EVERYTHING
+      // and re-serve the single compacted root.
+      serveCheck(st, "pre-fold serve")
+      st = step(st, Fold, root.toString, ops.size)
+      serveCheck(st, "post-fold serve")
+    } finally rmTree(root)
+  }
+
+  private def check(prop: Prop, n: Int, workers: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(n)
+        .withWorkers(workers)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)),
+      prop)
+    assert(res.passed, s"soak property failed: ${res.status}")
+  }
+
+  test("100 random {append,delete,upsert,compact} sequences hold every invariant") {
+    baseDir0: Unit // build the shared fixture before the workers race for it
+    val genOp: Gen[Op] = Gen.frequency(
+      5 -> Gen.choose(1, 3).map(Append.apply),
+      3 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 3)).map(t => Delete(t._1, t._2)),
+      3 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Upsert(t._1, t._2)),
+      2 -> Gen.const(Fold))
+    val genOps = Gen.choose(2, 6).flatMap(Gen.listOfN(_, genOp))
+    check(Prop.forAll(genOps) { ops => runSequence(ops); true }, n = 100, workers = 8)
+  }
+
+  test("stream-ingest composes with the other lifecycle ops under the same invariants") {
+    baseDir0: Unit
+    val genOp: Gen[Op] = Gen.frequency(
+      3 -> Gen.zip(Gen.choose(2, 4), Gen.choose(1, 2)).map(t => Ingest(t._1, t._2)),
+      2 -> Gen.choose(1, 3).map(Append.apply),
+      2 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Delete(t._1, t._2)),
+      2 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Upsert(t._1, t._2)),
+      1 -> Gen.const(Fold))
+    val genOps = Gen.choose(2, 4).flatMap(Gen.listOfN(_, genOp))
+    check(Prop.forAll(genOps) { ops => runSequence(ops); true }, n = 10, workers = 4)
+  }
+}
