@@ -567,21 +567,27 @@ object AnnIndex {
     ivfServe(s, Seq(dir), readCentroids(s, dir), collectProbes(probeDf))
   }
 
-  /** Bound on how many MaxProbes-sized batches [[ivfProbeBatched]] will
-    * drive in one call: the per-batch plans union into one job, so an
-    * unbounded probe frame must not balloon the plan — beyond this,
-    * the caller owns the outer loop (e.g. one call per arriving probe
-    * file), which is how a serving deployment drives it anyway.
+  /** Bound on how many MaxProbes-sized batches [[ivfProbeBatched]] puts
+    * into ONE union plan: beyond it the plan would balloon (64+ union
+    * branches), so larger frames switch to the internal spill loop —
+    * each batch re-planned independently at constant plan size, results
+    * landing in a spill dir returned as one scan (r10 verdict item 4).
+    * The call serves any probe-frame size either way.
     */
   val MaxBatches = 64
+
+  private val probeSpillSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Probe frames LARGER than MaxProbes, served by batching — the
     * "split into batches" contract of [[collectProbes]] made
     * executable: the frame is cut into ⌈n/MaxProbes⌉ driver-bounded
     * batches (each collect is ≤ MaxProbes rows by construction), each
-    * batch routes and prunes independently, and the per-batch results
-    * union into one output. Per-batch work is identical to
-    * [[ivfProbe]]; nothing about the index or the scans changes.
+    * batch routes and prunes independently. Up to [[MaxBatches]]
+    * batches the per-batch results union into one plan; beyond that the
+    * call loops internally — one independently planned job per batch
+    * into a spill dir, returned as a single scan — so ANY probe-frame
+    * size serves with constant plan size. Per-batch work is identical
+    * to [[ivfProbe]]; nothing about the index or the scans changes.
     */
   def ivfProbeBatched(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
     GraftFunctions.register(s)
@@ -598,12 +604,32 @@ object AnnIndex {
     try {
       val n = keyed.count()
       val batches = math.max(((n + MaxProbes - 1) / MaxProbes).toInt, 1)
-      require(batches <= MaxBatches,
-        s"$n probes need $batches batches > MaxBatches=$MaxBatches — drive the outer loop")
-      (0 until batches).map { b =>
+      def serveBatch(b: Int): DataFrame =
         ivfServe(s, Seq(dir), cents,
           collectProbes(keyed.filter(col("batch") === b).select("pid", "pe")))
-      }.reduce(_ unionAll _).orderBy("probe_id", "rnk")
+      if (batches <= MaxBatches)
+        (0 until batches).map(serveBatch).reduce(_ unionAll _)
+          .orderBy("probe_id", "rnk")
+      else {
+        // Internal spill loop (r10 verdict item 4): each batch is
+        // re-planned and executed INDEPENDENTLY — the plan size stays
+        // constant no matter how many batches the frame needs — and its
+        // top-k rows land in a spill dir; the returned frame is ONE
+        // scan of the spilled results. Prior calls' spills are swept at
+        // entry under the repo's serial-JVM discipline (a returned
+        // over-cap result frame is consumed before the next over-cap
+        // call — the Bench.sweepLocalDirs rule).
+        val spillBase = new java.io.File(shmDir("probe_spill"))
+        Option(spillBase.listFiles()).getOrElse(Array.empty)
+          .foreach(deleteRecursively)
+        val out = new java.io.File(spillBase,
+          s"call-${probeSpillSeq.incrementAndGet()}").toString
+        (0 until batches).foreach { b =>
+          serveBatch(b).write
+            .mode(if (b == 0) "overwrite" else "append").parquet(out)
+        }
+        s.read.parquet(out).orderBy("probe_id", "rnk")
+      }
     } finally keyed.unpersist(): Unit
   }
 

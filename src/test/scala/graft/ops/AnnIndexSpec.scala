@@ -186,6 +186,41 @@ class AnnIndexSpec extends SparkTestBase {
     assert(alone === inBatch, "batching changed a probe's served neighbors")
   }
 
+  test("over-MaxBatches probe frame serves via the internal spill loop, identical to solo") {
+    import org.apache.spark.sql.functions._
+    AnnIndex.build(spark, sfDir)
+    // 67000 probes (134 re-keyed copies of the 500-vector corpus) need
+    // 66 batches — past the MaxBatches=64 union-plan cap, so the call
+    // must loop internally at constant plan size (r10 verdict item 4),
+    // never a 64+-branch union and never a refusal.
+    val reps = 134
+    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
+    val probes = base
+      .crossJoin(broadcast(spark.range(reps).toDF("r")))
+      .select(((col("r") + 1) * lit(10000000L) + col("vec_id")).as("pid"),
+        col("e").as("pe"))
+    val n = probes.count()
+    assert(n > AnnIndex.MaxProbes.toLong * AnnIndex.MaxBatches,
+      "fixture must exceed the union-plan cap")
+    val res = AnnIndex.ivfProbeBatched(spark, sfDir, probes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(res.count() === n * AnnIndex.TopK,
+        "spill-loop serve must cover every probe with a full surface")
+      assert(res.select("probe_id").distinct().count() === n)
+      // Identical to solo serving: the same probes served alone return
+      // exactly the same neighbor rows (sampled across distant batches).
+      val samplePids = Seq(10000003L, 250000007L, 510000001L, 1340000499L)
+      val sample = probes.filter(col("pid").isin(samplePids: _*))
+      assert(sample.count() === samplePids.size.toLong)
+      val alone = AnnIndex.ivfProbe(spark, sfDir, sample).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val inLoop = res.filter(col("probe_id").isin(samplePids: _*)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(alone === inLoop, "spill-loop serving changed a probe's neighbors")
+    } finally res.unpersist(): Unit
+  }
+
   test("oversized probe batch fails fast at the MaxProbes cap") {
     import org.apache.spark.sql.functions._
     val big = spark.range(AnnIndex.MaxProbes + 1)
