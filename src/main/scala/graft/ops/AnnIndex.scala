@@ -424,7 +424,7 @@ object AnnIndex {
     publishVersion(outRoot)(compactInto(s, baseDir, deltaDirs, tss, _))
   }
 
-  private def readCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
+  private[ops] def readCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
     s.read.parquet(s"$dir/ivf_centroids")
       .collect().toIndexedSeq
       .map(r => (r.getInt(r.fieldIndex("cid")),
@@ -1125,6 +1125,71 @@ object AnnIndex {
     ivfServe(s, Seq(dir), readCentroids(s, dir), collectProbes(probeDf))
   }
 
+  // ---- retrain trigger (r10 verdict item 5) ---------------------------
+
+  /** List-size-weighted mean RELATIVE centroid drift above which a
+    * rebuild is recommended. Calibration (AnnRetrainSpec): a live
+    * corpus equal to the training corpus measures ~0.03 (one Lloyd
+    * step of residual motion); a structurally drifted corpus (clusters
+    * re-centered between the trained centroids) measures >0.5.
+    */
+  val RetrainDriftThreshold = 0.25
+
+  /** The retrain decision and its evidence: per-cid (live count,
+    * relative drift), the weighted mean, and the recommendation.
+    */
+  final case class RetrainReport(
+      perCid: Seq[(Int, Long, Double)],
+      meanRelDrift: Double,
+      recommend: Boolean)
+
+  /** Retrain signal: compaction deliberately never retrains, so after
+    * heavy upsert churn the live corpus drifts away from the centroids
+    * the index was trained on and recall decays with no signal. This
+    * check runs the q84 drift monitor ([[Similarity.embeddingDrift]])
+    * between the INDEX'S routing table (side A: the stored per-cid
+    * centroids) and the CURRENT live corpus's per-cid means under the
+    * same frozen assignment (side B) — per-cid L2 drift, normalized by
+    * the stored centroid's norm and weighted by live list size. Cost:
+    * one assignment pass over the live frame + an O(k·dim) aggregate;
+    * corpus bytes cross no exchange (q84's plan). Run it between index
+    * versions (e.g. after each compaction); when it fires, rebuild via
+    * [[build]]`(force = true)` / [[buildFrom]] — AnnRetrainSpec pins
+    * degraded-recall-then-recovery around this trigger, and BASELINE.md
+    * §C12 prices rebuild vs degraded serving.
+    */
+  def retrainCheck(s: SparkSession, indexDir: String, live: DataFrame): RetrainReport = {
+    GraftFunctions.register(s)
+    val cents = readCentroids(s, indexDir)
+    val norms = cents.map { case (cid, ce) =>
+      cid -> math.sqrt(ce.map(x => x * x).sum)
+    }.toMap
+    val centDf = {
+      import s.implicits._
+      cents.toDF("label", "embedding")
+        .select(col("label"), lit(true).as("old_snap"), col("embedding"))
+    }
+    val assigned = assignCids(live.select(col("vec_id"), col("e")), cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = assigned.groupBy("cid").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val drift = Similarity.embeddingDrift(centDf.unionAll(
+          assigned.select(col("cid").as("label"), lit(false).as("old_snap"),
+            col("e").as("embedding"))))
+        .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      // cids with no live vectors have no side-B centroid and carry no
+      // weight; every populated cid contributes its relative drift.
+      val per = drift.toSeq.sortBy(_._1).map { case (cid, d) =>
+        (cid, counts.getOrElse(cid, 0L), d / math.max(norms(cid), 1e-12))
+      }
+      val w = per.map(_._2).sum.toDouble
+      val mean = if (w == 0) 0.0
+                 else per.map { case (_, n, rd) => n * rd }.sum / w
+      RetrainReport(per, mean, mean > RetrainDriftThreshold)
+    } finally assigned.unpersist(): Unit
+  }
+
   // ---- continuous ingest (Structured Streaming micro-batch deltas) ----
 
   /** Source files the ingest stream is split into — with
@@ -1237,13 +1302,14 @@ object AnnIndex {
     */
   private[ops] def ivfProbeSegments(s: SparkSession, d: String,
       roots: Seq[String], probeDf: DataFrame = null,
-      tss: Seq[(String, Int)] = Nil): DataFrame = {
+      tss: Seq[(String, Int)] = Nil, nprobe: Int = Nprobe): DataFrame = {
     GraftFunctions.register(s)
     val probes = Option(probeDf).getOrElse(defaultProbes(s, d))
     ivfServe(s, roots, readCentroids(s, roots.head), collectProbes(probes),
       tombstones = tss.map { case (p, b) =>
         s.read.parquet(s"$p/tombstones") -> b
-      })
+      },
+      nprobe = nprobe)
   }
 
   /** The CURRENT complete version for this dataset, resolved from disk
