@@ -593,10 +593,44 @@ object AnnIndex {
     GraftFunctions.register(s)
     val dir = ensure(s, d)
     val cents = readCentroids(s, dir)
-    // EXACT batch slicing by rank (an id-modulo split could overfill a
-    // batch on a skewed id space and trip the per-batch cap): one
-    // window pass over the probe frame — probe-sized, never corpus-
-    // sized — gives each batch at most MaxProbes rows by construction.
+    probeBatched(s, probeDf, "probe_spill", MaxBatches)(ps =>
+      ivfServe(s, Seq(dir), cents, ps))
+  }
+
+  /** PQ twin of [[ivfProbeBatched]]: any probe-frame size against the
+    * persisted codes, through the same rank-sliced batching driver.
+    */
+  def pqProbeBatched(s: SparkSession, d: String, probeDf: DataFrame): DataFrame =
+    pqProbeBatchedCap(s, d, probeDf, MaxBatches)
+
+  /** Spec hook: the same call with a lowered union-plan cap, so the
+    * spill loop is exercisable without a 65k-probe fixture (the
+    * production-scale spill path is pinned on the IVF side at 67k).
+    */
+  private[ops] def pqProbeBatchedCap(s: SparkSession, d: String,
+      probeDf: DataFrame, unionCap: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val dir = ensure(s, d)
+    probeBatched(s, probeDf, "pq_probe_spill", unionCap)(ps =>
+      pqServe(s, corpus(s, d), dir, s.read.parquet(s"$dir/pq_codes"), ps))
+  }
+
+  /** Shared batching driver behind both probe families. EXACT batch
+    * slicing by rank (an id-modulo split could overfill a batch on a
+    * skewed id space and trip the per-batch cap): one window pass over
+    * the probe frame — probe-sized, never corpus-sized — gives each
+    * batch at most MaxProbes rows by construction. Up to `unionCap`
+    * batches union into one plan; beyond that, the internal spill loop
+    * (r10 verdict item 4): each batch is re-planned and executed
+    * INDEPENDENTLY — plan size constant no matter how many batches —
+    * its top-k rows landing in a spill dir returned as ONE scan. Prior
+    * calls' spills are swept at entry under the repo's serial-JVM
+    * discipline (a returned over-cap result frame is consumed before
+    * the next over-cap call — the Bench.sweepLocalDirs rule).
+    */
+  private def probeBatched(s: SparkSession, probeDf: DataFrame,
+      spillKey: String, unionCap: Int)(
+      serveOne: Seq[(Long, Seq[Double])] => DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy("pid")
     val keyed = normalizeProbes(probeDf)
       .withColumn("batch", ((row_number().over(w) - 1) / MaxProbes).cast("int"))
@@ -605,21 +639,12 @@ object AnnIndex {
       val n = keyed.count()
       val batches = math.max(((n + MaxProbes - 1) / MaxProbes).toInt, 1)
       def serveBatch(b: Int): DataFrame =
-        ivfServe(s, Seq(dir), cents,
-          collectProbes(keyed.filter(col("batch") === b).select("pid", "pe")))
-      if (batches <= MaxBatches)
+        serveOne(collectProbes(keyed.filter(col("batch") === b).select("pid", "pe")))
+      if (batches <= unionCap)
         (0 until batches).map(serveBatch).reduce(_ unionAll _)
           .orderBy("probe_id", "rnk")
       else {
-        // Internal spill loop (r10 verdict item 4): each batch is
-        // re-planned and executed INDEPENDENTLY — the plan size stays
-        // constant no matter how many batches the frame needs — and its
-        // top-k rows land in a spill dir; the returned frame is ONE
-        // scan of the spilled results. Prior calls' spills are swept at
-        // entry under the repo's serial-JVM discipline (a returned
-        // over-cap result frame is consumed before the next over-cap
-        // call — the Bench.sweepLocalDirs rule).
-        val spillBase = new java.io.File(shmDir("probe_spill"))
+        val spillBase = new java.io.File(shmDir(spillKey))
         Option(spillBase.listFiles()).getOrElse(Array.empty)
           .foreach(deleteRecursively)
         val out = new java.io.File(spillBase,
@@ -682,14 +707,19 @@ object AnnIndex {
   def pqProbe(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
     GraftFunctions.register(s)
     val dir = ensure(s, d)
-    pqServe(s, d, dir, s.read.parquet(s"$dir/pq_codes"), collectProbes(probeDf))
+    pqServe(s, corpus(s, d), dir, s.read.parquet(s"$dir/pq_codes"),
+      collectProbes(probeDf))
   }
 
   /** Shared PQ serve core over an explicit codes frame (the segment
     * composition / tombstone masking happens in the caller): ADC LUTs
-    * driver-side, M-lookup scoring over the codes, exact refine.
+    * driver-side, M-lookup scoring over the codes, exact refine against
+    * `emb` — the caller supplies the true-embedding source (the dataset
+    * corpus for the registered queries; the segments' own stored
+    * vectors for lifecycle serving, so upserted ids refine against
+    * their replacement embeddings, never a stale corpus row).
     */
-  private def pqServe(s: SparkSession, d: String, cbDir: String,
+  private def pqServe(s: SparkSession, emb: DataFrame, cbDir: String,
       codes: DataFrame, probes: Seq[(Long, Seq[Double])]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cb: Map[(Int, Int), Seq[Double]] = s.read.parquet(s"$cbDir/pq_codebook")
@@ -724,7 +754,6 @@ object AnnIndex {
       .withColumn("prank", row_number().over(wPool))
       .filter(col("prank") <= Pool)
       .select(col("probe_id"), col("vec_id"), col("pe"))
-    val emb = corpus(s, d)
     val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
     // Unhinted exact-refine join (q23f's r8 discipline): the corpus side
     // carries accurate scan stats — broadcast at bench scale, shuffled
@@ -1038,7 +1067,35 @@ object AnnIndex {
     val codes = s.read.parquet(s"$baseDir/pq_codes", s"$deltaDir/pq_codes")
       .join(s.read.parquet(s"$tsDir/tombstones").select(col("vec_id")),
         Seq("vec_id"), "left_anti")
-    pqServe(s, d, baseDir, codes, collectProbes(probeDf))
+    pqServe(s, corpus(s, d), baseDir, codes, collectProbes(probeDf))
+  }
+
+  /** PQ serve across explicit segment roots (base first, oldest to
+    * newest) with per-tombstone recency boundaries — the PQ twin of
+    * [[ivfProbeSegments]]. Both the codes scan and the exact-refine
+    * embedding source are built from the segments themselves under the
+    * same masks, so the refine stage sees exactly the live copies.
+    */
+  private[ops] def pqProbeSegments(s: SparkSession, d: String,
+      roots: Seq[String], probeDf: DataFrame = null,
+      tss: Seq[(String, Int)] = Nil): DataFrame = {
+    GraftFunctions.register(s)
+    val probes = Option(probeDf).getOrElse(defaultProbes(s, d))
+    def masked(sub: String, sel: Seq[Column]): DataFrame =
+      roots.zipWithIndex.map { case (p, i) =>
+        val seg = s.read.parquet(s"$p/$sub").select(sel: _*)
+        val m = tss.filter(_._2 > i)
+          .map(t => s.read.parquet(s"${t._1}/tombstones").select(col("vec_id")))
+          .reduceOption(_ unionAll _)
+        // Canonical re-select after the using-column anti-join: the
+        // segment frames union positionally (the ivfServe rule).
+        m.fold(seg)(mm => seg.join(mm, Seq("vec_id"), "left_anti").select(sel: _*))
+      }.reduce(_ unionAll _)
+    pqServe(s,
+      masked("ivf_assignments", Seq(col("vec_id"), col("e"))),
+      roots.head,
+      masked("pq_codes", Seq(col("vec_id"), col("codes"), col("qnorm"))),
+      collectProbes(probes))
   }
 
   /** UPSERT = delete(old) + append(new), composed from the existing

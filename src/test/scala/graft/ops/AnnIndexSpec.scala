@@ -186,6 +186,32 @@ class AnnIndexSpec extends SparkTestBase {
     assert(alone === inBatch, "batching changed a probe's served neighbors")
   }
 
+  test("PQ batched serve: union path and spill loop both match solo serving") {
+    import org.apache.spark.sql.functions._
+    AnnIndex.build(spark, sfDir)
+    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
+    val probes = (0 until 3).map(k =>
+      base.select((col("vec_id") + lit(1000000L * (k + 1))).as("pid"), col("e")))
+      .reduce(_ unionAll _) // 1500 probes -> 2 batches
+    val n = probes.count()
+    assert(n > AnnIndex.MaxProbes, "fixture must exceed the single-batch cap")
+    val ten = probes.filter(col("pid") < 1000010L)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val alone = rows(AnnIndex.pqProbe(spark, sfDir, ten))
+    val union = AnnIndex.pqProbeBatched(spark, sfDir, probes)
+    assert(union.count() === n * AnnIndex.TopK, "PQ batched serve lost surface")
+    assert(rows(union.filter(col("probe_id") < 1000010L)) === alone,
+      "PQ union-path batching changed a probe's neighbors")
+    // unionCap=1 forces the internal spill loop on the same 2-batch
+    // frame — the production-scale spill path is pinned on the IVF
+    // side at 67k probes; this pins the PQ wiring through it.
+    val spilled = AnnIndex.pqProbeBatchedCap(spark, sfDir, probes, 1)
+    assert(spilled.count() === n * AnnIndex.TopK, "PQ spill-loop serve lost surface")
+    assert(rows(spilled.filter(col("probe_id") < 1000010L)) === alone,
+      "PQ spill-loop serving changed a probe's neighbors")
+  }
+
   test("over-MaxBatches probe frame serves via the internal spill loop, identical to solo") {
     import org.apache.spark.sql.functions._
     AnnIndex.build(spark, sfDir)

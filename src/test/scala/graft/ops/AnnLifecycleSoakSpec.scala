@@ -177,16 +177,10 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
     * the freshest copy at cosine 1.0, no ghost anywhere, one copy per
     * (probe, neighbor).
     */
-  private def serveCheck(st: St, what: String): Unit = {
-    val probeIds = pick(st.live, 3, 4)
-    assert(st.live.size > AnnIndex.TopK, "soak corpus shrank below the surface")
-    import spark.implicits._
-    val probes = probeIds.map(id => (id + 1000000L, vec(id, st.live(id))))
-      .toDF("pid", "pe")
-    val res = AnnIndex.ivfProbeSegments(spark, sfDir, st.base +: st.segs,
-      probes, st.tss).collect()
-    assert(res.length == probeIds.size * AnnIndex.TopK,
-      s"$what: surface under-filled (${res.length} rows for ${probeIds.size} probes)")
+  private def assertServed(res: Array[org.apache.spark.sql.Row], st: St,
+      nProbes: Int, what: String): Unit = {
+    assert(res.length == nProbes * AnnIndex.TopK,
+      s"$what: surface under-filled (${res.length} rows for $nProbes probes)")
     res.filter(_.getLong(2) == 1L).foreach { r =>
       val pid = r.getLong(0); val nbr = r.getLong(1); val cos = r.getDouble(3)
       assert(nbr == pid - 1000000L && cos == 1.0,
@@ -198,7 +192,23 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
     assert(dups.isEmpty, s"$what: duplicate neighbors ${dups.keys.take(5)}")
   }
 
-  private def runSequence(ops: List[Op]): Unit = {
+  private def serveCheck(st: St, what: String, alsoPq: Boolean): Unit = {
+    val probeIds = pick(st.live, 3, 4)
+    assert(st.live.size > AnnIndex.TopK, "soak corpus shrank below the surface")
+    import spark.implicits._
+    val probes = probeIds.map(id => (id + 1000000L, vec(id, st.live(id))))
+      .toDF("pid", "pe")
+    assertServed(AnnIndex.ivfProbeSegments(spark, sfDir, st.base +: st.segs,
+      probes, st.tss).collect(), st, probeIds.size, s"$what IVF")
+    // The PQ twin serves the same masked segment state: its ADC pool
+    // covers the whole tiny corpus, so the exact-refine stage must
+    // reproduce the identical freshness/no-ghost/no-dup surface.
+    if (alsoPq)
+      assertServed(AnnIndex.pqProbeSegments(spark, sfDir, st.base +: st.segs,
+        probes, st.tss).collect(), st, probeIds.size, s"$what PQ")
+  }
+
+  private def runSequence(ops: List[Op], pq: Boolean = false): Unit = {
     val root = new java.io.File(soakRoot, s"run-${runIds.incrementAndGet()}")
     try {
       var st = St(baseDir0, Vector.empty, Vector.empty,
@@ -207,9 +217,9 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
       // Serve the accumulated multi-segment state (the read path where
       // both historical composition bugs lived), then fold EVERYTHING
       // and re-serve the single compacted root.
-      serveCheck(st, "pre-fold serve")
+      serveCheck(st, "pre-fold serve", alsoPq = pq)
       st = step(st, Fold, root.toString, ops.size)
-      serveCheck(st, "post-fold serve")
+      serveCheck(st, "post-fold serve", alsoPq = pq)
     } finally rmTree(root)
   }
 
@@ -243,6 +253,7 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
       2 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Upsert(t._1, t._2)),
       1 -> Gen.const(Fold))
     val genOps = Gen.choose(2, 4).flatMap(Gen.listOfN(_, genOp))
-    check(Prop.forAll(genOps) { ops => runSequence(ops); true }, n = 10, workers = 4)
+    check(Prop.forAll(genOps) { ops => runSequence(ops, pq = true); true },
+      n = 10, workers = 4)
   }
 }
