@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   *     a disk-resident IVF serves (and how Hive-partitioned parquet
   *     prunes on a cluster).
   *   - `pq_codebook`    (m, code, ce)        — O(M·K·sub) doubles
-  *   - `pq_codes`       (vec_id, codes, qnorm) — M small codes per
-  *     vector, the 32x-compressed corpus representation that is the
-  *     only thing the PQ serve path scans.
+  *   - `pq_codes`       (vec_id, codes, qnorm, label) — M small codes
+  *     per vector plus the inline filterable attribute, the
+  *     32x-compressed corpus representation that is the only thing the
+  *     PQ serve path scans (label rides along for the same reason it
+  *     rides in the lists: a filtered probe pre-filters INSIDE the
+  *     codes scan, never via a corpus join).
   *
   * Serve paths (probe-only — NO training, NO corpus-wide kmeans):
   *   - IVF: probe routing against the collected O(k·dim) centroid table
@@ -222,12 +225,12 @@ object AnnIndex {
 
   /** Index FORMAT level: part of the on-disk root, so a code change to
     * the artifact schema (f2: inverted lists carry the inline `label`
-    * attribute) can never adopt a fixture written by the previous
-    * format — `Tables.datasetTag` keys on the DATA, not the code.
+    * attribute; f3: pq_codes carry it too) can never adopt a fixture
+    * written by the previous format — `Tables.datasetTag` keys on the DATA, not the code.
     * Bumping the level orphans the old root; [[shmDir]] sweeps stale
     * format dirs so /dev/shm never accumulates across bumps.
     */
-  val FormatLevel = "f2"
+  val FormatLevel = "f3"
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
@@ -348,20 +351,27 @@ object AnnIndex {
       val cb = trainPqCodebook(s, emb, sliced)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebook")
-      encodePq(sliced, cb).write.mode("overwrite").parquet(s"$dir/pq_codes")
+      encodePq(emb, cb).write.mode("overwrite").parquet(s"$dir/pq_codes")
       cb.unpersist(): Unit
     } finally emb.unpersist(): Unit
   }
 
-  /** (vec_id, codes, qnorm) for a sliced frame against a codebook. */
-  private def encodePq(sliced: DataFrame, cb: DataFrame): DataFrame =
-    pqAssign(sliced, cb)
+  /** (vec_id, codes, qnorm, label) for a source (vec_id, e, label)
+    * frame against a codebook. The label join runs on the groupBy's own
+    * vec_id hash partitioning (only the narrow id→label side moves), so
+    * denormalizing the attribute into the codes costs one small-side
+    * shuffle at WRITE time and buys filtered PQ probes a pure pushed
+    * predicate at serve time ([[pqProbeFiltered]]).
+    */
+  private def encodePq(src: DataFrame, cb: DataFrame): DataFrame =
+    pqAssign(pqSliced(src), cb)
       .join(broadcast(cb.select(col("m"), col("code"), col("ce"))), Seq("m", "code"))
       .groupBy("vec_id")
       .agg(
         transform(array_sort(collect_list(struct(col("m"), col("code")))),
           x => x.getField("code")).as("codes"),
         sqrt(sum(GraftFunctions.dotProduct(col("ce"), col("ce")))).as("qnorm"))
+      .join(src.select(col("vec_id"), col("label")), Seq("vec_id"))
 
   /** Build (or adopt) the index for this dataset, returning the CURRENT
     * complete version dir. Synchronized via computeIfAbsent per JVM (the
@@ -711,6 +721,31 @@ object AnnIndex {
       collectProbes(probeDf))
   }
 
+  /** Metadata-FILTERED PQ serve — [[ivfProbeFiltered]]'s twin over the
+    * codes table. Unlike IVF (where a filter thins the probed lists, so
+    * nprobe widens 2× to compensate), PQ pre-filtering is LOSSLESS: ADC
+    * scans every codes row anyway, so filtering the scan first means the
+    * refine pool is exactly the top-[[Pool]] *matching* candidates — no
+    * starvation at any selectivity, no compensation knob, and recall vs
+    * the filter-restricted exact truth equals unfiltered PQ recall
+    * (quantization error is the only approximation either way). The
+    * predicate evaluates on the inline `label` column written into
+    * `pq_codes` at index time, so it pushes into the parquet scan
+    * (row-group stats skip non-matching chunks) — no corpus join, no
+    * post-top-k cut that could return fewer than k.
+    */
+  def pqProbeFiltered(s: SparkSession, d: String, attrFilter: Column,
+      probeDf: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val dir = ensure(s, d)
+    pqServe(s, corpus(s, d), dir,
+      s.read.parquet(s"$dir/pq_codes").filter(attrFilter),
+      collectProbes(probeDf))
+  }
+
+  def pqProbeFiltered(s: SparkSession, d: String, attrFilter: Column): DataFrame =
+    pqProbeFiltered(s, d, attrFilter, defaultProbes(s, d))
+
   /** Shared PQ serve core over an explicit codes frame (the segment
     * composition / tombstone masking happens in the caller): ADC LUTs
     * driver-side, M-lookup scoring over the codes, exact refine against
@@ -814,7 +849,7 @@ object AnnIndex {
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$vdir/ivf_assignments")
-    encodePq(pqSliced(batch), cb)
+    encodePq(batch, cb)
       .write.mode("overwrite").parquet(s"$vdir/pq_codes")
   }
 
@@ -935,7 +970,7 @@ object AnnIndex {
       .filter(f => !touched.contains(f.getName.stripPrefix("cid=").toInt))
       .foreach(f => copyTree(f, new java.io.File(s"$vdir/ivf_assignments/${f.getName}")))
     if (tss.nonEmpty) {
-      val codeCols = Seq(col("vec_id"), col("codes"), col("qnorm"))
+      val codeCols = Seq(col("vec_id"), col("codes"), col("qnorm"), col("label"))
       val baseCodes = anti(
         s.read.parquet(s"$baseDir/pq_codes").select(codeCols: _*), 0, codeCols)
       val deltaCodes = deltaDirs.zipWithIndex
@@ -1334,7 +1369,7 @@ object AnnIndex {
               .write.mode("overwrite").partitionBy("cid")
               .parquet(s"$seg/ivf_assignments")
             val cb = batch.sparkSession.read.parquet(s"$baseDir/pq_codebook")
-            encodePq(pqSliced(b.toDF()), cb)
+            encodePq(b.toDF(), cb)
               .write.mode("overwrite").parquet(s"$seg/pq_codes")
             new java.io.File(seg, "_COMPLETE").createNewFile(): Unit
           }
@@ -1555,5 +1590,18 @@ object AnnIndex {
     (s, d) => ivfProbeFiltered(s, d, col("label") === 7),
     None)
 
-  val queries: Seq[Q] = Seq(q110, q111, q112, q113, q127, q128, q129, q130)
+  /** Q131 — the PQ twin of q130: top-k among `label = 7` vectors only,
+    * pre-filtered inside the codes scan via the inline attribute (see
+    * [[pqProbeFiltered]] — lossless for PQ, so no nprobe-style widening
+    * exists or is needed). Approximate → rows-only driver check;
+    * AnnIndexSpec pins predicate purity, full surface, the recall floor
+    * vs the label-restricted exact truth, and the filter's pushdown
+    * into the codes scan.
+    */
+  val q131: Q = Q(
+    "q131_ann_pq_filtered_probe",
+    (s, d) => pqProbeFiltered(s, d, col("label") === 7),
+    None)
+
+  val queries: Seq[Q] = Seq(q110, q111, q112, q113, q127, q128, q129, q130, q131)
 }

@@ -404,6 +404,49 @@ class AnnIndexSpec extends SparkTestBase {
     assert(r >= 0.80, f"filtered IVF recall $r%.3f below floor 0.80")
   }
 
+  test("q131 PQ filtered probe: only matching labels, full surface, pushed-down predicate") {
+    import org.apache.spark.sql.functions._
+    val label7: Set[Long] = AnnIndex.corpus(spark, benchSf)
+      .filter(col("label") === 7).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val res = AnnIndex.pqProbeFiltered(spark, benchSf, col("label") === 7,
+      syntheticProbes(benchSf))
+    val approx = topkSet(res)
+    val strays = approx.collect { case (_, nbr) if !label7.contains(nbr) => nbr }
+    assert(strays.isEmpty, s"PQ filtered probe returned non-matching ids: ${strays.take(5)}")
+    assert(res.count() === 150L, "PQ filtered probe under-filled the top-k surface")
+    val plan = AnnIndex.pqProbeFiltered(spark, sfDir, col("label") === 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,7)"),
+      s"label predicate must push into the codes scan:\n$plan")
+  }
+
+  test("q131 PQ filtered recall matches unfiltered PQ recall (lossless pre-filter) at sf0.1") {
+    import org.apache.spark.sql.functions._
+    val label7: Set[Long] = AnnIndex.corpus(spark, benchSf)
+      .filter(col("label") === 7).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val probes = syntheticProbes(benchSf)
+    val exact = exactFor(probes, benchSf, label7.contains)
+    val approx = topkSet(AnnIndex.pqProbeFiltered(spark, benchSf,
+      col("label") === 7, probes))
+    val r = (exact & approx).size.toDouble / exact.size
+    info(f"filtered PQ recall $r%.3f")
+    // ADC scans every matching row, so the filter costs NO recall: same
+    // 0.90 floor as the unfiltered q112 path (no widening knob exists).
+    assert(r >= 0.90, f"filtered PQ recall $r%.3f below floor 0.90")
+  }
+
+  test("q131 with an always-true filter is identical to the unfiltered PQ probe") {
+    import org.apache.spark.sql.functions._
+    val probes = syntheticProbes(sfDir)
+    val full = AnnIndex.pqProbe(spark, sfDir, probes).collect().map(_.toSeq)
+    val filt = AnnIndex.pqProbeFiltered(spark, sfDir, lit(true), probes)
+      .collect().map(_.toSeq)
+    assert(filt.toSeq === full.toSeq,
+      "an always-true pre-filter must not change PQ serving")
+  }
+
   // ---- tombstone deletes (q129) ----------------------------------------
 
   /** The deterministic q129 delete set: vec_id % 20 ∈ {3, 10}. */
