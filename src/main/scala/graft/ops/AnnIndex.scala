@@ -215,10 +215,14 @@ object AnnIndex {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
         x => x.getField("mu")).as("c"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    // The codebook always carries all Kpq codes (the ADC LUT indexes
+    // every one); on a corpus smaller than Kpq the seed rows wrap, so
+    // rebuilding a shrunken index (post-delete maintain/retrain) still
+    // produces a complete codebook instead of indexing out of bounds.
     cbDf(for {
       m <- 0 until Mpq; k <- 0 until Kpq
     } yield (m, k, refined.getOrElse((m, k),
-      seedRows(k).slice(m * Sub, m * Sub + Sub))))
+      seedRows(k % seedRows.size).slice(m * Sub, m * Sub + Sub))))
   }
 
   // ---- persisted index ------------------------------------------------
@@ -1250,7 +1254,18 @@ object AnnIndex {
     * degraded-recall-then-recovery around this trigger, and BASELINE.md
     * §C12 prices rebuild vs degraded serving.
     */
-  def retrainCheck(s: SparkSession, indexDir: String, live: DataFrame): RetrainReport = {
+  def retrainCheck(s: SparkSession, indexDir: String, live: DataFrame): RetrainReport =
+    retrainCheckAssigned(s, indexDir,
+      assignCids(live.select(col("vec_id"), col("e")),
+        readCentroids(s, indexDir)))
+
+  /** The check over a frame that ALREADY carries its `cid` — the stored
+    * inverted lists are exactly such a frame, so a caller holding them
+    * ([[maintain]]) skips the re-assignment pass entirely: the monitor
+    * reduces to one O(k·dim) aggregate over data it just wrote.
+    */
+  private[ops] def retrainCheckAssigned(s: SparkSession, indexDir: String,
+      preAssigned: DataFrame): RetrainReport = {
     GraftFunctions.register(s)
     val cents = readCentroids(s, indexDir)
     val norms = cents.map { case (cid, ce) =>
@@ -1261,7 +1276,7 @@ object AnnIndex {
       cents.toDF("label", "embedding")
         .select(col("label"), lit(true).as("old_snap"), col("embedding"))
     }
-    val assigned = assignCids(live.select(col("vec_id"), col("e")), cents)
+    val assigned = preAssigned.select(col("cid"), col("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val counts = assigned.groupBy("cid").count().collect()
@@ -1280,6 +1295,46 @@ object AnnIndex {
                  else per.map { case (_, n, rd) => n * rd }.sum / w
       RetrainReport(per, mean, mean > RetrainDriftThreshold)
     } finally assigned.unpersist(): Unit
+  }
+
+  /** A [[maintain]] outcome: the published CURRENT dir, the drift
+    * evidence the decision used, and whether a retrain actually ran.
+    */
+  final case class MaintainResult(
+      dir: String, report: RetrainReport, retrained: Boolean)
+
+  /** One SELF-DECIDING maintenance pass over a served LSM state — the
+    * composed lifecycle the trigger exists for:
+    *
+    *   1. fold base + delta segments + tombstones into a fresh physical
+    *      root ([[compactInto]] — delta-bounded work) and PUBLISH it:
+    *      readers get the folded index immediately, whatever the drift
+    *      verdict turns out to be;
+    *   2. run the drift monitor over the fold's own stored assignments
+    *      ([[retrainCheckAssigned]] — no re-assignment pass, one
+    *      O(k·dim) aggregate over rows step 1 just wrote);
+    *   3. when it fires, retrain from the folded live set and publish
+    *      the rebuild behind the same CURRENT pointer (second flip —
+    *      the predecessor fold survives one publish for in-flight
+    *      readers, the [[publishVersion]] rule).
+    *
+    * The undrifted steady state therefore pays compaction + one
+    * aggregate and NEVER retrains; churn that moved the centroids pays
+    * the rebuild exactly when BASELINE §C12's pricing says it is worth
+    * it. Inputs stay untouched either way.
+    */
+  private[ops] def maintain(s: SparkSession, baseDir: String,
+      deltaDirs: Seq[String], tss: Seq[(DataFrame, Int)],
+      outRoot: String): MaintainResult = {
+    GraftFunctions.register(s)
+    val folded = publishVersion(outRoot)(compactInto(s, baseDir, deltaDirs, tss, _))
+    val lists = s.read.parquet(s"$folded/ivf_assignments")
+    val rep = retrainCheckAssigned(s, folded, lists)
+    if (!rep.recommend) MaintainResult(folded, rep, retrained = false)
+    else MaintainResult(
+      publishVersion(outRoot)(writeIndex(s,
+        lists.select(col("vec_id"), col("e"), col("label")), _)),
+      rep, retrained = true)
   }
 
   // ---- continuous ingest (Structured Streaming micro-batch deltas) ----

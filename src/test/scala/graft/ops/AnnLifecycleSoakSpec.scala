@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** ANN lifecycle soak (r10 verdict item 3): random sequences of
-  * {append, stream-ingest, delete, upsert, compact} against one shared
-  * base index, checking after every step — artifact read-back, marker
+  * {append, stream-ingest, delete, upsert, compact, maintain} against
+  * one shared base index, checking after every step — artifact read-back, marker
   * presence — and at every fold/serve: exact conservation (every live
   * id once, no ghost, no dup), the LSM sequencing rule (a tombstone
   * masks only segments older than itself), top-1 self-recovery at
@@ -87,6 +87,7 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
   case class Delete(seed: Int, n: Int) extends Op
   case class Upsert(seed: Int, n: Int) extends Op
   case object Fold extends Op
+  case object Maintain extends Op
 
   /** Model + disk state: `live` maps each live id to its current
     * version; segs/tss mirror the on-disk segment roots and (tombstone
@@ -170,6 +171,29 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
       assert(codes.size == codes.distinct.size && codes.toSet == st.live.keySet,
         "codes table does not match the live set after compaction")
       St(dir, Vector.empty, Vector.empty, st.live, st.nextId)
+    case Maintain =>
+      // The SELF-DECIDING fold: same conservation contract as Fold
+      // whichever way the drift verdict goes, plus the routing table
+      // must be untouched exactly when no retrain ran. Soak upserts
+      // replace embeddings with unrelated directions, so sequences with
+      // churn exercise the retrain branch too.
+      val tsFrames = st.tss.map { case (p, b) =>
+        spark.read.parquet(s"$p/tombstones") -> b
+      }
+      val r = AnnIndex.maintain(spark, st.base, st.segs, tsFrames, s"$root/op$k")
+      val got = readIds(s"${r.dir}/ivf_assignments")
+      assert(got.size == got.distinct.size && got.toSet == st.live.keySet,
+        s"maintain (retrained=${r.retrained}) broke conservation: " +
+          s"ghosts=${(got.toSet -- st.live.keySet).take(5)} " +
+          s"lost=${(st.live.keySet -- got.toSet).take(5)}")
+      val mcodes = readIds(s"${r.dir}/pq_codes")
+      assert(mcodes.size == mcodes.distinct.size && mcodes.toSet == st.live.keySet,
+        s"maintain (retrained=${r.retrained}) codes table does not match the live set")
+      if (!r.retrained)
+        assert(AnnIndex.readCentroids(spark, r.dir).sortBy(_._1)
+          == AnnIndex.readCentroids(spark, st.base).sortBy(_._1),
+          "un-retrained maintain touched the routing table")
+      St(r.dir, Vector.empty, Vector.empty, st.live, st.nextId)
   }
 
   /** Serve over the CURRENT state (multi-segment, masked — or a single
@@ -239,7 +263,8 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
       5 -> Gen.choose(1, 3).map(Append.apply),
       3 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 3)).map(t => Delete(t._1, t._2)),
       3 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Upsert(t._1, t._2)),
-      2 -> Gen.const(Fold))
+      2 -> Gen.const(Fold),
+      1 -> Gen.const(Maintain))
     val genOps = Gen.choose(2, 6).flatMap(Gen.listOfN(_, genOp))
     check(Prop.forAll(genOps) { ops => runSequence(ops); true }, n = 100, workers = 8)
   }
@@ -251,7 +276,8 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
       2 -> Gen.choose(1, 3).map(Append.apply),
       2 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Delete(t._1, t._2)),
       2 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Upsert(t._1, t._2)),
-      1 -> Gen.const(Fold))
+      1 -> Gen.const(Fold),
+      1 -> Gen.const(Maintain))
     val genOps = Gen.choose(2, 4).flatMap(Gen.listOfN(_, genOp))
     check(Prop.forAll(genOps) { ops => runSequence(ops, pq = true); true },
       n = 10, workers = 4)

@@ -164,4 +164,42 @@ class AnnRetrainSpec extends SparkTestBase {
     assert(recallFresh - recallStale >= 0.10,
       f"rebuild recovered only $recallStale%.3f -> $recallFresh%.3f")
   }
+
+  test("maintain() on an undrifted state compacts only: no retrain, centroids unchanged") {
+    // A benign delta in A's own distribution: fresh ids joining the
+    // same clusters the index was trained on.
+    val delta = frame(vecA).withColumn("vec_id", col("vec_id") + lit(N))
+    val segDir = AnnIndex.appendSegment(spark, dirA, delta, s"$root/mseg")
+    val r = AnnIndex.maintain(spark, dirA, Seq(segDir), Nil, s"$root/mcalm")
+    info(f"undrifted maintain meanRelDrift=${r.report.meanRelDrift}%.4f")
+    assert(!r.retrained && !r.report.recommend,
+      f"benign append must not retrain (drift ${r.report.meanRelDrift}%.4f)")
+    // The fold IS the published result, holds everything, and the
+    // routing table carried over byte-identically (nothing retrained).
+    assert(spark.read.parquet(s"${r.dir}/ivf_assignments").count() === 2 * N,
+      "undrifted maintain lost rows in the fold")
+    assert(AnnIndex.readCentroids(spark, r.dir).sortBy(_._1)
+      === AnnIndex.readCentroids(spark, dirA).sortBy(_._1),
+      "undrifted maintain must not touch the routing table")
+  }
+
+  test("maintain() on full-churn upsert state retrains and recovers serve recall") {
+    val segB = AnnIndex.appendSegment(spark, dirA, frameB, s"$root/m2seg")
+    val ts = AnnIndex.tombstonesFor(spark, dirA,
+      frameA.select(col("vec_id"), col("e")), s"$root/m2ts")
+    val tsDf = spark.read.parquet(s"$ts/tombstones")
+    val r = AnnIndex.maintain(spark, dirA, Seq(segB), Seq(tsDf -> 1), s"$root/mchurn")
+    info(f"churned maintain meanRelDrift=${r.report.meanRelDrift}%.4f retrained=${r.retrained}")
+    assert(r.retrained && r.report.recommend,
+      f"full churn must retrain (drift ${r.report.meanRelDrift}%.4f)")
+    // The published CURRENT is the rebuild; serving it at the sharp
+    // nprobe=1 setting hits the recovery floor of the manual path.
+    val served = AnnIndex.ivfProbeSegments(spark, sfDir, Seq(r.dir),
+      probes(vecB), nprobe = 1)
+    val rec = recall(served, exactTopk(vecB))
+    info(f"maintained recall=$rec%.3f")
+    assert(rec >= 0.90, f"maintained-index recall $rec%.3f below the recovery floor")
+    assert(spark.read.parquet(s"${r.dir}/ivf_assignments").count() === N,
+      "churned maintain must hold exactly the live (replaced) copies")
+  }
 }
