@@ -509,6 +509,49 @@ object AnnIndex {
     * segment. N tombstones with N distinct boundaries compose (the
     * interleaved delete/upsert histories the lifecycle soak generates).
     */
+  /** Probe→list routing, k-thresholded like assignment ([[assignCids]]):
+    * at ≤ [[LiteralAssignMaxK]] the (−cos, cid) top-nprobe runs
+    * driver-side — O(probes·k·dim) over inputs both bounded by
+    * construction, no Spark job, the cheapest path at the bench's K=16.
+    * Beyond it the SAME ordering evaluates distributed (probes ×
+    * broadcast routing table, per-probe rank ≤ nprobe): the flop-heavy
+    * O(probes·k·dim) scan scales out with k — at §9's k=√n≈32k a
+    * driver-side route would be minutes of single-threaded cosine per
+    * batch — while the driver keeps only the routing RESULT, ≤
+    * MaxProbes·nprobe (pid, cid) rows. Both paths use the same
+    * tie-break (highest cos, then smallest cid); [[AnnAssignSpec]] pins
+    * them identical.
+    */
+  private[ops] def routeProbes(s: SparkSession, probes: Seq[(Long, Seq[Double])],
+      cents: Seq[(Int, Seq[Double])], nprobe: Int): Seq[(Long, Seq[Double], Int)] =
+    if (cents.size <= LiteralAssignMaxK) routeDriver(probes, cents, nprobe)
+    else routeJoin(s, probes, cents, nprobe)
+
+  private[ops] def routeDriver(probes: Seq[(Long, Seq[Double])],
+      cents: Seq[(Int, Seq[Double])], nprobe: Int): Seq[(Long, Seq[Double], Int)] =
+    probes.flatMap { case (pid, pe) =>
+      cents.map { case (cid, ce) => (-cosineScala(pe, ce), cid) }
+        .sorted.take(nprobe)
+        .map { case (_, cid) => (pid, pe, cid) }
+    }
+
+  private[ops] def routeJoin(s: SparkSession, probes: Seq[(Long, Seq[Double])],
+      cents: Seq[(Int, Seq[Double])], nprobe: Int): Seq[(Long, Seq[Double], Int)] = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val w = Window.partitionBy("pid")
+      .orderBy((-GraftFunctions.cosineSim(col("pe"), col("ce"))).asc, col("cid").asc)
+    val peById = probes.toMap
+    probes.toDF("pid", "pe").crossJoin(broadcast(cents.toDF("cid", "ce")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nprobe)
+      .select("pid", "cid")
+      .collect().toIndexedSeq
+      .sortBy(r => (r.getLong(0), r.getInt(1)))
+      .map(r => (r.getLong(0), peById(r.getLong(0)), r.getInt(1)))
+  }
+
   private def ivfServe(s: SparkSession, listRoots: Seq[String],
       cents: Seq[(Int, Seq[Double])],
       probes: Seq[(Long, Seq[Double])],
@@ -516,11 +559,7 @@ object AnnIndex {
       attrFilter: Option[Column] = None,
       nprobe: Int = Nprobe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val routed: Seq[(Long, Seq[Double], Int)] = probes.flatMap { case (pid, pe) =>
-      cents.map { case (cid, ce) => (-cosineScala(pe, ce), cid) }
-        .sorted.take(nprobe)
-        .map { case (_, cid) => (pid, pe, cid) }
-    }
+    val routed: Seq[(Long, Seq[Double], Int)] = routeProbes(s, probes, cents, nprobe)
     val neededCids = routed.map(_._3).distinct.sorted
     val probeDf = {
       import s.implicits._

@@ -55,6 +55,39 @@ class AnnAssignSpec extends SparkTestBase {
     assert(big.count() == 64)
   }
 
+  test("driver and distributed probe routing agree at K=16 and at k=1024") {
+    val probes: Seq[(Long, Seq[Double])] = (0 until 40)
+      .map(i => (i.toLong, (0 until 8).map(j => math.cos(i * 13 + j * 3)): Seq[Double]))
+    def routedSet(r: Seq[(Long, Seq[Double], Int)]): Set[(Long, Int)] =
+      r.map(t => (t._1, t._3)).toSet
+    for (k <- Seq(16, 1024); np <- Seq(1, 6)) {
+      val cs = cents(k, 8)
+      val drv = AnnIndex.routeDriver(probes, cs, np)
+      val jn = AnnIndex.routeJoin(spark, probes, cs, np)
+      assert(drv.size == probes.size * np && jn.size == probes.size * np,
+        s"routing under-filled at k=$k nprobe=$np")
+      assert(routedSet(drv) == routedSet(jn),
+        s"driver and join routing diverged at k=$k nprobe=$np")
+      // Each path must also carry the probe's own embedding through.
+      assert(jn.forall { case (pid, pe, _) => pe == probes(pid.toInt)._2 })
+    }
+  }
+
+  test("routeProbes picks the driver path at K=16 and the join path at k=1024") {
+    val probes: Seq[(Long, Seq[Double])] = (0 until 5)
+      .map(i => (i.toLong, (0 until 8).map(j => math.cos(i * 13 + j * 3)): Seq[Double]))
+    // The threshold itself: same dispatch rule as assignment, so §9's
+    // serve-routing posture holds at high k without a driver-side
+    // O(probes·k·dim) single-threaded scan.
+    assert(AnnIndex.routeProbes(spark, probes, cents(16, 8), 6)
+      == AnnIndex.routeDriver(probes, cents(16, 8), 6))
+    assert(routedPairs(AnnIndex.routeProbes(spark, probes, cents(1024, 8), 6))
+      == routedPairs(AnnIndex.routeJoin(spark, probes, cents(1024, 8), 6)))
+  }
+
+  private def routedPairs(r: Seq[(Long, Seq[Double], Int)]): Set[(Long, Int)] =
+    r.map(t => (t._1, t._3)).toSet
+
   test("synthetic k=1024 Lloyd training completes on the join path") {
     val emb = corpusDf(2048, 8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
