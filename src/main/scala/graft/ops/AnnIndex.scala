@@ -1156,7 +1156,8 @@ object AnnIndex {
     */
   private[ops] def pqProbeSegments(s: SparkSession, d: String,
       roots: Seq[String], probeDf: DataFrame = null,
-      tss: Seq[(String, Int)] = Nil): DataFrame = {
+      tss: Seq[(String, Int)] = Nil,
+      attrFilter: Option[Column] = None): DataFrame = {
     GraftFunctions.register(s)
     val probes = Option(probeDf).getOrElse(defaultProbes(s, d))
     def masked(sub: String, sel: Seq[Column]): DataFrame =
@@ -1169,10 +1170,16 @@ object AnnIndex {
         // segment frames union positionally (the ivfServe rule).
         m.fold(seg)(mm => seg.join(mm, Seq("vec_id"), "left_anti").select(sel: _*))
       }.reduce(_ unionAll _)
+    // The attribute filter applies to the codes scan exactly as in the
+    // single-root path (lossless for ADC — [[pqProbeFiltered]]); the
+    // optimizer pushes it through the union and the anti-joins into
+    // each segment's parquet read.
+    val codes = masked("pq_codes",
+      Seq(col("vec_id"), col("codes"), col("qnorm"), col("label")))
     pqServe(s,
       masked("ivf_assignments", Seq(col("vec_id"), col("e"))),
       roots.head,
-      masked("pq_codes", Seq(col("vec_id"), col("codes"), col("qnorm"))),
+      attrFilter.fold(codes)(codes.filter),
       collectProbes(probes))
   }
 
@@ -1488,14 +1495,18 @@ object AnnIndex {
     */
   private[ops] def ivfProbeSegments(s: SparkSession, d: String,
       roots: Seq[String], probeDf: DataFrame = null,
-      tss: Seq[(String, Int)] = Nil, nprobe: Int = Nprobe): DataFrame = {
+      tss: Seq[(String, Int)] = Nil, nprobe: Int = Nprobe,
+      attrFilter: Option[Column] = None): DataFrame = {
     GraftFunctions.register(s)
     val probes = Option(probeDf).getOrElse(defaultProbes(s, d))
     ivfServe(s, roots, readCentroids(s, roots.head), collectProbes(probes),
       tombstones = tss.map { case (p, b) =>
         s.read.parquet(s"$p/tombstones") -> b
       },
-      nprobe = nprobe)
+      attrFilter = attrFilter,
+      // Filtered serving composes with the LSM state under the same
+      // widening rule as the single-root path (q130's rationale).
+      nprobe = if (attrFilter.isDefined) FilteredNprobe else nprobe)
   }
 
   /** The CURRENT complete version for this dataset, resolved from disk

@@ -230,6 +230,36 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
     if (alsoPq)
       assertServed(AnnIndex.pqProbeSegments(spark, sfDir, st.base +: st.segs,
         probes, st.tss).collect(), st, probeIds.size, s"$what PQ")
+    // Filtered serving composes with the same LSM state: restrict to
+    // the first probe's own label — its fresh self-copy matches the
+    // filter, so top-1 self at cosine exactly 1.0 must survive the
+    // masks, and every served neighbor must be live AND matching.
+    val fid = probeIds.head
+    val flab = (fid % 10).toInt
+    val fprobe = Seq((fid + 1000000L, vec(fid, st.live(fid)))).toDF("pid", "pe")
+    def checkFiltered(res: Array[org.apache.spark.sql.Row], fam: String): Unit = {
+      assert(res.nonEmpty && res.length <= AnnIndex.TopK,
+        s"$fam: filtered serve returned ${res.length} rows")
+      val top = res.find(_.getLong(2) == 1L).get
+      assert(top.getLong(1) == fid && top.getDouble(3) == 1.0,
+        s"$fam: filtered top-1 (${top.getLong(1)}, ${top.getDouble(3)}) " +
+          "— stale copy served or fresh copy lost under the filter")
+      res.foreach { r =>
+        val nbr = r.getLong(1)
+        assert(st.live.contains(nbr) && nbr % 10 == flab,
+          s"$fam: filtered serve returned $nbr (live=${st.live.contains(nbr)}, " +
+            s"label=${nbr % 10} vs $flab)")
+      }
+      assert(res.map(_.getLong(1)).distinct.length == res.length,
+        s"$fam: duplicate neighbors under the filter")
+    }
+    checkFiltered(AnnIndex.ivfProbeSegments(spark, sfDir, st.base +: st.segs,
+      fprobe, st.tss, attrFilter = Some(col("label") === flab)).collect(),
+      s"$what IVF-filtered")
+    if (alsoPq)
+      checkFiltered(AnnIndex.pqProbeSegments(spark, sfDir, st.base +: st.segs,
+        fprobe, st.tss, attrFilter = Some(col("label") === flab)).collect(),
+        s"$what PQ-filtered")
   }
 
   private def runSequence(ops: List[Op], pq: Boolean = false): Unit = {
