@@ -156,6 +156,7 @@ object AnnIndex {
       .select(col("e"))
       .collect().toIndexedSeq.zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Double](0)) }
+    require(seeds.nonEmpty, "cannot train an IVF index over an empty corpus")
     (1 to steps).foldLeft(seeds) { (cents, _) =>
       val means = assignCids(emb.select(col("vec_id"), col("e")), cents)
         .select(col("cid"), posexplode(col("e")).as(Seq("pos", "v")))
@@ -199,6 +200,7 @@ object AnnIndex {
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy("h").limit(Kpq)
       .select(col("e")).collect().toIndexedSeq.map(_.getSeq[Double](0))
+    require(seedRows.nonEmpty, "cannot train a PQ codebook over an empty corpus")
     def cbDf(cents: Seq[(Int, Int, Seq[Double])]): DataFrame = {
       import s.implicits._
       cents.toDF("m", "code", "ce")
@@ -540,17 +542,46 @@ object AnnIndex {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
-    val w = Window.partitionBy("pid")
+    // Route by probe ORDINAL, not id: a frame with duplicate pids must
+    // route per-row exactly as routeDriver does (a pid-keyed window
+    // would merge the duplicates' centroid rankings and return
+    // nprobe rows for the pair instead of nprobe each).
+    val w = Window.partitionBy("idx")
       .orderBy((-GraftFunctions.cosineSim(col("pe"), col("ce"))).asc, col("cid").asc)
-    val peById = probes.toMap
-    probes.toDF("pid", "pe").crossJoin(broadcast(cents.toDF("cid", "ce")))
+    probes.zipWithIndex.map { case ((_, pe), i) => (i, pe) }.toDF("idx", "pe")
+      .crossJoin(broadcast(cents.toDF("cid", "ce")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= nprobe)
-      .select("pid", "cid")
+      .select("idx", "cid")
       .collect().toIndexedSeq
-      .sortBy(r => (r.getLong(0), r.getInt(1)))
-      .map(r => (r.getLong(0), peById(r.getLong(0)), r.getInt(1)))
+      .sortBy(r => (r.getInt(0), r.getInt(1)))
+      .map { r =>
+        val (pid, pe) = probes(r.getInt(0)); (pid, pe, r.getInt(1))
+      }
   }
+
+  /** Union one artifact kind across segment roots (base first, oldest
+    * to newest) under the LSM boundary rule: a tombstone masks exactly
+    * the segments at index < its boundary (left-anti on vec_id),
+    * followed by the canonical re-select — a using-column join reorders
+    * the key FIRST and the roots union POSITIONALLY, so without it
+    * masked and unmasked segments would swap columns against each other
+    * (the r10 composition bug). `prep` runs per segment BEFORE the mask
+    * and the select, so cid pruning / attribute pre-filters reach each
+    * segment's parquet scan. The single owner of the read-side masking
+    * idiom, shared by [[ivfServe]] and [[pqProbeSegments]]
+    * ([[compactInto]]'s write-side fold keeps its own `anti` because
+    * its mask set also feeds touched-list resolution).
+    */
+  private def maskedUnion(s: SparkSession, roots: Seq[String], sub: String,
+      sel: Seq[Column], tss: Seq[(DataFrame, Int)],
+      prep: DataFrame => DataFrame = identity): DataFrame =
+    roots.zipWithIndex.map { case (p, i) =>
+      val seg = prep(s.read.parquet(s"$p/$sub")).select(sel: _*)
+      val m = tss.filter(_._2 > i).map(_._1.select(col("vec_id")))
+        .reduceOption(_ unionAll _)
+      m.fold(seg)(mm => seg.join(mm, Seq("vec_id"), "left_anti").select(sel: _*))
+    }.reduce(_ unionAll _)
 
   private def ivfServe(s: SparkSession, listRoots: Seq[String],
       cents: Seq[(Int, Seq[Double])],
@@ -567,29 +598,14 @@ object AnnIndex {
     }
     // Segments are separate partitioned roots — load each and union
     // (Spark rejects conflicting partition roots in one load); the cid
-    // partition filter prunes each segment's directories independently.
-    val lists = listRoots.zipWithIndex
-      .map { case (p, i) =>
-        val seg = s.read.parquet(s"$p/ivf_assignments")
-          .filter(col("cid").isin(neededCids: _*))
-          // Attribute pre-filter FIRST, on the raw scan: the predicate
-          // pushes into the parquet read of the pruned lists (row-group
-          // stats skip non-matching chunks), so a selective filter cuts
-          // the scored candidates at the source — never a post-top-k cut
-          // (which would return fewer than k) nor a corpus join.
-          .filter(attrFilter.getOrElse(lit(true)))
-          .select(col("cid"), col("vec_id"), col("e"))
-        val mask = tombstones.filter(_._2 > i).map(_._1.select(col("vec_id")))
-          .reduceOption(_ unionAll _)
-        mask.fold(seg)(m =>
-          seg.join(m, Seq("vec_id"), "left_anti")
-            // A using-column join reorders the join key FIRST; the
-            // roots union POSITIONALLY, so re-select the canonical
-            // order or masked and unmasked segments would swap
-            // cid/vec_id against each other.
-            .select(col("cid"), col("vec_id"), col("e")))
-      }
-      .reduce(_ unionAll _)
+    // partition filter prunes each segment's directories independently,
+    // and the attribute pre-filter rides the raw scan (pushed into the
+    // parquet read of the pruned lists — never a post-top-k cut, which
+    // would return fewer than k, nor a corpus join).
+    val lists = maskedUnion(s, listRoots, "ivf_assignments",
+      Seq(col("cid"), col("vec_id"), col("e")), tombstones,
+      prep = df => df.filter(col("cid").isin(neededCids: _*))
+        .filter(attrFilter.getOrElse(lit(true))))
     val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
     lists.join(broadcast(probeDf), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -664,8 +680,9 @@ object AnnIndex {
       probeDf: DataFrame, unionCap: Int): DataFrame = {
     GraftFunctions.register(s)
     val dir = ensure(s, d)
+    val cb = readCodebook(s, dir)
     probeBatched(s, probeDf, "pq_probe_spill", unionCap)(ps =>
-      pqServe(s, corpus(s, d), dir, s.read.parquet(s"$dir/pq_codes"), ps))
+      pqServe(s, corpus(s, d), cb, s.read.parquet(s"$dir/pq_codes"), ps))
   }
 
   /** Shared batching driver behind both probe families. EXACT batch
@@ -760,8 +777,8 @@ object AnnIndex {
   def pqProbe(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
     GraftFunctions.register(s)
     val dir = ensure(s, d)
-    pqServe(s, corpus(s, d), dir, s.read.parquet(s"$dir/pq_codes"),
-      collectProbes(probeDf))
+    pqServe(s, corpus(s, d), readCodebook(s, dir),
+      s.read.parquet(s"$dir/pq_codes"), collectProbes(probeDf))
   }
 
   /** Metadata-FILTERED PQ serve — [[ivfProbeFiltered]]'s twin over the
@@ -781,7 +798,7 @@ object AnnIndex {
       probeDf: DataFrame): DataFrame = {
     GraftFunctions.register(s)
     val dir = ensure(s, d)
-    pqServe(s, corpus(s, d), dir,
+    pqServe(s, corpus(s, d), readCodebook(s, dir),
       s.read.parquet(s"$dir/pq_codes").filter(attrFilter),
       collectProbes(probeDf))
   }
@@ -797,12 +814,20 @@ object AnnIndex {
     * vectors for lifecycle serving, so upserted ids refine against
     * their replacement embeddings, never a stale corpus row).
     */
-  private def pqServe(s: SparkSession, emb: DataFrame, cbDir: String,
-      codes: DataFrame, probes: Seq[(Long, Seq[Double])]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cb: Map[(Int, Int), Seq[Double]] = s.read.parquet(s"$cbDir/pq_codebook")
+  /** The collected O(M·K·sub) ADC codebook — bounded by construction,
+    * loaded ONCE per serve call site (the batched driver reuses it
+    * across every batch instead of re-collecting per batch).
+    */
+  private[ops] def readCodebook(s: SparkSession,
+      cbDir: String): Map[(Int, Int), Seq[Double]] =
+    s.read.parquet(s"$cbDir/pq_codebook")
       .select(col("m"), col("code"), col("ce"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+
+  private def pqServe(s: SparkSession, emb: DataFrame,
+      cb: Map[(Int, Int), Seq[Double]],
+      codes: DataFrame, probes: Seq[(Long, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Flat LUT per probe: lut[m*K + code] = dot(pe_m, centroid(m, code)).
     val probeLut: Seq[(Long, Seq[Double], Seq[Double], Double)] = probes.map {
       case (pid, pe) =>
@@ -1145,7 +1170,8 @@ object AnnIndex {
     val codes = s.read.parquet(s"$baseDir/pq_codes", s"$deltaDir/pq_codes")
       .join(s.read.parquet(s"$tsDir/tombstones").select(col("vec_id")),
         Seq("vec_id"), "left_anti")
-    pqServe(s, corpus(s, d), baseDir, codes, collectProbes(probeDf))
+    pqServe(s, corpus(s, d), readCodebook(s, baseDir), codes,
+      collectProbes(probeDf))
   }
 
   /** PQ serve across explicit segment roots (base first, oldest to
@@ -1160,26 +1186,20 @@ object AnnIndex {
       attrFilter: Option[Column] = None): DataFrame = {
     GraftFunctions.register(s)
     val probes = Option(probeDf).getOrElse(defaultProbes(s, d))
-    def masked(sub: String, sel: Seq[Column]): DataFrame =
-      roots.zipWithIndex.map { case (p, i) =>
-        val seg = s.read.parquet(s"$p/$sub").select(sel: _*)
-        val m = tss.filter(_._2 > i)
-          .map(t => s.read.parquet(s"${t._1}/tombstones").select(col("vec_id")))
-          .reduceOption(_ unionAll _)
-        // Canonical re-select after the using-column anti-join: the
-        // segment frames union positionally (the ivfServe rule).
-        m.fold(seg)(mm => seg.join(mm, Seq("vec_id"), "left_anti").select(sel: _*))
-      }.reduce(_ unionAll _)
-    // The attribute filter applies to the codes scan exactly as in the
-    // single-root path (lossless for ADC — [[pqProbeFiltered]]); the
-    // optimizer pushes it through the union and the anti-joins into
-    // each segment's parquet read.
-    val codes = masked("pq_codes",
-      Seq(col("vec_id"), col("codes"), col("qnorm"), col("label")))
+    val tsFrames = tss.map { case (p, b) =>
+      s.read.parquet(s"$p/tombstones") -> b
+    }
+    // The attribute filter applies inside each segment's codes scan
+    // exactly as in the single-root path (lossless for ADC —
+    // [[pqProbeFiltered]]).
+    val codes = maskedUnion(s, roots, "pq_codes",
+      Seq(col("vec_id"), col("codes"), col("qnorm")), tsFrames,
+      prep = df => df.filter(attrFilter.getOrElse(lit(true))))
     pqServe(s,
-      masked("ivf_assignments", Seq(col("vec_id"), col("e"))),
-      roots.head,
-      attrFilter.fold(codes)(codes.filter),
+      maskedUnion(s, roots, "ivf_assignments",
+        Seq(col("vec_id"), col("e")), tsFrames),
+      readCodebook(s, roots.head),
+      codes,
       collectProbes(probes))
   }
 
@@ -1505,8 +1525,10 @@ object AnnIndex {
       },
       attrFilter = attrFilter,
       // Filtered serving composes with the LSM state under the same
-      // widening rule as the single-root path (q130's rationale).
-      nprobe = if (attrFilter.isDefined) FilteredNprobe else nprobe)
+      // widening rule as the single-root path (q130's rationale) —
+      // widening only: a caller's explicit wider nprobe wins.
+      nprobe = if (attrFilter.isDefined) math.max(nprobe, FilteredNprobe)
+               else nprobe)
   }
 
   /** The CURRENT complete version for this dataset, resolved from disk

@@ -58,15 +58,13 @@ class AnnAssignSpec extends SparkTestBase {
   test("driver and distributed probe routing agree at K=16 and at k=1024") {
     val probes: Seq[(Long, Seq[Double])] = (0 until 40)
       .map(i => (i.toLong, (0 until 8).map(j => math.cos(i * 13 + j * 3)): Seq[Double]))
-    def routedSet(r: Seq[(Long, Seq[Double], Int)]): Set[(Long, Int)] =
-      r.map(t => (t._1, t._3)).toSet
     for (k <- Seq(16, 1024); np <- Seq(1, 6)) {
       val cs = cents(k, 8)
       val drv = AnnIndex.routeDriver(probes, cs, np)
       val jn = AnnIndex.routeJoin(spark, probes, cs, np)
       assert(drv.size == probes.size * np && jn.size == probes.size * np,
         s"routing under-filled at k=$k nprobe=$np")
-      assert(routedSet(drv) == routedSet(jn),
+      assert(routedPairs(drv) == routedPairs(jn),
         s"driver and join routing diverged at k=$k nprobe=$np")
       // Each path must also carry the probe's own embedding through.
       assert(jn.forall { case (pid, pe, _) => pe == probes(pid.toInt)._2 })
@@ -87,6 +85,22 @@ class AnnAssignSpec extends SparkTestBase {
 
   private def routedPairs(r: Seq[(Long, Seq[Double], Int)]): Set[(Long, Int)] =
     r.map(t => (t._1, t._3)).toSet
+
+  test("join routing handles duplicate probe ids per-row, like the driver path") {
+    // Six rows ALL sharing pid 7, each with a different vector: routing
+    // must emit nprobe lists for EVERY row (an id-keyed window would
+    // merge their rankings and emit nprobe total for the group).
+    val dups: Seq[(Long, Seq[Double])] = (0 until 6)
+      .map(i => (7L, (0 until 8).map(j => math.cos(i * 13 + j * 3)): Seq[Double]))
+    val cs = cents(300, 8)
+    val drv = AnnIndex.routeDriver(dups, cs, 6)
+    val jn = AnnIndex.routeJoin(spark, dups, cs, 6)
+    assert(jn.size == dups.size * 6, s"join routing emitted ${jn.size} rows")
+    def perVector(r: Seq[(Long, Seq[Double], Int)]): Map[Seq[Double], Set[Int]] =
+      r.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(perVector(drv) == perVector(jn),
+      "duplicate-pid rows routed differently between the paths")
+  }
 
   test("synthetic k=1024 Lloyd training completes on the join path") {
     val emb = corpusDf(2048, 8)
