@@ -658,12 +658,21 @@ object AnnIndex {
     * size serves with constant plan size. Per-batch work is identical
     * to [[ivfProbe]]; nothing about the index or the scans changes.
     */
-  def ivfProbeBatched(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
+  def ivfProbeBatched(s: SparkSession, d: String, probeDf: DataFrame): DataFrame =
+    ivfProbeBatched(s, d, probeDf, None)
+
+  /** Filtered × batched — the remaining cell of the serve matrix: any
+    * probe-frame size against a metadata predicate, each batch served
+    * under q130's widened-nprobe pre-filter.
+    */
+  def ivfProbeBatched(s: SparkSession, d: String, probeDf: DataFrame,
+      attrFilter: Option[Column]): DataFrame = {
     GraftFunctions.register(s)
     val dir = ensure(s, d)
     val cents = readCentroids(s, dir)
     probeBatched(s, probeDf, "probe_spill", MaxBatches)(ps =>
-      ivfServe(s, Seq(dir), cents, ps))
+      ivfServe(s, Seq(dir), cents, ps, attrFilter = attrFilter,
+        nprobe = if (attrFilter.isDefined) FilteredNprobe else Nprobe))
   }
 
   /** PQ twin of [[ivfProbeBatched]]: any probe-frame size against the
@@ -672,17 +681,27 @@ object AnnIndex {
   def pqProbeBatched(s: SparkSession, d: String, probeDf: DataFrame): DataFrame =
     pqProbeBatchedCap(s, d, probeDf, MaxBatches)
 
+  /** Filtered × batched on the PQ side: the lossless codes-scan
+    * pre-filter ([[pqProbeFiltered]]) per batch, any frame size.
+    */
+  def pqProbeBatched(s: SparkSession, d: String, probeDf: DataFrame,
+      attrFilter: Option[Column]): DataFrame =
+    pqProbeBatchedCap(s, d, probeDf, MaxBatches, attrFilter)
+
   /** Spec hook: the same call with a lowered union-plan cap, so the
     * spill loop is exercisable without a 65k-probe fixture (the
     * production-scale spill path is pinned on the IVF side at 67k).
     */
   private[ops] def pqProbeBatchedCap(s: SparkSession, d: String,
-      probeDf: DataFrame, unionCap: Int): DataFrame = {
+      probeDf: DataFrame, unionCap: Int,
+      attrFilter: Option[Column] = None): DataFrame = {
     GraftFunctions.register(s)
     val dir = ensure(s, d)
     val cb = readCodebook(s, dir)
+    val codes = s.read.parquet(s"$dir/pq_codes")
+    val filtered = attrFilter.fold(codes)(codes.filter)
     probeBatched(s, probeDf, "pq_probe_spill", unionCap)(ps =>
-      pqServe(s, corpus(s, d), cb, s.read.parquet(s"$dir/pq_codes"), ps))
+      pqServe(s, corpus(s, d), cb, filtered, ps))
   }
 
   /** Shared batching driver behind both probe families. EXACT batch

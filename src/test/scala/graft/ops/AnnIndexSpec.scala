@@ -212,6 +212,28 @@ class AnnIndexSpec extends SparkTestBase {
       "PQ spill-loop serving changed a probe's neighbors")
   }
 
+  test("filtered batched serving matches filtered solo serving on both families") {
+    import org.apache.spark.sql.functions._
+    AnnIndex.build(spark, sfDir)
+    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
+    val probes = (0 until 3).map(k =>
+      base.select((col("vec_id") + lit(1000000L * (k + 1))).as("pid"), col("e")))
+      .reduce(_ unionAll _) // multi-batch frame, same fixture as above
+    assert(probes.count() > AnnIndex.MaxProbes)
+    val ten = probes.filter(col("pid") < 1000010L)
+    val f: Option[org.apache.spark.sql.Column] = Some(col("label") === 7)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ivfSolo = rows(AnnIndex.ivfProbeFiltered(spark, sfDir, col("label") === 7, ten))
+    assert(rows(AnnIndex.ivfProbeBatched(spark, sfDir, probes, f)
+      .filter(col("probe_id") < 1000010L)) === ivfSolo,
+      "IVF filtered batching changed a probe's neighbors")
+    val pqSolo = rows(AnnIndex.pqProbeFiltered(spark, sfDir, col("label") === 7, ten))
+    assert(rows(AnnIndex.pqProbeBatched(spark, sfDir, probes, f)
+      .filter(col("probe_id") < 1000010L)) === pqSolo,
+      "PQ filtered batching changed a probe's neighbors")
+  }
+
   test("over-MaxBatches probe frame serves via the internal spill loop, identical to solo") {
     import org.apache.spark.sql.functions._
     AnnIndex.build(spark, sfDir)
