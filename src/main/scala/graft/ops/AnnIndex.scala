@@ -299,14 +299,35 @@ object AnnIndex {
   /** Write a fresh immutable version via `write(versionDir)`, mark it
     * complete, atomically flip CURRENT to it, retire versions older
     * than the predecessor. Returns the published version dir.
+    *
+    * Version ALLOCATION is atomic: the dir is claimed with a bare
+    * createDirectory (which fails, not merges, on an existing path), so
+    * two concurrent writers racing the same root can never build into
+    * the same version dir — the loser claims the next number and the
+    * CURRENT flip stays last-writer-wins. mkdirs inside the writer
+    * would instead merge the two builds into one corrupt dir.
     */
   private def publishVersion(root: String)(write: String => Unit): String = {
     val rootF = new java.io.File(root)
     rootF.mkdirs(): Unit
-    def versions: Seq[Int] = Option(rootF.list()).getOrElse(Array.empty).toSeq
+    // Snapshot BEFORE claiming: the retirement below must reason about
+    // the pre-publish state (re-listing after this publish's own
+    // _SUCCESS lands would make the new version its own "predecessor"
+    // and retire the real one under in-flight readers).
+    val before: Seq[Int] = Option(rootF.list()).getOrElse(Array.empty).toSeq
       .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
-    val next = (versions :+ 0).max + 1
-    val vdir = new java.io.File(rootF, f"v$next%06d")
+    var next = (before :+ 0).max + 1
+    var claimed: Option[java.io.File] = None
+    while (claimed.isEmpty) {
+      val cand = new java.io.File(rootF, f"v$next%06d")
+      try {
+        java.nio.file.Files.createDirectory(cand.toPath): Unit
+        claimed = Some(cand)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1
+      }
+    }
+    val vdir = claimed.get
     write(vdir.toString)
     new java.io.File(vdir, "_SUCCESS").createNewFile(): Unit
     val tmp = new java.io.File(rootF, s".CURRENT.$next.tmp")
@@ -314,9 +335,18 @@ object AnnIndex {
     java.nio.file.Files.move(tmp.toPath, new java.io.File(rootF, "CURRENT").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-    versions.filter(_ < next - 1).foreach { v =>
-      deleteRecursively(new java.io.File(rootF, f"v$v%06d"))
-    }
+    // Retire everything older than the true predecessor — the highest
+    // COMPLETE version before this publish (under concurrent writers
+    // the dir right below `next` can be another writer's unfinished
+    // claim, and `next - 1` would retire the version in-flight readers
+    // still hold).
+    before.filter(v =>
+        new java.io.File(new java.io.File(rootF, f"v$v%06d"), "_SUCCESS").exists())
+      .sorted.lastOption.foreach { prev =>
+        before.filter(_ < prev).foreach { v =>
+          deleteRecursively(new java.io.File(rootF, f"v$v%06d"))
+        }
+      }
     vdir.toString
   }
 

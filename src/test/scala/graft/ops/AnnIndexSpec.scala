@@ -298,6 +298,43 @@ class AnnIndexSpec extends SparkTestBase {
     assert(AnnIndex.build(spark, sfDir) === v3)
   }
 
+  test("version allocation is claim-by-createDirectory: a concurrent claim is never built into") {
+    import spark.implicits._
+    val root = new java.io.File(
+      new java.io.File(if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+                       else sys.props("java.io.tmpdir")),
+      "graft-ann-claimspec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    try {
+      val emb = (0L until 80L)
+        .map(id => (id, (0 until 64).map(j => math.sin(id * 31 + j * 17)), (id % 10).toInt))
+        .toDF("vec_id", "e", "label")
+      val v1 = AnnIndex.buildFrom(spark, emb, root.toString)
+      assert(new java.io.File(v1).getName === "v000001")
+      // Another writer has CLAIMED v000002 (empty dir, no _SUCCESS yet)
+      // — this publish must skip it, not merge a build into it, and the
+      // unfinished claim must neither be adopted nor retired while it
+      // is the newest-but-incomplete dir.
+      val claim = new java.io.File(root, "v000002")
+      assert(claim.mkdir())
+      val v2 = AnnIndex.buildFrom(spark, emb, root.toString)
+      assert(new java.io.File(v2).getName === "v000003",
+        s"publish must claim the next free version, got $v2")
+      assert(Option(claim.listFiles()).getOrElse(Array.empty).isEmpty,
+        "publish built into a directory another writer claimed")
+      assert(java.nio.file.Files.readString(
+        new java.io.File(root, "CURRENT").toPath).trim === "v000003")
+      // The true predecessor (v000001, complete) survives this publish
+      // even though a squatting claim sits between it and the new head.
+      assert(new java.io.File(v1, "_SUCCESS").exists(),
+        "retirement removed the complete predecessor instead of keying on _SUCCESS")
+    } finally rm(root)
+  }
+
   test("a concurrent reader always resolves a complete index across forced rebuilds") {
     // The r9 ADVICE race, exercised live: a reader resolving CURRENT
     // from disk (as a foreign JVM would — no builder cache) while
