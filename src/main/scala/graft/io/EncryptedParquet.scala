@@ -143,9 +143,12 @@ object EncryptedParquet {
     * The KEK write cache is cleared first so the writer cannot reuse a
     * cached pre-rotation KEK — every rotated file references only KEK
     * ids minted by this call. The rewrite lands in a temp sibling and
-    * swaps in by rename; readers opening mid-swap see old or new files,
-    * never a partial mix of both generations (an object store would use
-    * the AnnIndex pointer-flip instead of renames).
+    * swaps in by rename through the Hadoop FileSystem API ([[Afs]]):
+    * readers opening mid-swap see old or new files, never a partial mix
+    * of both generations, on any backend with directory rename (local,
+    * HDFS). On an object store rename is copy+delete — there, publish
+    * rotated data as a fresh versioned prefix behind a marker (the
+    * AnnIndex pointer-flip discipline) instead of a same-path swap.
     *
     * `accessToken` must unwrap EVERY column level in the dataset (the
     * same privilege `rotateMasterKeys` needs).
@@ -156,36 +159,52 @@ object EncryptedParquet {
     import org.apache.parquet.crypto.keytools.KeyToolkit
     val tmp = path + ".rotate-tmp"
     val old = path + ".rotate-old"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    val pathF = new java.io.File(path)
-    val oldF = new java.io.File(old)
-    val tmpF = new java.io.File(tmp)
     // Crash recovery BEFORE any delete: a prior invocation that renamed
     // path -> .rotate-old but died before .rotate-tmp -> path leaves the
     // ONLY original at .rotate-old — blindly sweeping both siblings here
     // (as this method once did) would destroy every remaining copy.
     // Restore the original first; the sweep below then only ever removes
     // redundant copies.
-    if (!pathF.exists() && oldF.exists()) {
-      require(oldF.renameTo(pathF),
+    if (!Afs.exists(path) && Afs.exists(old)) {
+      require(Afs.rename(old, path),
         s"half-swapped rotation state at $path: restore of $old failed — " +
           "original preserved there, nothing deleted")
     }
-    require(pathF.exists(), s"no dataset at $path to rotate")
-    rm(tmpF); rm(oldF)
+    require(Afs.exists(path), s"no dataset at $path to rotate")
+    // BOTH siblings present means a prior rotation stopped between its
+    // swap and its cleanup. Two states share that fingerprint: a benign
+    // crash after verification (both copies hold the same rows — the
+    // .rotate-old sweep below is then safe), and a FAILED post-swap
+    // verification, where the live path holds the bad rotated copy and
+    // .rotate-old is the only good one — a blind sweep would make that
+    // loss permanent on retry (r11 ADVICE). Disambiguate by row count;
+    // anything but a readable exact match refuses and leaves both
+    // copies for the operator.
+    if (Afs.exists(old)) {
+      val liveRows = try read(spark, path, kmsUrl, accessToken).count()
+                     catch { case e: Throwable =>
+                       throw new IllegalStateException(
+                         s"$path and $old both exist and the live copy is unreadable — " +
+                           s"a prior rotation likely failed verification; the good copy " +
+                           s"is at $old. Refusing to rotate; resolve manually.", e)
+                     }
+      val oldRows = read(spark, old, kmsUrl, accessToken).count()
+      require(liveRows == oldRows,
+        s"$path ($liveRows rows) and $old ($oldRows rows) both exist and disagree — " +
+          s"a prior rotation failed verification; refusing to rotate or delete " +
+          s"either copy. Resolve manually (the pre-rotation data is at $old).")
+    }
+    Afs.delete(tmp); Afs.delete(old)
     KeyToolkit.removeCacheEntriesForAllTokens()
     val rowsBefore = read(spark, path, kmsUrl, accessToken).count()
     write(read(spark, path, kmsUrl, accessToken), tmp, policy, kmsUrl,
       mode = "overwrite", zstdLevel = zstdLevel, pageV2 = pageV2)
-    require(pathF.renameTo(oldF),
+    require(Afs.rename(path, old),
       s"rotation swap failed for $path — dataset untouched")
-    if (!tmpF.renameTo(pathF)) {
+    if (!Afs.rename(tmp, path)) {
       // Roll the first rename back so the dataset is never left missing
       // mid-swap; the rotated copy stays at tmp for inspection.
-      require(oldF.renameTo(pathF),
+      require(Afs.rename(old, path),
         s"rotation swap failed for $path AND restore failed — " +
           s"original preserved at $old")
       throw new IllegalStateException(
@@ -203,7 +222,7 @@ object EncryptedParquet {
     require(rowsAfter == rowsBefore,
       s"rotated dataset at $path has $rowsAfter rows, expected $rowsBefore — " +
         s"pre-rotation copy preserved at $old")
-    rm(oldF)
+    Afs.delete(old)
   }
 
   /** Eager read: project, collect, return a local DataFrame. For

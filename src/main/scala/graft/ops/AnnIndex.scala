@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import graft.functions.GraftFunctions
+import graft.io.Afs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -130,15 +131,24 @@ object AnnIndex {
     val s = df.sparkSession
     import s.implicits._
     val centDf = cents.toDF("cent_cid", "ce")
-    val others = df.columns.filterNot(_ == "vec_id").toSeq
-    df.crossJoin(broadcast(centDf))
-      .groupBy(col("vec_id"))
+    // The argmin groups by a per-ROW ordinal, not vec_id: the literal
+    // path is a pure projection and so preserves duplicate vec_ids —
+    // this path must behave identically on ANY input (r11 ADVICE: a
+    // vec_id-keyed groupBy silently collapsed duplicates only above the
+    // k threshold). The ordinal is assigned below the broadcast join in
+    // the same stage, so each input row expands to k copies sharing one
+    // ordinal; shuffle bytes are unchanged (same row count, one long
+    // added per row).
+    val cols = df.columns.toSeq
+    df.withColumn("__ord", monotonically_increasing_id())
+      .crossJoin(broadcast(centDf))
+      .groupBy(col("__ord"))
       .agg(
         min_by(col("cent_cid"),
           struct((-GraftFunctions.cosineSim(col("e"), col("ce"))).as("negsim"),
             col("cent_cid").as("cid"))).as("cid"),
-        others.map(c => first(col(c)).as(c)): _*)
-      .select(df.columns.map(col) :+ col("cid"): _*)
+        cols.map(c => first(col(c)).as(c)): _*)
+      .select(cols.map(col) :+ col("cid"): _*)
   }
 
   /** Seeded k-means over a persisted corpus frame: seeds are the k
@@ -238,11 +248,21 @@ object AnnIndex {
     */
   val FormatLevel = "f3"
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
-      .foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  /** Root for persisted index artifacts. Overridable for cluster
+    * deployments (`-Dgraft.ann.root=hdfs://…/ann` or an `s3a://` URI —
+    * the whole artifact layer speaks [[graft.io.Afs]], the Hadoop
+    * FileSystem seam); the default is the sandbox-local tmpfs root the
+    * bench uses.
+    */
+  private def annRootBase: String =
+    sys.props.get("graft.ann.root").getOrElse {
+      val shm = "/dev/shm/graft-annindex"
+      try { Afs.mkdirs(shm); if (Afs.exists(shm)) shm else fallbackRoot }
+      catch { case _: java.io.IOException => fallbackRoot }
+    }
+
+  private def fallbackRoot: String =
+    s"${sys.props("java.io.tmpdir")}/graft-annindex"
 
   /** Stale-format sweep: runs ONCE per JVM (a format can only change
     * with the code, so re-sweeping per call buys nothing), and only
@@ -251,19 +271,15 @@ object AnnIndex {
     * running builds at different levels must never share the root
     * (the same rule Bench.sweepLocalDirs already imposes).
     */
-  private lazy val sweptStaleFormats: java.io.File = {
-    val shm = new java.io.File("/dev/shm")
-    val base = if (shm.isDirectory && shm.canWrite)
-      new java.io.File(shm, "graft-annindex") else
-      new java.io.File(sys.props("java.io.tmpdir"), "graft-annindex")
-    Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName != FormatLevel)
-      .foreach(deleteRecursively)
-    new java.io.File(base, FormatLevel)
+  private lazy val sweptStaleFormats: String = {
+    val base = annRootBase
+    Afs.listStatus(base)
+      .filter(st => st.isDirectory && st.getPath.getName != FormatLevel)
+      .foreach(st => Afs.delete(st.getPath.toString))
+    s"$base/$FormatLevel"
   }
 
-  private def shmDir(suffix: String): String =
-    new java.io.File(sweptStaleFormats, suffix).toString
+  private def shmDir(suffix: String): String = s"$sweptStaleFormats/$suffix"
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -285,69 +301,125 @@ object AnnIndex {
   // every serving system with atomic index swaps uses (and the same
   // move Layout.compact makes for table fixtures).
 
-  /** Resolve the root's CURRENT pointer to a complete version dir. */
+  private def vname(n: Int): String = f"v$n%06d"
+
+  private def isComplete(root: String, v: Int): Boolean =
+    Afs.exists(s"$root/${vname(v)}/_SUCCESS")
+
+  /** Retirement age floor: a version older than the predecessor is
+    * deleted only once its `_SUCCESS` is at least this old (r11 verdict
+    * item 4 — two quick flips, e.g. [[maintain]]'s fold-then-retrain,
+    * used to retire the version a reader resolved just before the FIRST
+    * flip; the grace bounds every reader whose scan finishes inside it,
+    * the Iceberg snapshot-expiration discipline). Specs pinning the
+    * deterministic retire-after-two lifecycle set it to 0.
+    */
+  private[ops] var RetireGraceMs: Long =
+    sys.props.get("graft.ann.retire.grace.ms").map(_.toLong).getOrElse(10 * 60 * 1000L)
+
+  /** Abandoned-claim GC floor: a claimed-but-never-completed version is
+    * swept only when both its claim marker and its dir (if any) have
+    * been quiet this long — generous, so an in-flight multi-hour build
+    * is never deleted under its writer (r11 ADVICE, medium: the old
+    * below-predecessor sweep could delete another writer's live claim,
+    * whose later writes then recreated the dir as a corrupt published
+    * version).
+    */
+  private[ops] var ClaimGcMs: Long =
+    sys.props.get("graft.ann.claim.gc.ms").map(_.toLong).getOrElse(24 * 60 * 60 * 1000L)
+
+  /** Resolve the root to a complete version dir: the CURRENT pointer
+    * when it names one, else the newest `_SUCCESS`-marked version in a
+    * listing. The fallback is what makes the pointer safe on backends
+    * without atomic replace-rename (HDFS delete+rename hole, object
+    * stores — [[graft.io.Afs]]): mid-flip or stale pointers degrade to
+    * one extra listing, never to a missing or incomplete index.
+    */
   private def currentVersion(root: String): Option[String] =
     try {
-      val cur = new java.io.File(root, "CURRENT")
-      if (!cur.exists()) None
-      else {
-        val vdir = new java.io.File(root, java.nio.file.Files.readString(cur.toPath).trim)
-        if (new java.io.File(vdir, "_SUCCESS").exists()) Some(vdir.toString) else None
-      }
-    } catch { case _: Throwable => None }
+      val cur = s"$root/CURRENT"
+      val fromPointer =
+        if (!Afs.exists(cur)) None
+        else {
+          val name = Afs.readString(cur).trim
+          if (name.matches("v\\d+") && Afs.exists(s"$root/$name/_SUCCESS"))
+            Some(s"$root/$name")
+          else None
+        }
+      fromPointer.orElse(
+        versionsOf(root).filter(isComplete(root, _)).maxOption
+          .map(v => s"$root/${vname(v)}"))
+    } catch { case _: java.io.IOException => None }
+
+  /** Every version number present under `root` — complete dirs,
+    * in-flight dirs, and bare claims.
+    */
+  private def versionsOf(root: String): Seq[Int] =
+    Afs.listNames(root).collect {
+      case n if n.matches("v\\d+") => n.drop(1).toInt
+      case n if n.matches("v\\d+\\._CLAIM") => n.drop(1).takeWhile(_.isDigit).toInt
+    }.distinct
 
   /** Write a fresh immutable version via `write(versionDir)`, mark it
-    * complete, atomically flip CURRENT to it, retire versions older
-    * than the predecessor. Returns the published version dir.
+    * complete, flip CURRENT to it, retire complete versions older than
+    * the predecessor once past the retirement grace. Returns the
+    * published version dir.
     *
-    * Version ALLOCATION is atomic: the dir is claimed with a bare
-    * createDirectory (which fails, not merges, on an existing path), so
-    * two concurrent writers racing the same root can never build into
-    * the same version dir — the loser claims the next number and the
-    * CURRENT flip stays last-writer-wins. mkdirs inside the writer
-    * would instead merge the two builds into one corrupt dir.
+    * Version ALLOCATION is atomic: the number is claimed by
+    * create-exclusive of a `v{N}._CLAIM` marker (the portable exclusive
+    * primitive — [[graft.io.Afs.createExclusive]]), so two concurrent
+    * writers racing the same root can never build into the same version
+    * dir: the loser claims the next number, and the CURRENT flip stays
+    * last-writer-wins. RETIREMENT only ever touches versions that
+    * carry `_SUCCESS` (a claimed-but-unfinished build is invisible to
+    * it, however old the publish racing past it is); abandoned claims
+    * are garbage-collected separately behind [[ClaimGcMs]].
     */
   private def publishVersion(root: String)(write: String => Unit): String = {
-    val rootF = new java.io.File(root)
-    rootF.mkdirs(): Unit
+    Afs.mkdirs(root)
     // Snapshot BEFORE claiming: the retirement below must reason about
     // the pre-publish state (re-listing after this publish's own
     // _SUCCESS lands would make the new version its own "predecessor"
     // and retire the real one under in-flight readers).
-    val before: Seq[Int] = Option(rootF.list()).getOrElse(Array.empty).toSeq
-      .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+    val before: Seq[Int] = versionsOf(root)
     var next = (before :+ 0).max + 1
-    var claimed: Option[java.io.File] = None
-    while (claimed.isEmpty) {
-      val cand = new java.io.File(rootF, f"v$next%06d")
-      try {
-        java.nio.file.Files.createDirectory(cand.toPath): Unit
-        claimed = Some(cand)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => next += 1
+    while (!Afs.createExclusive(s"$root/${vname(next)}._CLAIM")) next += 1
+    val vdir = s"$root/${vname(next)}"
+    Afs.mkdirs(vdir)
+    write(vdir)
+    Afs.touch(s"$vdir/_SUCCESS")
+    val tmp = s"$root/.CURRENT.$next.tmp"
+    Afs.writeString(tmp, vname(next))
+    Afs.renameOver(tmp, s"$root/CURRENT")
+    val now = System.currentTimeMillis()
+    // Retire below the true predecessor — the highest COMPLETE version
+    // before this publish (under concurrent writers the number right
+    // below `next` can be another writer's unfinished claim, and
+    // `next - 1` would retire the version in-flight readers still
+    // hold) — and only versions whose _SUCCESS has aged past the grace,
+    // so back-to-back flips cannot delete a dir a reader resolved
+    // moments ago.
+    val completeBefore = before.filter(isComplete(root, _))
+    completeBefore.sorted.lastOption.foreach { prev =>
+      completeBefore.filter(_ < prev)
+        .filter(v => Afs.mtime(s"$root/${vname(v)}/_SUCCESS")
+          .forall(t => now - t >= RetireGraceMs))
+        .foreach { v =>
+          Afs.delete(s"$root/${vname(v)}")
+          Afs.delete(s"$root/${vname(v)}._CLAIM")
+        }
+    }
+    // GC abandoned claims: no _SUCCESS and no sign of life (claim marker
+    // or dir mtime) inside the claim-GC window. Never this publish's own.
+    before.filterNot(isComplete(root, _)).filterNot(_ == next).foreach { v =>
+      val life = Seq(Afs.mtime(s"$root/${vname(v)}._CLAIM"),
+        Afs.mtime(s"$root/${vname(v)}")).flatten
+      if (life.nonEmpty && life.forall(t => now - t >= ClaimGcMs)) {
+        Afs.delete(s"$root/${vname(v)}")
+        Afs.delete(s"$root/${vname(v)}._CLAIM")
       }
     }
-    val vdir = claimed.get
-    write(vdir.toString)
-    new java.io.File(vdir, "_SUCCESS").createNewFile(): Unit
-    val tmp = new java.io.File(rootF, s".CURRENT.$next.tmp")
-    java.nio.file.Files.writeString(tmp.toPath, vdir.getName): Unit
-    java.nio.file.Files.move(tmp.toPath, new java.io.File(rootF, "CURRENT").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-    // Retire everything older than the true predecessor — the highest
-    // COMPLETE version before this publish (under concurrent writers
-    // the dir right below `next` can be another writer's unfinished
-    // claim, and `next - 1` would retire the version in-flight readers
-    // still hold).
-    before.filter(v =>
-        new java.io.File(new java.io.File(rootF, f"v$v%06d"), "_SUCCESS").exists())
-      .sorted.lastOption.foreach { prev =>
-        before.filter(_ < prev).foreach { v =>
-          deleteRecursively(new java.io.File(rootF, f"v$v%06d"))
-        }
-      }
-    vdir.toString
+    vdir
   }
 
   /** Train + write all four artifacts for `embFrame` under `dir` (an
@@ -676,6 +748,25 @@ object AnnIndex {
   val MaxBatches = 64
 
   private val probeSpillSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** One sweep per (JVM, spill key): prior RUNS' leftovers go, but dirs
+    * written by prior calls in THIS JVM survive — a lazily-evaluated
+    * over-cap result frame stays readable after later over-cap calls
+    * (r11 ADVICE: the per-call sweep silently emptied any earlier
+    * call's returned DataFrame the moment a new over-cap call ran).
+    * Per-call dirs are tiny (top-k rows per probe), so within-JVM
+    * accumulation is bounded by the run itself; the startup sweep is
+    * the same discipline as Bench.sweepLocalDirs.
+    */
+  private val sweptSpillKeys = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def spillRoot(spillKey: String): String =
+    sweptSpillKeys.computeIfAbsent(spillKey, k => {
+      val base = shmDir(k)
+      Afs.listStatus(base).foreach(st => Afs.delete(st.getPath.toString))
+      base
+    })
 
   /** Probe frames LARGER than MaxProbes, served by batching — the
     * "split into batches" contract of [[collectProbes]] made
@@ -742,10 +833,11 @@ object AnnIndex {
     * batches union into one plan; beyond that, the internal spill loop
     * (r10 verdict item 4): each batch is re-planned and executed
     * INDEPENDENTLY — plan size constant no matter how many batches —
-    * its top-k rows landing in a spill dir returned as ONE scan. Prior
-    * calls' spills are swept at entry under the repo's serial-JVM
-    * discipline (a returned over-cap result frame is consumed before
-    * the next over-cap call — the Bench.sweepLocalDirs rule).
+    * its top-k rows landing in a spill dir returned as ONE scan. Each
+    * call spills into its own dir; PRIOR RUNS' leftovers are swept once
+    * per JVM at first use ([[spillRoot]]), never per call — so over-cap
+    * result frames from earlier calls in this JVM stay readable however
+    * lazily a caller consumes them.
     */
   private def probeBatched(s: SparkSession, probeDf: DataFrame,
       spillKey: String, unionCap: Int)(
@@ -763,11 +855,7 @@ object AnnIndex {
         (0 until batches).map(serveBatch).reduce(_ unionAll _)
           .orderBy("probe_id", "rnk")
       else {
-        val spillBase = new java.io.File(shmDir(spillKey))
-        Option(spillBase.listFiles()).getOrElse(Array.empty)
-          .foreach(deleteRecursively)
-        val out = new java.io.File(spillBase,
-          s"call-${probeSpillSeq.incrementAndGet()}").toString
+        val out = s"${spillRoot(spillKey)}/call-${probeSpillSeq.incrementAndGet()}"
         (0 until batches).foreach { b =>
           serveBatch(b).write
             .mode(if (b == 0) "overwrite" else "append").parquet(out)
@@ -1076,16 +1164,15 @@ object AnnIndex {
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$vdir/ivf_assignments")
-    copyTree(new java.io.File(s"$baseDir/ivf_centroids"),
-      new java.io.File(s"$vdir/ivf_centroids"))
-    copyTree(new java.io.File(s"$baseDir/pq_codebook"),
-      new java.io.File(s"$vdir/pq_codebook"))
-    // Untouched lists: file-level carry-over into the merged layout.
-    Option(new java.io.File(s"$baseDir/ivf_assignments").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
-      .filter(f => !touched.contains(f.getName.stripPrefix("cid=").toInt))
-      .foreach(f => copyTree(f, new java.io.File(s"$vdir/ivf_assignments/${f.getName}")))
+    Afs.copyTree(s"$baseDir/ivf_centroids", s"$vdir/ivf_centroids")
+    Afs.copyTree(s"$baseDir/pq_codebook", s"$vdir/pq_codebook")
+    // Untouched lists: file-level carry-over into the merged layout (on
+    // an object store a server-side copy; never a scan).
+    Afs.listStatus(s"$baseDir/ivf_assignments")
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .filter(st => !touched.contains(st.getPath.getName.stripPrefix("cid=").toInt))
+      .foreach(st => Afs.copyTree(st.getPath.toString,
+        s"$vdir/ivf_assignments/${st.getPath.getName}"))
     if (tss.nonEmpty) {
       val codeCols = Seq(col("vec_id"), col("codes"), col("qnorm"), col("label"))
       val baseCodes = anti(
@@ -1098,15 +1185,15 @@ object AnnIndex {
       deltaCodes.fold(baseCodes)(baseCodes.unionAll)
         .write.mode("overwrite").parquet(s"$vdir/pq_codes")
     } else {
-        val codesOut = new java.io.File(s"$vdir/pq_codes")
-        codesOut.mkdirs(): Unit
+        val codesOut = s"$vdir/pq_codes"
+        Afs.mkdirs(codesOut)
         (("base" -> s"$baseDir/pq_codes") +:
           deltaDirs.zipWithIndex.map { case (p, i) => s"d$i" -> s"$p/pq_codes" })
           .foreach { case (pfx, src) =>
-            Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
-              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-              .foreach(f => java.nio.file.Files.copy(f.toPath,
-                new java.io.File(codesOut, s"$pfx-${f.getName}").toPath): Unit)
+            Afs.listStatus(src)
+              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+              .foreach(st => Afs.copyFile(st.getPath.toString,
+                s"$codesOut/$pfx-${st.getPath.getName}"))
           }
     }
   }
@@ -1119,17 +1206,6 @@ object AnnIndex {
   private[ops] def compactSegmentRoots(s: SparkSession, baseDir: String,
       segDirs: Seq[String], outRoot: String): String =
     publishVersion(outRoot)(compactInto(s, baseDir, segDirs, Nil, _))
-
-  private def copyTree(src: java.io.File, dst: java.io.File): Unit = {
-    if (src.isDirectory) {
-      dst.mkdirs(): Unit
-      Option(src.listFiles()).getOrElse(Array.empty)
-        .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
-    } else if (src.isFile) {
-      java.nio.file.Files.copy(src.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-    }
-  }
 
   /** IVF serve over the COMPACTED index — one segment root again (spec
     * use: recall must hold and the scan must read a single root).
@@ -1502,7 +1578,7 @@ object AnnIndex {
     val cents = readCentroids(s, baseDir)
     val srcDir = s"$root/src"
     val segRoot = s"$root/segments"
-    if (!new java.io.File(srcDir, "_SUCCESS").exists()) {
+    if (!Afs.exists(s"$srcDir/_SUCCESS")) {
       src.repartition(nFiles)
         .write.mode("overwrite").parquet(srcDir)
     }
@@ -1523,7 +1599,7 @@ object AnnIndex {
         // offset replays the batch — the rewrite must first re-mark
         // the segment incomplete, or a concurrent reader honoring the
         // only-complete-segments rule would scan it mid-overwrite.
-        new java.io.File(seg, "_COMPLETE").delete(): Unit
+        Afs.delete(s"$seg/_COMPLETE")
         GraftFunctions.register(batch.sparkSession)
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -1541,7 +1617,7 @@ object AnnIndex {
             val cb = batch.sparkSession.read.parquet(s"$baseDir/pq_codebook")
             encodePq(b.toDF(), cb)
               .write.mode("overwrite").parquet(s"$seg/pq_codes")
-            new java.io.File(seg, "_COMPLETE").createNewFile(): Unit
+            Afs.touch(s"$seg/_COMPLETE")
           }
         } finally b.unpersist(): Unit
       }
@@ -1551,10 +1627,10 @@ object AnnIndex {
     // Numeric batch order, NOT lexicographic ("b10" < "b2" as strings):
     // segment order is LSM recency order, which tombstone boundaries
     // depend on for any caller composing these roots.
-    Option(new java.io.File(segRoot).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && new java.io.File(f, "_COMPLETE").exists())
-      .sortBy(_.getName.stripPrefix("b").toLong)
-      .map(_.toString).toIndexedSeq
+    Afs.listStatus(segRoot)
+      .filter(st => st.isDirectory && Afs.exists(s"${st.getPath}/_COMPLETE"))
+      .sortBy(_.getPath.getName.stripPrefix("b").toLong)
+      .map(_.getPath.toString).toIndexedSeq
   }
 
   /** IVF serve across explicit segment roots (base first, oldest to
@@ -1586,6 +1662,13 @@ object AnnIndex {
     */
   private[ops] def currentServing(d: String): Option[String] =
     currentVersion(shmDir(Tables.datasetTag(d)))
+
+  /** CURRENT resolution for an EXPLICIT root, from disk exactly as a
+    * foreign JVM would — the race specs' hook (maintain/publish vs a
+    * live reader loop).
+    */
+  private[ops] def resolveVersion(root: String): Option[String] =
+    currentVersion(root)
 
   /** Q110 — index build, FORCED (the bench line prices the build every
     * run; probe queries adopt the result). Returns per-artifact row
@@ -1696,9 +1779,14 @@ object AnnIndex {
   val q128: Q = Q(
     "q128_ann_stream_ingest",
     (s, d) => {
-      val base = new java.io.File(shmDir(Tables.datasetTag(d) + "/stream_runs"))
-      base.mkdirs(): Unit
-      val root = java.nio.file.Files.createTempDirectory(base.toPath, "run-").toString
+      val base = shmDir(Tables.datasetTag(d) + "/stream_runs")
+      Afs.mkdirs(base)
+      // Unique run root by claim marker — the same exclusive-create
+      // primitive version allocation uses (portable where
+      // createTempDirectory is local-only).
+      var n = streamRunSeq.incrementAndGet()
+      while (!Afs.createExclusive(s"$base/run-$n._CLAIM")) n = streamRunSeq.incrementAndGet()
+      val root = s"$base/run-$n"
       val rows = try {
         val (baseDir, segs) = streamIngestInto(s, d, root)
         // Same narrowing as q113's census: only an absent artifact
@@ -1713,7 +1801,7 @@ object AnnIndex {
           ("pq_codebook", n(s"$baseDir/pq_codebook")),
           ("pq_codes",
             n(s"$baseDir/pq_codes") + segs.map(g => n(s"$g/pq_codes")).sum))
-      } finally deleteRecursively(new java.io.File(root))
+      } finally { Afs.delete(root); Afs.delete(s"$root._CLAIM") }
       import s.implicits._
       rows.toDF("artifact", "n_rows").orderBy("artifact")
     },

@@ -209,4 +209,51 @@ class KeyRotationSpec extends SparkTestBase {
       assert(!new java.io.File(dir + ".rotate-old").exists())
     } finally kms.stop()
   }
+
+  /** r11 ADVICE: after a FAILED post-swap verification the live path
+    * holds the bad rotated copy and `.rotate-old` holds the only good
+    * one. A blind retry used to sweep `.rotate-old` at entry and
+    * silently make the loss permanent; the entry guard now disambiguates
+    * by row count — a benign crash-after-verify leftover (equal copies)
+    * is swept and the rotation proceeds, while disagreeing copies refuse
+    * the retry with both generations intact.
+    */
+  test("a rotate retry never destroys the only good copy after a failed verification") {
+    val kms = new TestKmsServer().start()
+    try {
+      val base = Files.createTempDirectory("graft-rotate-retry-").toString
+      val dir = base + "/people"
+      val old = dir + ".rotate-old"
+      val policy = EncryptionPolicy(
+        columnKeys = Map(
+          PrivilegeLevel.Restricted -> Seq("social_security_number")),
+        internalKeyMaterial = true)
+      val df = Fixtures.people(spark)
+      val want = df.collect().map(_.toSeq).toSet
+      // The failed-verification wreckage: the live path holds a SHORT
+      // (bad) copy, .rotate-old the full pre-rotation original.
+      EncryptedParquet.write(df.limit(2), dir, policy, kms.url, mode = "overwrite")
+      EncryptedParquet.write(df, old, policy, kms.url, mode = "overwrite")
+      val e = intercept[IllegalArgumentException] {
+        EncryptedParquet.rotateByRewrite(spark, dir, policy, kms.url, Some("RESTRICTED"))
+      }
+      assert(e.getMessage.contains("failed verification"),
+        s"retry must name the prior failed verification, got: ${e.getMessage}")
+      // Nothing was deleted: the good copy is still whole at .rotate-old.
+      assert(EncryptedParquet.read(spark, old, kms.url, Some("RESTRICTED"))
+        .collect().map(_.toSeq).toSet == want,
+        "the only good copy must survive the refused retry")
+      assert(new java.io.File(dir).exists(), "the live copy must also survive")
+
+      // The benign twin state — a crash after verification passed but
+      // before cleanup leaves two EQUAL copies — must not block: the
+      // retry sweeps the redundant .rotate-old and completes.
+      EncryptedParquet.write(df, dir, policy, kms.url, mode = "overwrite")
+      EncryptedParquet.rotateByRewrite(spark, dir, policy, kms.url, Some("RESTRICTED"))
+      assert(!new java.io.File(old).exists(), "redundant equal copy must be swept")
+      assert(EncryptedParquet.read(spark, dir, kms.url, Some("RESTRICTED"))
+        .collect().map(_.toSeq).toSet == want,
+        "post-retry rotated dataset must hold the original rows")
+    } finally kms.stop()
+  }
 }

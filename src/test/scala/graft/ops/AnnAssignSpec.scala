@@ -55,6 +55,25 @@ class AnnAssignSpec extends SparkTestBase {
     assert(big.count() == 64)
   }
 
+  test("literal and join assignment agree on DUPLICATE vec_ids: every row survives") {
+    // r11 ADVICE: the join path used to key its argmin on vec_id and
+    // silently collapse duplicate ids above the k threshold, while the
+    // literal path (a pure projection) preserved them. Both paths must
+    // behave identically on ANY input — per-row, like routeJoin.
+    import spark.implicits._
+    val dup = (0 until 12)
+      .map(i => (7L, (0 until 8).map(j => math.cos(i * 13 + j * 3)), i % 5))
+      .toDF("vec_id", "e", "label")
+    val cs = cents(16, 8)
+    def rows(df: DataFrame): Seq[(Seq[Double], Int)] =
+      df.select("e", "cid").collect()
+        .map(r => (r.getSeq[Double](0), r.getInt(1))).toSeq.sortBy(_._1.head)
+    val lit = rows(dup.withColumn("cid", AnnIndex.nearestCentroid(col("e"), cs)))
+    val joined = rows(AnnIndex.joinAssignCids(dup, cs))
+    assert(joined.size == 12, s"join assignment collapsed duplicate ids: ${joined.size}")
+    assert(lit == joined, "paths diverged on duplicate-vec_id input")
+  }
+
   test("driver and distributed probe routing agree at K=16 and at k=1024") {
     val probes: Seq[(Long, Seq[Double])] = (0 until 40)
       .map(i => (i.toLong, (0 until 8).map(j => math.cos(i * 13 + j * 3)): Seq[Double]))

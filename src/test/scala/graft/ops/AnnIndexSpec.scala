@@ -269,6 +269,28 @@ class AnnIndexSpec extends SparkTestBase {
     } finally res.unpersist(): Unit
   }
 
+  test("an earlier over-cap result frame stays readable after a later over-cap call") {
+    // r11 ADVICE: the spill loop swept ALL prior call dirs at entry, so
+    // a lazily-consumed over-cap DataFrame silently read empty once any
+    // later over-cap call ran. The sweep is once-per-JVM now; per-call
+    // dirs survive the run.
+    import org.apache.spark.sql.functions._
+    AnnIndex.build(spark, sfDir)
+    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
+    val probes = (0 until 3).map(k =>
+      base.select((col("vec_id") + lit(1000000L * (k + 1))).as("pid"), col("e")))
+      .reduce(_ unionAll _)
+    val n = probes.count()
+    // Two over-cap calls (unionCap=1 forces the spill path on this
+    // 2-batch frame); the FIRST result is only consumed after the
+    // SECOND call has run.
+    val first = AnnIndex.pqProbeBatchedCap(spark, sfDir, probes, 1)
+    val second = AnnIndex.pqProbeBatchedCap(spark, sfDir, probes, 1)
+    assert(second.count() === n * AnnIndex.TopK)
+    assert(first.count() === n * AnnIndex.TopK,
+      "earlier over-cap result was emptied by a later over-cap call")
+  }
+
   test("oversized probe batch fails fast at the MaxProbes cap") {
     import org.apache.spark.sql.functions._
     val big = spark.range(AnnIndex.MaxProbes + 1)
@@ -282,23 +304,31 @@ class AnnIndexSpec extends SparkTestBase {
   // ---- versioned publication (r9 ADVICE: atomic rebuild) --------------
 
   test("forced rebuild publishes a NEW version; the prior version survives one publish") {
-    val v1 = AnnIndex.build(spark, sfDir, force = true)
-    val v2 = AnnIndex.build(spark, sfDir, force = true)
-    assert(v1 !== v2, "forced rebuild must publish a fresh immutable version dir")
-    // An in-flight reader that resolved v1 just before the flip still
-    // scans intact files: the predecessor is retired only by the NEXT
-    // publish.
-    assert(new java.io.File(v1, "_SUCCESS").exists(),
-      "previous version must stay complete through one publish")
-    assert(spark.read.parquet(s"$v1/ivf_assignments").count() > 0)
-    val v3 = AnnIndex.build(spark, sfDir, force = true)
-    assert(!new java.io.File(v1).exists(),
-      s"version $v1 should be retired once two newer versions exist (now $v3)")
-    // CURRENT resolves to the newest complete version for adopters.
-    assert(AnnIndex.build(spark, sfDir) === v3)
+    // Grace 0: this test pins the deterministic retire-after-two
+    // lifecycle; the production default keeps retirable versions around
+    // for the grace window so back-to-back flips can't delete a dir an
+    // in-flight reader just resolved.
+    val g = AnnIndex.RetireGraceMs
+    AnnIndex.RetireGraceMs = 0L
+    try {
+      val v1 = AnnIndex.build(spark, sfDir, force = true)
+      val v2 = AnnIndex.build(spark, sfDir, force = true)
+      assert(v1 !== v2, "forced rebuild must publish a fresh immutable version dir")
+      // An in-flight reader that resolved v1 just before the flip still
+      // scans intact files: the predecessor is retired only by the NEXT
+      // publish.
+      assert(new java.io.File(v1, "_SUCCESS").exists(),
+        "previous version must stay complete through one publish")
+      assert(spark.read.parquet(s"$v1/ivf_assignments").count() > 0)
+      val v3 = AnnIndex.build(spark, sfDir, force = true)
+      assert(!new java.io.File(v1).exists(),
+        s"version $v1 should be retired once two newer versions exist (now $v3)")
+      // CURRENT resolves to the newest complete version for adopters.
+      assert(AnnIndex.build(spark, sfDir) === v3)
+    } finally AnnIndex.RetireGraceMs = g
   }
 
-  test("version allocation is claim-by-createDirectory: a concurrent claim is never built into") {
+  test("version allocation is claim-by-exclusive-create: a concurrent claim is never built into or retired") {
     import spark.implicits._
     val root = new java.io.File(
       new java.io.File(if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
@@ -309,22 +339,30 @@ class AnnIndexSpec extends SparkTestBase {
       f.delete(): Unit
     }
     rm(root)
+    val g = AnnIndex.RetireGraceMs
+    AnnIndex.RetireGraceMs = 0L
     try {
       val emb = (0L until 80L)
         .map(id => (id, (0 until 64).map(j => math.sin(id * 31 + j * 17)), (id % 10).toInt))
         .toDF("vec_id", "e", "label")
       val v1 = AnnIndex.buildFrom(spark, emb, root.toString)
       assert(new java.io.File(v1).getName === "v000001")
-      // Another writer has CLAIMED v000002 (empty dir, no _SUCCESS yet)
-      // — this publish must skip it, not merge a build into it, and the
-      // unfinished claim must neither be adopted nor retired while it
-      // is the newest-but-incomplete dir.
+      // Writer A has CLAIMED v000002 (claim marker landed, build in
+      // flight — here: a partial dir with A's data) — publishes racing
+      // past it must skip the number, never merge a build into the dir,
+      // and never retire it, however many newer versions complete
+      // (r11 ADVICE, medium: the old below-predecessor sweep deleted
+      // in-flight claims, whose writers then recreated the dir as a
+      // corrupt published version).
+      assert(graft.io.Afs.createExclusive(s"$root/v000002._CLAIM"))
       val claim = new java.io.File(root, "v000002")
       assert(claim.mkdir())
+      assert(new java.io.File(claim, "a-partial-artifact").createNewFile())
       val v2 = AnnIndex.buildFrom(spark, emb, root.toString)
       assert(new java.io.File(v2).getName === "v000003",
         s"publish must claim the next free version, got $v2")
-      assert(Option(claim.listFiles()).getOrElse(Array.empty).isEmpty,
+      assert(Option(claim.listFiles()).getOrElse(Array.empty).map(_.getName).toSeq
+        === Seq("a-partial-artifact"),
         "publish built into a directory another writer claimed")
       assert(java.nio.file.Files.readString(
         new java.io.File(root, "CURRENT").toPath).trim === "v000003")
@@ -332,7 +370,64 @@ class AnnIndexSpec extends SparkTestBase {
       // even though a squatting claim sits between it and the new head.
       assert(new java.io.File(v1, "_SUCCESS").exists(),
         "retirement removed the complete predecessor instead of keying on _SUCCESS")
-    } finally rm(root)
+      // A THIRD writer publishes: v000001 (complete, below the new
+      // predecessor v000003) retires; A's in-flight v000002 still must
+      // not — retirement keys on _SUCCESS, and claim GC has a
+      // generous age floor.
+      val v4 = AnnIndex.buildFrom(spark, emb, root.toString)
+      assert(new java.io.File(v4).getName === "v000004")
+      assert(!new java.io.File(v1).exists(),
+        "complete version below the predecessor should retire at grace 0")
+      assert(new java.io.File(claim, "a-partial-artifact").exists(),
+        "retirement deleted another writer's claimed, in-flight build")
+      assert(new java.io.File(root, "v000002._CLAIM").exists())
+    } finally { AnnIndex.RetireGraceMs = g; rm(root) }
+  }
+
+  test("the artifact layer speaks the Hadoop FileSystem API: a scheme-qualified " +
+      "file:// root publishes, resolves and serves end-to-end") {
+    // r11 verdict item 2: the version/segment/rotation protocols were
+    // hardwired to java.io.File. This pins the seam itself — a root
+    // addressed by URI (as an hdfs:// or s3a:// deployment would) goes
+    // through publish, claim, CURRENT resolution, delta append,
+    // tombstones and a full probe without one local-file assumption.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val local = new java.io.File(
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else sys.props("java.io.tmpdir"), "graft-ann-fsspec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(local)
+    val root = "file:" + local.getAbsolutePath
+    try {
+      val emb = (0L until 120L)
+        .map(id => (id, (0 until 64).map(j => math.sin(id * 31 + j * 17)), (id % 10).toInt))
+        .toDF("vec_id", "e", "label")
+      val v1 = AnnIndex.buildFrom(spark, emb, s"$root/idx")
+      assert(v1.startsWith("file:"), s"published dir must stay scheme-qualified: $v1")
+      assert(AnnIndex.resolveVersion(s"$root/idx") === Some(v1))
+      assert(spark.read.parquet(s"$v1/ivf_assignments").count() === 120L)
+      // Delta + tombstone segments publish and serve over the same URI
+      // root: a probe of the composed LSM state returns a full surface
+      // with the deleted id masked.
+      val batch = (120L until 140L)
+        .map(id => (id, (0 until 64).map(j => math.sin(id * 31 + j * 17)), (id % 10).toInt))
+        .toDF("vec_id", "e", "label")
+      val seg = AnnIndex.appendSegment(spark, v1, batch, s"$root/seg")
+      assert(seg.startsWith("file:"))
+      val tsDir = AnnIndex.tombstonesFor(spark, v1,
+        emb.filter(col("vec_id") === 5L).select(col("vec_id"), col("e")), s"$root/ts")
+      val probeDf = emb.filter(col("vec_id") < 3L).select("vec_id", "e")
+      val served = AnnIndex.ivfProbeSegments(spark, sfDir, Seq(v1, seg),
+        probeDf, Seq(tsDir -> Int.MaxValue))
+      assert(served.count() === 3L * AnnIndex.TopK,
+        "URI-rooted serve lost surface")
+      assert(served.filter(col("nbr_id") === 5L).count() === 0L,
+        "URI-rooted tombstone mask did not apply")
+    } finally rm(local)
   }
 
   test("a concurrent reader always resolves a complete index across forced rebuilds") {
