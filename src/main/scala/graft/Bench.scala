@@ -285,6 +285,16 @@ object Bench {
     * same commit needed. Extraction is a brace-matched substring, not a
     * JSON parse: the seal file is this program's own single-line output.
     */
+  /** The seal's per-query walls as numbers — the rerun-once rule's
+    * reference points ([[sealWalls]] drives it; [[sealQueries]] embeds
+    * the raw map into the artifact).
+    */
+  private lazy val sealWalls: Map[String, Double] =
+    sealQueries.map { js =>
+      "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(js)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+
   private def sealQueries: Option[String] = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEAL", "BENCH_SEAL.json")
     try {
@@ -497,8 +507,32 @@ object Bench {
         val best = runs.map(_._2).filter(_._1 >= 0).sortBy(_._1).headOption
         n -> best.getOrElse(runs.head._2)
       }
+      // Rerun-once rule (r11 verdict item 1): any query whose best timed
+      // wall exceeds 2x its committed seal wall gets ONE fresh re-timing
+      // in the same warmed context, keeping the minimum. Shared groups'
+      // dual-order min already cancels most one-shot host spikes; SOLO
+      // groups had a single timed run and inherited them raw (q38 7.2x,
+      // q113 5.9x on a load-23 box, plans unchanged). Either way the
+      // artifact then carries BOTH walls ("prior"/"retry" in the diag
+      // map), so a surviving >2x entry is adjudicable as plan-not-host
+      // from the artifact alone.
+      val settled: Map[String, (Double, String)] = measured.map {
+        case (name, (dt, diag)) =>
+          sealWalls.get(name) match {
+            case Some(seal) if dt >= 0 && seal > 0 && dt > 2 * seal =>
+              System.err.println(
+                f"[bench-retry] $name wall=$dt%.2fs > 2x seal=$seal%.2fs — re-timing once")
+              val fn = group.find(_._1 == name).get._2
+              val (dt2, diag2) = timedRun(name, fn)
+              if (dt2 >= 0 && dt2 < dt)
+                name -> (dt2, diag2.dropRight(1) + f""","prior":$dt%.3f}""")
+              else
+                name -> (dt, diag.dropRight(1) + f""","retry":$dt2%.3f}""")
+            case _ => name -> (dt, diag)
+          }
+      }
       group.map { case (name, _) =>
-        val (dt, diag) = measured(name)
+        val (dt, diag) = settled(name)
         (name, dt, diag)
       }
     }.toSeq

@@ -291,6 +291,62 @@ class AnnIndexSpec extends SparkTestBase {
       "earlier over-cap result was emptied by a later over-cap call")
   }
 
+  test("distributed serve ≡ batched serve on a 10k probe frame, with no driver collect of probes") {
+    // r11 verdict item 3: probes stay a DataFrame end-to-end — routing,
+    // candidate join and ranking in ONE lazy plan, no per-batch
+    // collectProbes round-trip anywhere on the path.
+    import org.apache.spark.sql.functions._
+    AnnIndex.build(spark, sfDir)
+    val reps = 21 // 21 x 500 corpus vectors = 10500 probes (11 batches)
+    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
+    val probes = base
+      .crossJoin(broadcast(spark.range(reps).toDF("r")))
+      .select(((col("r") + 1) * lit(10000000L) + col("vec_id")).as("pid"),
+        col("e").as("pe"))
+    val n = probes.count()
+    assert(n >= 10000L, "fixture must be a >=10k probe frame")
+    val dist = AnnIndex.ivfProbeDistributed(spark, sfDir, probes)
+    // Plan pin: the distributed plan contains NO locally-materialized
+    // probe relation — the batched path's collected probes plan as a
+    // LocalTableScan; here the probe side must come straight from its
+    // (distributed) source.
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      s"distributed serve materialized probes on the driver:\n$plan")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = rows(dist)
+    assert(got.size === n.toInt * AnnIndex.TopK,
+      "distributed serve lost surface")
+    assert(got === rows(AnnIndex.ivfProbeBatched(spark, sfDir, probes)),
+      "distributed and batched serving disagree")
+  }
+
+  test("distributed filtered serve: only matching labels, full surface") {
+    import org.apache.spark.sql.functions._
+    AnnIndex.build(spark, sfDir)
+    val probes = AnnIndex.corpus(spark, sfDir)
+      .filter(col("vec_id") < 10).select("vec_id", "e")
+    val res = AnnIndex.ivfProbeDistributed(spark, sfDir, probes,
+      Some(col("label") === 7))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(res.count() === 10L * AnnIndex.TopK)
+      val labels = AnnIndex.corpus(spark, sfDir).select("vec_id", "label")
+      assert(res.join(labels, res("nbr_id") === labels("vec_id"))
+        .filter(col("label") =!= 7).count() === 0L,
+        "distributed filtered serve returned a non-matching neighbor")
+      // Same results as the collected filtered path on the same probes.
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+        df.select("probe_id", "nbr_id", "rnk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows(res) === rows(
+        AnnIndex.ivfProbeFiltered(spark, sfDir, col("label") === 7, probes)),
+        "distributed and collected filtered serving disagree")
+    } finally res.unpersist(): Unit
+  }
+
   test("oversized probe batch fails fast at the MaxProbes cap") {
     import org.apache.spark.sql.functions._
     val big = spark.range(AnnIndex.MaxProbes + 1)

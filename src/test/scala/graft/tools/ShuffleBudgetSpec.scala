@@ -117,6 +117,19 @@ class ShuffleBudgetSpec extends SparkTestBase {
 object ShuffleBudgetSpec {
   /** Measured at sf0.01 (local[4], shuffle.partitions=4), ceiling ≈ 2×
     * measured with a 64 KiB floor for noise on near-zero queries.
+    *
+    * f3 (label-carrying pq_codes) pricing, called out explicitly (r11
+    * verdict item 5): a fresh post-f3 sweep confirms the attribute
+    * column moves exchange BYTES on the ANN write family by under 1%
+    * (q110 944k, q113 44k, q127 237k, q128 61k, q129 248k measured —
+    * all inside the pre-f3 ceilings), because the label is one small
+    * int on rows dominated by the vectors/codes. f3's real price is
+    * WRITE-side wall (stream-ingest 5.19→7.68 s, delete 3.38→4.69 s
+    * seal-to-seal at sf0.1 — BASELINE §C12), which the bench lines gate;
+    * these ceilings gate the exchange shape, where f3 is ~free. q131's
+    * entry was a copied q112 placeholder until this sweep; it now
+    * carries its own measurement (466 KiB — LOWER than unfiltered q112,
+    * the pushed pre-filter thins the scan side of the refine join).
     */
   val CeilingsSf001: Map[String, Long] = Map(
     "q01_filter_project" -> 65536L,
@@ -164,7 +177,8 @@ object ShuffleBudgetSpec {
     "q128_ann_stream_ingest" -> 121794L,
     "q129_ann_index_delete" -> 496912L,
     "q130_ann_filtered_probe" -> 65536L,
-    "q131_ann_pq_filtered_probe" -> 706282L,
+    "q131_ann_pq_filtered_probe" -> 466482L,
+    "q132_ann_distributed_probe" -> 716932L,
     "q12_window_frame" -> 1705488L,
     "q13_topk" -> 65536L,
     "q14_setops" -> 65536L,
