@@ -338,14 +338,20 @@ object AnnIndex {
   private def currentVersion(root: String): Option[String] =
     try {
       val cur = s"$root/CURRENT"
+      // The pointer read gets its OWN failure scope: a corrupt or
+      // partially-visible pointer (mid-flip on a backend without atomic
+      // replace-rename, checksum mismatch on a torn local write) must
+      // degrade to the listing fallback below, not abort resolution.
       val fromPointer =
-        if (!Afs.exists(cur)) None
-        else {
-          val name = Afs.readString(cur).trim
-          if (name.matches("v\\d+") && Afs.exists(s"$root/$name/_SUCCESS"))
-            Some(s"$root/$name")
-          else None
-        }
+        try {
+          if (!Afs.exists(cur)) None
+          else {
+            val name = Afs.readString(cur).trim
+            if (name.matches("v\\d+") && Afs.exists(s"$root/$name/_SUCCESS"))
+              Some(s"$root/$name")
+            else None
+          }
+        } catch { case _: java.io.IOException => None }
       fromPointer.orElse(
         versionsOf(root).filter(isComplete(root, _)).maxOption
           .map(v => s"$root/${vname(v)}"))

@@ -486,6 +486,51 @@ class AnnIndexSpec extends SparkTestBase {
     } finally rm(local)
   }
 
+  test("CURRENT resolution survives a missing, mid-flip or stale pointer via the listing fallback") {
+    // The object-store / HDFS-delete+rename hole made executable: on
+    // backends without atomic replace-rename a reader can catch CURRENT
+    // absent (mid-flip), truncated, or naming a retired dir. Resolution
+    // must degrade to the newest _SUCCESS-complete version — never to
+    // None while a complete version exists, never to an incomplete dir.
+    import spark.implicits._
+    val local = new java.io.File(
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else sys.props("java.io.tmpdir"), "graft-ann-fallbackspec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(local)
+    val root = local.getAbsolutePath
+    try {
+      val emb = (0L until 80L)
+        .map(id => (id, (0 until 64).map(j => math.sin(id * 31 + j * 17)), (id % 10).toInt))
+        .toDF("vec_id", "e", "label")
+      val v1 = AnnIndex.buildFrom(spark, emb, root)
+      val v2 = AnnIndex.buildFrom(spark, emb, root)
+      // Mid-flip: CURRENT deleted between a writer's delete and rename.
+      assert(new java.io.File(root, "CURRENT").delete())
+      assert(AnnIndex.resolveVersion(root) === Some(v2),
+        "missing pointer must fall back to the newest complete version")
+      // Truncated/garbage pointer (partial object-store read).
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "CURRENT").toPath, "v0000"): Unit
+      assert(AnnIndex.resolveVersion(root) === Some(v2),
+        "garbage pointer must fall back to the newest complete version")
+      // Stale pointer naming a dir that no longer exists.
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "CURRENT").toPath, "v000009"): Unit
+      assert(AnnIndex.resolveVersion(root) === Some(v2),
+        "stale pointer must fall back to the newest complete version")
+      // An incomplete newer claim never wins the fallback.
+      assert(graft.io.Afs.createExclusive(s"$root/v000007._CLAIM"))
+      assert(new java.io.File(root, "v000007").mkdir())
+      assert(AnnIndex.resolveVersion(root) === Some(v2),
+        "fallback resolved an incomplete claim")
+      assert(v1 != v2)
+    } finally rm(local)
+  }
+
   test("a concurrent reader always resolves a complete index across forced rebuilds") {
     // The r9 ADVICE race, exercised live: a reader resolving CURRENT
     // from disk (as a foreign JVM would — no builder cache) while
