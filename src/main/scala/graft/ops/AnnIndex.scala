@@ -908,7 +908,28 @@ object AnnIndex {
       attrFilter: Option[Column] = None): DataFrame = {
     GraftFunctions.register(s)
     val dir = ensure(s, d)
-    val cents = readCentroids(s, dir)
+    ivfDistributedCore(s, Seq(dir), readCentroids(s, dir), probeDf, Nil, attrFilter)
+  }
+
+  /** Distributed serve over an LSM state — segment roots (base first)
+    * with per-tombstone recency boundaries, the [[ivfProbeSegments]]
+    * composition on the end-to-end-DataFrame path: every cell of the
+    * serve matrix (filtered × masked × multi-segment) is available at
+    * reindex scale with zero probe materialization.
+    */
+  private[ops] def ivfProbeDistributedSegments(s: SparkSession, d: String,
+      roots: Seq[String], probeDf: DataFrame,
+      tss: Seq[(String, Int)] = Nil,
+      attrFilter: Option[Column] = None): DataFrame = {
+    GraftFunctions.register(s)
+    ivfDistributedCore(s, roots, readCentroids(s, roots.head), probeDf,
+      tss.map { case (p, b) => s.read.parquet(s"$p/tombstones") -> b },
+      attrFilter)
+  }
+
+  private def ivfDistributedCore(s: SparkSession, roots: Seq[String],
+      cents: Seq[(Int, Seq[Double])], probeDf: DataFrame,
+      tss: Seq[(DataFrame, Int)], attrFilter: Option[Column]): DataFrame = {
     val nprobe = if (attrFilter.isDefined) FilteredNprobe else Nprobe
     import org.apache.spark.sql.expressions.Window
     val probes = normalizeProbes(probeDf)
@@ -932,9 +953,9 @@ object AnnIndex {
           .select("__pord", "cid")
         probes.join(narrow, Seq("__pord"))
       }
-    val lists = s.read.parquet(s"$dir/ivf_assignments")
-      .filter(attrFilter.getOrElse(lit(true)))
-      .select(col("cid"), col("vec_id"), col("e"))
+    val lists = maskedUnion(s, roots, "ivf_assignments",
+      Seq(col("cid"), col("vec_id"), col("e")), tss,
+      prep = df => df.filter(attrFilter.getOrElse(lit(true))))
     val wT = Window.partitionBy("__pord").orderBy(col("cos").desc, col("vec_id").asc)
     lists.join(routed, Seq("cid"))
       .filter(col("vec_id") =!= col("pid"))

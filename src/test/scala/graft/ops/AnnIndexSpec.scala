@@ -323,6 +323,45 @@ class AnnIndexSpec extends SparkTestBase {
       "distributed and batched serving disagree")
   }
 
+  test("distributed LSM serve ≡ collected segment serve: masks, boundaries and filters compose") {
+    // The full serve matrix on the end-to-end-DataFrame path: base +
+    // delta segments, a tombstone with a recency boundary, an attribute
+    // filter — identical results to ivfProbeSegments on the same state.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val local = new java.io.File(
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else sys.props("java.io.tmpdir"), "graft-ann-distlsm")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(local)
+    val root = local.getAbsolutePath
+    try {
+      def mk(ids: Range): org.apache.spark.sql.DataFrame = ids
+        .map(i => (i.toLong, (0 until 64).map(j => math.sin(i * 31 + j * 17)), i % 10))
+        .toDF("vec_id", "e", "label")
+      val base = AnnIndex.buildFrom(spark, mk(0 until 200), s"$root/idx")
+      val seg = AnnIndex.appendSegment(spark, base, mk(200 until 260), s"$root/seg")
+      // Tombstone masking only the base (boundary 1 — the upsert shape).
+      val ts = AnnIndex.tombstonesFor(spark, base,
+        mk(0 until 200).filter(col("vec_id") % 7 === 0).select(col("vec_id"), col("e")),
+        s"$root/ts")
+      val probeDf = mk(0 until 30).select("vec_id", "e")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      for (f <- Seq(None, Some(col("label") === 3))) {
+        val collected = rows(AnnIndex.ivfProbeSegments(spark, sfDir,
+          Seq(base, seg), probeDf, Seq(ts -> 1), attrFilter = f))
+        val dist = rows(AnnIndex.ivfProbeDistributedSegments(spark, sfDir,
+          Seq(base, seg), probeDf, Seq(ts -> 1), attrFilter = f))
+        assert(dist === collected,
+          s"distributed LSM serve diverged from segment serve (filter=$f)")
+      }
+    } finally rm(local)
+  }
+
   test("distributed filtered serve: only matching labels, full surface") {
     import org.apache.spark.sql.functions._
     AnnIndex.build(spark, sfDir)
