@@ -222,14 +222,25 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
     import spark.implicits._
     val probes = probeIds.map(id => (id + 1000000L, vec(id, st.live(id))))
       .toDF("pid", "pe")
-    assertServed(AnnIndex.ivfProbeSegments(spark, sfDir, st.base +: st.segs,
-      probes, st.tss).collect(), st, probeIds.size, s"$what IVF")
+    val ivfRes = AnnIndex.ivfProbeSegments(spark, sfDir, st.base +: st.segs,
+      probes, st.tss).collect()
+    assertServed(ivfRes, st, probeIds.size, s"$what IVF")
     // The PQ twin serves the same masked segment state: its ADC pool
     // covers the whole tiny corpus, so the exact-refine stage must
     // reproduce the identical freshness/no-ghost/no-dup surface.
-    if (alsoPq)
+    if (alsoPq) {
       assertServed(AnnIndex.pqProbeSegments(spark, sfDir, st.base +: st.segs,
         probes, st.tss).collect(), st, probeIds.size, s"$what PQ")
+      // The DISTRIBUTED reader over the same LSM state must reproduce
+      // the collected serve row-for-row on every generated segment/
+      // tombstone interleaving (r12: the end-to-end-DataFrame path).
+      val distRes = AnnIndex.ivfProbeDistributedSegments(spark, sfDir,
+        st.base +: st.segs, probes, st.tss).collect()
+      def key(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(key(distRes) == key(ivfRes),
+        s"$what: distributed serve diverged from the collected serve")
+    }
     // Filtered serving composes with the same LSM state: restrict to
     // the first probe's own label — its fresh self-copy matches the
     // filter, so top-1 self at cosine exactly 1.0 must survive the
