@@ -37,12 +37,15 @@ object Afs {
 
   /** The Hadoop conf artifact IO resolves schemes/credentials with: the
     * active Spark session's (cluster deployments configure fs.* there),
-    * else a bare default (local tooling before any session exists).
+    * else one cached bare default (parsing the XML resources per file
+    * op would tax pre-session tooling for nothing).
     */
+  private lazy val fallbackConf = new Configuration()
+
   def conf: Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new Configuration())
+      .getOrElse(fallbackConf)
 
   private def fsOf(p: Path): FileSystem = p.getFileSystem(conf)
 
@@ -60,18 +63,35 @@ object Afs {
     * primitive (see the object Scaladoc for per-backend guarantees).
     * Returns false when the path already exists; any other IO failure
     * propagates (a claim loop must not spin past a dead filesystem).
+    *
+    * Per-backend strongest primitive: `RawLocalFileSystem.create(f,
+    * overwrite=false)` is exists-check-then-open — NOT atomic — so on
+    * the local backend the claim goes through NIO's `createFile`
+    * (CREATE_NEW = O_EXCL, a single atomic syscall; the seam exists to
+    * pick the strongest primitive each backend offers, and this is the
+    * local one). HDFS gets the namenode-atomic `create(…, false)`;
+    * object stores are best-effort there, bounded by the marker
+    * discipline (a doubly-won claim wastes one build, never corrupts —
+    * both writers produce the same content idempotently and `_SUCCESS`
+    * lands last either way).
     */
   def createExclusive(p: String): Boolean = {
     val pp = new Path(p)
-    try { fsOf(pp).create(pp, false).close(); true }
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-      // RawLocalFileSystem historically signaled exists-collisions as a
-      // bare IOException with this message shape; treat it as a lost
-      // claim rather than an infrastructure failure.
-      case e: java.io.IOException if e.getMessage != null &&
-        e.getMessage.contains("already exists") => false
+    val f = fsOf(pp)
+    val isLocal = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      try { java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(pp.toUri.getPath)): Unit; true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { f.create(pp, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.contains("already exists") => false
+      }
     }
   }
 

@@ -180,6 +180,10 @@ object EncryptedParquet {
     // loss permanent on retry (r11 ADVICE). Disambiguate by row count;
     // anything but a readable exact match refuses and leaves both
     // copies for the operator.
+    // When the recovery branch already counted the live copy, reuse it
+    // as rowsBefore — nothing modifies the dataset in between, and the
+    // count is a full decrypted scan worth not paying twice.
+    var verifiedLive: Option[Long] = None
     if (Afs.exists(old)) {
       val liveRows = try read(spark, path, kmsUrl, accessToken).count()
                      catch { case e: Throwable =>
@@ -193,10 +197,12 @@ object EncryptedParquet {
         s"$path ($liveRows rows) and $old ($oldRows rows) both exist and disagree — " +
           s"a prior rotation failed verification; refusing to rotate or delete " +
           s"either copy. Resolve manually (the pre-rotation data is at $old).")
+      verifiedLive = Some(liveRows)
     }
     Afs.delete(tmp); Afs.delete(old)
     KeyToolkit.removeCacheEntriesForAllTokens()
-    val rowsBefore = read(spark, path, kmsUrl, accessToken).count()
+    val rowsBefore = verifiedLive.getOrElse(
+      read(spark, path, kmsUrl, accessToken).count())
     write(read(spark, path, kmsUrl, accessToken), tmp, policy, kmsUrl,
       mode = "overwrite", zstdLevel = zstdLevel, pageV2 = pageV2)
     require(Afs.rename(path, old),

@@ -311,22 +311,32 @@ object AnnIndex {
     * item 4 — two quick flips, e.g. [[maintain]]'s fold-then-retrain,
     * used to retire the version a reader resolved just before the FIRST
     * flip; the grace bounds every reader whose scan finishes inside it,
-    * the Iceberg snapshot-expiration discipline). Specs pinning the
+    * the Iceberg snapshot-expiration discipline). The price is
+    * transient storage — up to one grace window of retirable versions
+    * per root (at the bench's sf0.1 a version is a few MB of tmpfs; at
+    * 100 TB the roots live on cluster storage where a few extra index
+    * copies are noise next to the corpus). Specs pinning the
     * deterministic retire-after-two lifecycle set it to 0.
     */
   private[ops] var RetireGraceMs: Long =
     sys.props.get("graft.ann.retire.grace.ms").map(_.toLong).getOrElse(10 * 60 * 1000L)
 
-  /** Abandoned-claim GC floor: a claimed-but-never-completed version is
-    * swept only when both its claim marker and its dir (if any) have
-    * been quiet this long — generous, so an in-flight multi-hour build
-    * is never deleted under its writer (r11 ADVICE, medium: the old
-    * below-predecessor sweep could delete another writer's live claim,
-    * whose later writes then recreated the dir as a corrupt published
-    * version).
+  /** Abandoned-claim GC floor — effectively the maximum supported build
+    * duration: the "signs of life" measured below are the claim
+    * marker's mtime (fixed at claim time) and the version dir's
+    * top-level mtime (updated only when a DIRECT child lands, i.e.
+    * early), so a build running longer than this is treated as
+    * abandoned and swept. 7 days is far beyond any plausible build; the
+    * cost of carrying a truly dead claim that long is one skipped
+    * version number and a few stray files — numbering and publication
+    * around it work fine — so the floor errs heavily toward never
+    * deleting a live writer's work (r11 ADVICE, medium: the old
+    * below-predecessor sweep could delete another writer's in-flight
+    * claim, whose later writes then recreated the dir as a corrupt
+    * published version).
     */
   private[ops] var ClaimGcMs: Long =
-    sys.props.get("graft.ann.claim.gc.ms").map(_.toLong).getOrElse(24 * 60 * 60 * 1000L)
+    sys.props.get("graft.ann.claim.gc.ms").map(_.toLong).getOrElse(7L * 24 * 60 * 60 * 1000L)
 
   /** Resolve the root to a complete version dir: the CURRENT pointer
     * when it names one, else the newest `_SUCCESS`-marked version in a
@@ -358,12 +368,18 @@ object AnnIndex {
     } catch { case _: java.io.IOException => None }
 
   /** Every version number present under `root` — complete dirs,
-    * in-flight dirs, and bare claims.
+    * in-flight dirs, and bare claims. Total over arbitrary root
+    * listings: an entry whose digit run exceeds Int range (junk no
+    * publish ever wrote) is ignored rather than thrown on — resolution
+    * and publication must degrade, not crash, on foreign debris.
     */
   private def versionsOf(root: String): Seq[Int] =
-    Afs.listNames(root).collect {
-      case n if n.matches("v\\d+") => n.drop(1).toInt
-      case n if n.matches("v\\d+\\._CLAIM") => n.drop(1).takeWhile(_.isDigit).toInt
+    Afs.listNames(root).flatMap { n =>
+      val digits =
+        if (n.matches("v\\d+")) Some(n.drop(1))
+        else if (n.matches("v\\d+\\._CLAIM")) Some(n.drop(1).takeWhile(_.isDigit))
+        else None
+      digits.filter(_.length <= 9).map(_.toInt)
     }.distinct
 
   /** Write a fresh immutable version via `write(versionDir)`, mark it
@@ -415,8 +431,10 @@ object AnnIndex {
           Afs.delete(s"$root/${vname(v)}._CLAIM")
         }
     }
-    // GC abandoned claims: no _SUCCESS and no sign of life (claim marker
-    // or dir mtime) inside the claim-GC window. Never this publish's own.
+    // GC abandoned claims: no _SUCCESS and neither the claim marker nor
+    // the dir's top-level mtime younger than the claim-GC floor (=== the
+    // max supported build duration — see ClaimGcMs). Never this
+    // publish's own.
     before.filterNot(isComplete(root, _)).filterNot(_ == next).foreach { v =>
       val life = Seq(Afs.mtime(s"$root/${vname(v)}._CLAIM"),
         Afs.mtime(s"$root/${vname(v)}")).flatten
@@ -886,9 +904,12 @@ object AnnIndex {
     *     join, no exchange, evaluated inside the probe scan stage with
     *     the same tie-break as [[routeDriver]];
     *   - beyond it the probes cross the broadcast routing-table frame
-    *     with only (ordinal, cid, −cos) in the rank shuffle — the
-    *     O(probes·k) expansion never carries the vectors — and the
-    *     nprobe survivors re-join their vector by ordinal.
+    *     and a per-ordinal aggregate collects, sorts and slices the
+    *     top-nprobe (negsim, cid) entries — ONE linear pipeline (the
+    *     ordinal is nondeterministic, so it is never recomputed across
+    *     a self-join), with map-side partial aggregation so the
+    *     exchange carries each probe's k narrow structs plus its
+    *     vector once, never the k-fold expansion.
     *
     * Candidates are ONE scan of the inverted lists joined to the routed
     * probes on cid. Unlike the batched path there is no STATIC cid
@@ -917,7 +938,7 @@ object AnnIndex {
     * serve matrix (filtered × masked × multi-segment) is available at
     * reindex scale with zero probe materialization.
     */
-  private[ops] def ivfProbeDistributedSegments(s: SparkSession, d: String,
+  private[ops] def ivfProbeDistributedSegments(s: SparkSession,
       roots: Seq[String], probeDf: DataFrame,
       tss: Seq[(String, Int)] = Nil,
       attrFilter: Option[Column] = None): DataFrame = {
@@ -941,17 +962,28 @@ object AnnIndex {
           explode(transform(slice(array_sort(entries), 1, nprobe),
             e => e.getField("cid"))))
       } else {
-        val centDf = { import s.implicits._; cents.toDF("cid", "ce") }
-        val wR = Window.partitionBy("__pord")
-          .orderBy(col("negsim").asc, col("cid").asc)
-        val narrow = probes.select(col("__pord"), col("pe"))
+        // ONE linear pipeline — no self-join: the ordinal is
+        // nondeterministic (monotonically_increasing_id), so it must
+        // never be recomputed on two sides of a join (a shuffle-bearing
+        // probe source re-evaluates with different per-partition order
+        // and a probe's vector would join ANOTHER probe's routed list).
+        // scan → expand vs the broadcast routing table → per-ordinal
+        // aggregate: collect the k (negsim, cid) entries, sort, slice
+        // nprobe (the routeDriver ordering and tie-break), explode. The
+        // map-side partial collect_list means the exchange carries each
+        // probe's k narrow structs plus its vector once — vectors never
+        // ride the k-fold expansion.
+        val centDf = { import s.implicits._; cents.toDF("rcid", "ce") }
+        probes
           .crossJoin(broadcast(centDf))
-          .select(col("__pord"), col("cid"),
-            (-GraftFunctions.cosineSim(col("pe"), col("ce"))).as("negsim"))
-          .withColumn("rk", row_number().over(wR))
-          .filter(col("rk") <= nprobe)
-          .select("__pord", "cid")
-        probes.join(narrow, Seq("__pord"))
+          .withColumn("negsim", -GraftFunctions.cosineSim(col("pe"), col("ce")))
+          .groupBy(col("__pord"))
+          .agg(first(col("pid")).as("pid"), first(col("pe")).as("pe"),
+            slice(array_sort(collect_list(struct(col("negsim"), col("rcid")))),
+              1, nprobe).as("routed"))
+          .withColumn("cid",
+            explode(transform(col("routed"), e => e.getField("rcid"))))
+          .select("__pord", "pid", "pe", "cid")
       }
     val lists = maskedUnion(s, roots, "ivf_assignments",
       Seq(col("cid"), col("vec_id"), col("e")), tss,

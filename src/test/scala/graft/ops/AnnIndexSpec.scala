@@ -354,7 +354,7 @@ class AnnIndexSpec extends SparkTestBase {
       for (f <- Seq(None, Some(col("label") === 3))) {
         val collected = rows(AnnIndex.ivfProbeSegments(spark, sfDir,
           Seq(base, seg), probeDf, Seq(ts -> 1), attrFilter = f))
-        val dist = rows(AnnIndex.ivfProbeDistributedSegments(spark, sfDir,
+        val dist = rows(AnnIndex.ivfProbeDistributedSegments(spark,
           Seq(base, seg), probeDf, Seq(ts -> 1), attrFilter = f))
         assert(dist === collected,
           s"distributed LSM serve diverged from segment serve (filter=$f)")

@@ -234,7 +234,7 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
       // The DISTRIBUTED reader over the same LSM state must reproduce
       // the collected serve row-for-row on every generated segment/
       // tombstone interleaving (r12: the end-to-end-DataFrame path).
-      val distRes = AnnIndex.ivfProbeDistributedSegments(spark, sfDir,
+      val distRes = AnnIndex.ivfProbeDistributedSegments(spark,
         st.base +: st.segs, probes, st.tss).collect()
       def key(rs: Array[org.apache.spark.sql.Row]) =
         rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
