@@ -507,27 +507,69 @@ object Bench {
         val best = runs.map(_._2).filter(_._1 >= 0).sortBy(_._1).headOption
         n -> best.getOrElse(runs.head._2)
       }
-      // Rerun-once rule (r11 verdict item 1): any query whose best timed
-      // wall exceeds 2x its committed seal wall gets ONE fresh re-timing
-      // in the same warmed context, keeping the minimum. Shared groups'
-      // dual-order min already cancels most one-shot host spikes; SOLO
-      // groups had a single timed run and inherited them raw (q38 7.2x,
-      // q113 5.9x on a load-23 box, plans unchanged). Either way the
-      // artifact then carries BOTH walls ("prior"/"retry" in the diag
-      // map), so a surviving >2x entry is adjudicable as plan-not-host
-      // from the artifact alone.
+      // Rerun rule (r11 verdict item 1, load-gated per r12 verdict item
+      // 4): any query whose best timed wall exceeds 2x its committed seal
+      // wall gets a fresh re-timing in the same warmed context, keeping
+      // the minimum. Shared groups' dual-order min already cancels most
+      // one-shot host spikes; SOLO groups had a single timed run and
+      // inherited them raw (q38 7.2x, q113 5.9x on a load-23 box, plans
+      // unchanged). The r12 lesson (q26: retry 4.7s > prior 1.2s at load
+      // 6.2) is that an IMMEDIATE retry re-samples the same stall — so
+      // the retry first waits, sleep-bounded, for the 1-min loadavg to
+      // drop below cpus/4, and when the retry itself still ran contended
+      // (load at its end >= the gate) AND stayed >2x, ONE further
+      // load-gated retry is permitted. The artifact carries every wall
+      // ("prior"/"retry"/"retry2" in the diag map) plus the load the
+      // settle-wait ended at, so a surviving >2x entry is adjudicable as
+      // plan-not-host from the artifact alone. NOTE the policy is
+      // one-sided by design (it can only LOWER walls relative to a naive
+      // single run, never raise them) — declared in the artifact header
+      // ("retry_policy") so seal-to-seal comparisons account for it.
+      val loadGate = (try cpus.toDouble catch { case _: Throwable => 32.0 }) / 4.0
+      def settleLoad(): Double = {
+        val deadlineNs = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        var ld = try Diag.load1.toDouble catch { case _: Throwable => -1.0 }
+        while (ld >= loadGate && System.nanoTime() < deadlineNs) {
+          Thread.sleep(5000)
+          ld = try Diag.load1.toDouble catch { case _: Throwable => -1.0 }
+        }
+        ld
+      }
+      // Splice extra fields into a per-query diag object; a malformed
+      // diag (not brace-terminated) is left untouched rather than
+      // corrupting the whole artifact's JSON (r12 ADVICE).
+      def splice(diag: String, extra: String): String =
+        if (diag.endsWith("}")) diag.dropRight(1) + "," + extra + "}" else diag
       val settled: Map[String, (Double, String)] = measured.map {
         case (name, (dt, diag)) =>
           sealWalls.get(name) match {
             case Some(seal) if dt >= 0 && seal > 0 && dt > 2 * seal =>
-              System.err.println(
-                f"[bench-retry] $name wall=$dt%.2fs > 2x seal=$seal%.2fs — re-timing once")
               val fn = group.find(_._1 == name).get._2
-              val (dt2, diag2) = timedRun(name, fn)
-              if (dt2 >= 0 && dt2 < dt)
-                name -> (dt2, diag2.dropRight(1) + f""","prior":$dt%.3f}""")
-              else
-                name -> (dt, diag.dropRight(1) + f""","retry":$dt2%.3f}""")
+              def retryOnce(tag: String): (Double, String, Double) = {
+                val ld = settleLoad()
+                System.err.println(f"[bench-retry] $name > 2x seal=$seal%.2fs — " +
+                  f"re-timing ($tag) at settled load=$ld%.2f")
+                val (d, g) = timedRun(name, fn)
+                (d, g, ld)
+              }
+              val (dt2, diag2, ld2) = retryOnce("retry")
+              // Load AT THE RETRY'S END: the settle-wait can time out and
+              // the retry itself can run into a fresh spike; either way a
+              // still->2x wall measured under load earns one more sample.
+              val ldEnd = try Diag.load1.toDouble catch { case _: Throwable => -1.0 }
+              val contended = ld2 >= loadGate || ldEnd >= loadGate
+              val (dt3, diag3) =
+                if (contended && dt2 >= 0 && math.min(dt, dt2) > 2 * seal) {
+                  val (d, g, _) = retryOnce("retry2"); (d, Some(g))
+                } else (-1.0, None)
+              val runs = Seq((dt, diag, "prior"), (dt2, diag2, "retry")) ++
+                diag3.map(g => (dt3, g, "retry2"))
+              val valid = runs.filter(_._1 >= 0)
+              val best = if (valid.nonEmpty) valid.minBy(_._1) else runs.head
+              val others = runs.filterNot(_._3 == best._3)
+                .map { case (d, _, tag) => f""""$tag":$d%.3f""" }
+              name -> (best._1,
+                splice(best._2, (others :+ f""""retry_load":$ld2%.2f""").mkString(",")))
             case _ => name -> (dt, diag)
           }
       }
@@ -545,7 +587,8 @@ object Bench {
     // measured under (r9 verdict item 1: grouping is structural now).
     val soloJson = soloNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""diag":$diags,"solo":$soloJson,"sf":"$sfDir"}"""
+      f""""diag":$diags,"solo":$soloJson,""" +
+      f""""retry_policy":"gt2x-seal-load-gated-keep-min","sf":"$sfDir"}"""
     println(fullLine)
     // The stdout channel has failed twice (round 3: tail truncation ate
     // the total; round 4: the sbt logger's "[info] " prefix broke the

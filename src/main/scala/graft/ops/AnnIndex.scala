@@ -139,6 +139,19 @@ object AnnIndex {
     // the same stage, so each input row expands to k copies sharing one
     // ordinal; shuffle bytes are unchanged (same row count, one long
     // added per row).
+    //
+    // EXECUTOR-LOSS CAVEAT (r12 ADVICE): monotonically_increasing_id is
+    // nondeterministic across recomputation — if a shuffle-fetch failure
+    // forces this map stage to PARTIALLY recompute and `df`'s own lineage
+    // contains a shuffle whose row order is not stable, recomputed
+    // partitions can hand out different ordinals than the surviving map
+    // outputs did, duplicating/dropping rows in the aggregate (the known
+    // Spark non-deterministic-expression caveat; deterministic inputs —
+    // file scans, as every production caller here supplies — recompute
+    // identically and are safe). Callers feeding a shuffle-bearing frame
+    // at genuine cluster scale should localCheckpoint() it first; keying
+    // by a content hash instead is NOT equivalent (it would merge
+    // genuinely duplicate rows, the r11 bug this ordinal exists to fix).
     val cols = df.columns.toSeq
     df.withColumn("__ord", monotonically_increasing_id())
       .crossJoin(broadcast(centDf))
@@ -279,7 +292,7 @@ object AnnIndex {
     s"$base/$FormatLevel"
   }
 
-  private def shmDir(suffix: String): String = s"$sweptStaleFormats/$suffix"
+  private[ops] def shmDir(suffix: String): String = s"$sweptStaleFormats/$suffix"
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -382,6 +395,11 @@ object AnnIndex {
       digits.filter(_.length <= 9).map(_.toInt)
     }.distinct
 
+  /** Consecutive lost claims after which a claim loop fails loudly —
+    * see the bounded loop in [[publishVersion]].
+    */
+  private[ops] val ClaimAttemptCap = 1000
+
   /** Write a fresh immutable version via `write(versionDir)`, mark it
     * complete, flip CURRENT to it, retire complete versions older than
     * the predecessor once past the retirement grace. Returns the
@@ -397,7 +415,7 @@ object AnnIndex {
     * it, however old the publish racing past it is); abandoned claims
     * are garbage-collected separately behind [[ClaimGcMs]].
     */
-  private def publishVersion(root: String)(write: String => Unit): String = {
+  private[ops] def publishVersion(root: String)(write: String => Unit): String = {
     Afs.mkdirs(root)
     // Snapshot BEFORE claiming: the retirement below must reason about
     // the pre-publish state (re-listing after this publish's own
@@ -405,7 +423,20 @@ object AnnIndex {
     // and retire the real one under in-flight readers).
     val before: Seq[Int] = versionsOf(root)
     var next = (before :+ 0).max + 1
-    while (!Afs.createExclusive(s"$root/${vname(next)}._CLAIM")) next += 1
+    // Bounded claim loop (r12 ADVICE): createExclusive's non-local arm
+    // classifies connector "already exists" errors as a lost claim; a
+    // persistent unrelated error matching that sniff must fail loudly
+    // after a bounded number of consecutive losses, not spin forever
+    // incrementing version numbers. 1000 consecutive lost claims cannot
+    // happen under real contention (each loser re-claims a HIGHER number
+    // than any winner took), only under a broken filesystem.
+    var attempts = 0
+    while (!Afs.createExclusive(s"$root/${vname(next)}._CLAIM")) {
+      next += 1; attempts += 1
+      if (attempts >= ClaimAttemptCap) throw new java.io.IOException(
+        s"claim loop lost $attempts consecutive versions under $root — " +
+          "filesystem reports every claim path as already existing")
+    }
     val vdir = s"$root/${vname(next)}"
     Afs.mkdirs(vdir)
     write(vdir)
@@ -648,23 +679,28 @@ object AnnIndex {
     * batch — while the driver keeps only the routing RESULT, ≤
     * MaxProbes·nprobe (pid, cid) rows. Both paths use the same
     * tie-break (highest cos, then smallest cid); [[AnnAssignSpec]] pins
-    * them identical.
+    * them identical. Entries lead with the probe's ORDINAL in the
+    * collected batch: downstream ranking partitions on it, so duplicate
+    * probe ids route AND rank per-row on every serve path, collected and
+    * distributed alike (r12 ADVICE — the collected windows used to key
+    * on probe_id and merge duplicates where the distributed path did
+    * not).
     */
   private[ops] def routeProbes(s: SparkSession, probes: Seq[(Long, Seq[Double])],
-      cents: Seq[(Int, Seq[Double])], nprobe: Int): Seq[(Long, Seq[Double], Int)] =
+      cents: Seq[(Int, Seq[Double])], nprobe: Int): Seq[(Int, Long, Seq[Double], Int)] =
     if (cents.size <= LiteralAssignMaxK) routeDriver(probes, cents, nprobe)
     else routeJoin(s, probes, cents, nprobe)
 
   private[ops] def routeDriver(probes: Seq[(Long, Seq[Double])],
-      cents: Seq[(Int, Seq[Double])], nprobe: Int): Seq[(Long, Seq[Double], Int)] =
-    probes.flatMap { case (pid, pe) =>
+      cents: Seq[(Int, Seq[Double])], nprobe: Int): Seq[(Int, Long, Seq[Double], Int)] =
+    probes.zipWithIndex.flatMap { case ((pid, pe), ord) =>
       cents.map { case (cid, ce) => (-cosineScala(pe, ce), cid) }
         .sorted.take(nprobe)
-        .map { case (_, cid) => (pid, pe, cid) }
+        .map { case (_, cid) => (ord, pid, pe, cid) }
     }
 
   private[ops] def routeJoin(s: SparkSession, probes: Seq[(Long, Seq[Double])],
-      cents: Seq[(Int, Seq[Double])], nprobe: Int): Seq[(Long, Seq[Double], Int)] = {
+      cents: Seq[(Int, Seq[Double])], nprobe: Int): Seq[(Int, Long, Seq[Double], Int)] = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
@@ -682,7 +718,8 @@ object AnnIndex {
       .collect().toIndexedSeq
       .sortBy(r => (r.getInt(0), r.getInt(1)))
       .map { r =>
-        val (pid, pe) = probes(r.getInt(0)); (pid, pe, r.getInt(1))
+        val ord = r.getInt(0)
+        val (pid, pe) = probes(ord); (ord, pid, pe, r.getInt(1))
       }
   }
 
@@ -699,7 +736,7 @@ object AnnIndex {
     * ([[compactInto]]'s write-side fold keeps its own `anti` because
     * its mask set also feeds touched-list resolution).
     */
-  private def maskedUnion(s: SparkSession, roots: Seq[String], sub: String,
+  private[ops] def maskedUnion(s: SparkSession, roots: Seq[String], sub: String,
       sel: Seq[Column], tss: Seq[(DataFrame, Int)],
       prep: DataFrame => DataFrame = identity): DataFrame =
     roots.zipWithIndex.map { case (p, i) =>
@@ -716,11 +753,11 @@ object AnnIndex {
       attrFilter: Option[Column] = None,
       nprobe: Int = Nprobe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val routed: Seq[(Long, Seq[Double], Int)] = routeProbes(s, probes, cents, nprobe)
-    val neededCids = routed.map(_._3).distinct.sorted
+    val routed: Seq[(Int, Long, Seq[Double], Int)] = routeProbes(s, probes, cents, nprobe)
+    val neededCids = routed.map(_._4).distinct.sorted
     val probeDf = {
       import s.implicits._
-      routed.toDF("probe_id", "pe", "cid")
+      routed.toDF("__ord", "probe_id", "pe", "cid")
     }
     // Segments are separate partitioned roots — load each and union
     // (Spark rejects conflicting partition roots in one load); the cid
@@ -732,7 +769,10 @@ object AnnIndex {
       Seq(col("cid"), col("vec_id"), col("e")), tombstones,
       prep = df => df.filter(col("cid").isin(neededCids: _*))
         .filter(attrFilter.getOrElse(lit(true))))
-    val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    // Rank per probe ROW (__ord), not per probe id: duplicate pids in a
+    // batch each get their own full top-k, identical to the distributed
+    // path's per-ordinal ranking (r12 ADVICE).
+    val wT = Window.partitionBy("__ord").orderBy(col("cos").desc, col("vec_id").asc)
     lists.join(broadcast(probeDf), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", GraftFunctions.cosineSim(col("e"), col("pe")))
@@ -967,6 +1007,11 @@ object AnnIndex {
         // never be recomputed on two sides of a join (a shuffle-bearing
         // probe source re-evaluates with different per-partition order
         // and a probe's vector would join ANOTHER probe's routed list).
+        // The joinAssignCids executor-loss caveat applies here too: a
+        // partial stage recompute after shuffle-fetch failure can
+        // re-deal ordinals when the probe frame's own lineage holds an
+        // order-unstable shuffle — localCheckpoint such frames on a
+        // real cluster; deterministic (file-scan) probe sources are safe.
         // scan → expand vs the broadcast routing table → per-ordinal
         // aggregate: collect the k (negsim, cid) entries, sort, slice
         // nprobe (the routeDriver ordering and tie-break), explode. The
@@ -1099,8 +1144,10 @@ object AnnIndex {
       codes: DataFrame, probes: Seq[(Long, Seq[Double])]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Flat LUT per probe: lut[m*K + code] = dot(pe_m, centroid(m, code)).
-    val probeLut: Seq[(Long, Seq[Double], Seq[Double], Double)] = probes.map {
-      case (pid, pe) =>
+    // Rows lead with the probe's batch ordinal so ranking below is per
+    // probe ROW — duplicate pids rank independently (r12 ADVICE).
+    val probeLut: Seq[(Int, Long, Seq[Double], Seq[Double], Double)] =
+      probes.zipWithIndex.map { case ((pid, pe), ord) =>
         val lut = for (m <- 0 until Mpq; code <- 0 until Kpq) yield {
           val ce = cb((m, code)); val off = m * Sub
           var acc = 0.0; var i = 0
@@ -1108,11 +1155,11 @@ object AnnIndex {
           acc
         }
         val pnorm = math.sqrt(pe.map(x => x * x).sum)
-        (pid, pe, lut, pnorm)
-    }
+        (ord, pid, pe, lut, pnorm)
+      }
     val lutDf = {
       import s.implicits._
-      probeLut.toDF("probe_id", "pe", "lut", "pnorm")
+      probeLut.toDF("__ord", "probe_id", "pe", "lut", "pnorm")
     }
     // qdot = Σ_m lut[m*K + codes[m]] — an aggregate over the M codes;
     // qcos against the stored reconstructed norm ranks the pool.
@@ -1122,12 +1169,12 @@ object AnnIndex {
           (acc, m) => acc + element_at(col("lut"),
             m * lit(Kpq) + element_at(col("codes"), m + lit(1)) + lit(1))))
       .withColumn("qcos", col("qdot") / (col("pnorm") * col("qnorm")))
-    val wPool = Window.partitionBy("probe_id").orderBy(col("qcos").desc, col("vec_id").asc)
+    val wPool = Window.partitionBy("__ord").orderBy(col("qcos").desc, col("vec_id").asc)
     val pool = scored
       .withColumn("prank", row_number().over(wPool))
       .filter(col("prank") <= Pool)
-      .select(col("probe_id"), col("vec_id"), col("pe"))
-    val wT = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+      .select(col("__ord"), col("probe_id"), col("vec_id"), col("pe"))
+    val wT = Window.partitionBy("__ord").orderBy(col("cos").desc, col("vec_id").asc)
     // Unhinted exact-refine join (q23f's r8 discipline): the corpus side
     // carries accurate scan stats — broadcast at bench scale, shuffled
     // fallback beyond the threshold.
@@ -1918,7 +1965,13 @@ object AnnIndex {
       // primitive version allocation uses (portable where
       // createTempDirectory is local-only).
       var n = streamRunSeq.incrementAndGet()
-      while (!Afs.createExclusive(s"$base/run-$n._CLAIM")) n = streamRunSeq.incrementAndGet()
+      var attempts = 0
+      while (!Afs.createExclusive(s"$base/run-$n._CLAIM")) {
+        n = streamRunSeq.incrementAndGet(); attempts += 1
+        // Same bounded-loop rule as publishVersion's claim loop.
+        if (attempts >= ClaimAttemptCap) throw new java.io.IOException(
+          s"stream-run claim loop lost $attempts consecutive claims under $base")
+      }
       val root = s"$base/run-$n"
       val rows = try {
         val (baseDir, segs) = streamIngestInto(s, d, root)

@@ -85,8 +85,10 @@ class AnnAssignSpec extends SparkTestBase {
         s"routing under-filled at k=$k nprobe=$np")
       assert(routedPairs(drv) == routedPairs(jn),
         s"driver and join routing diverged at k=$k nprobe=$np")
-      // Each path must also carry the probe's own embedding through.
-      assert(jn.forall { case (pid, pe, _) => pe == probes(pid.toInt)._2 })
+      // Each path must also carry the probe's own embedding through,
+      // keyed to the right ordinal.
+      assert(jn.forall { case (ord, pid, pe, _) =>
+        probes(ord) == ((pid, pe)) })
     }
   }
 
@@ -102,8 +104,8 @@ class AnnAssignSpec extends SparkTestBase {
       == routedPairs(AnnIndex.routeJoin(spark, probes, cents(1024, 8), 6)))
   }
 
-  private def routedPairs(r: Seq[(Long, Seq[Double], Int)]): Set[(Long, Int)] =
-    r.map(t => (t._1, t._3)).toSet
+  private def routedPairs(r: Seq[(Int, Long, Seq[Double], Int)]): Set[(Int, Long, Int)] =
+    r.map(t => (t._1, t._2, t._4)).toSet
 
   test("join routing handles duplicate probe ids per-row, like the driver path") {
     // Six rows ALL sharing pid 7, each with a different vector: routing
@@ -115,10 +117,51 @@ class AnnAssignSpec extends SparkTestBase {
     val drv = AnnIndex.routeDriver(dups, cs, 6)
     val jn = AnnIndex.routeJoin(spark, dups, cs, 6)
     assert(jn.size == dups.size * 6, s"join routing emitted ${jn.size} rows")
-    def perVector(r: Seq[(Long, Seq[Double], Int)]): Map[Seq[Double], Set[Int]] =
-      r.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
-    assert(perVector(drv) == perVector(jn),
+    def perOrdinal(r: Seq[(Int, Long, Seq[Double], Int)]): Map[Int, Set[Int]] =
+      r.groupBy(_._1).view.mapValues(_.map(_._4).toSet).toMap
+    assert(perOrdinal(drv) == perOrdinal(jn),
       "duplicate-pid rows routed differently between the paths")
+  }
+
+  test("duplicate probe ids serve per-ROW on collected and distributed paths alike") {
+    // r12 ADVICE: the collected serve used to window by probe_id and
+    // merge duplicate pids into one top-k while the distributed path
+    // ranked per ordinal. Both must now emit a FULL top-k per probe ROW,
+    // and the multisets must agree.
+    import spark.implicits._
+    val root = new java.io.File(
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else sys.props("java.io.tmpdir"), "graft-ann-duppid")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    try {
+      val cs = cents(16, 8)
+      val corpus = corpusDf(400, 8)
+      AnnIndex.joinAssignCids(corpus, cs)
+        .select(col("cid"), col("vec_id"), col("label"), col("e"))
+        .repartition(col("cid"))
+        .write.partitionBy("cid").parquet(s"$root/ivf_assignments")
+      cs.toDF("cid", "ce").write.parquet(s"$root/ivf_centroids")
+      // Four probe rows, ALL pid 7, each a different vector.
+      val probes = (0 until 4)
+        .map(i => (7L, (0 until 8).map(j => math.sin(i * 17 + j * 5))))
+        .toDF("pid", "pe")
+      def rows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSeq.sorted
+      val collected = rows(AnnIndex.ivfProbeSegments(spark, sfDir,
+        Seq(root.toString), probes))
+      val dist = rows(AnnIndex.ivfProbeDistributedSegments(spark,
+        Seq(root.toString), probes))
+      assert(collected.size == 4 * AnnIndex.TopK,
+        s"collected serve merged duplicate pids (${collected.size} rows)")
+      assert(dist == collected,
+        "duplicate-pid serving diverged between collected and distributed paths")
+    } finally rm(root)
   }
 
   test("distributed serving at k=1024 matches the collected serve (the aggregate routing branch)") {
