@@ -19,6 +19,7 @@ object Registry {
     ops.Dedup.queries,
     ops.Similarity.queries,
     ops.AnnIndex.queries,
+    ops.IvfPq.queries,
     ops.TextOps.queries,
     ops.StatOps.queries,
     ops.Sampling.queries,

@@ -1,0 +1,398 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions
+import graft.io.Afs
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** COMPOSED IVF+PQ index — format f4 (r12 verdict item 1): PQ codes
+  * stored INSIDE the inverted lists, the shape every production ANN
+  * system ships (FAISS `IndexIVFPQ` + refine). One corpus-sized
+  * artifact, `ivfpq_lists`, partitioned by `cid`, carrying per vector:
+  *
+  *   - `codes`/`qnorm` — the 32x-compressed PQ representation the ADC
+  *     scoring stage scans;
+  *   - `label` — the inline filterable attribute (predicates evaluate
+  *     inside the pruned scan, the [[AnnIndex.ivfProbeFiltered]] rule);
+  *   - `e` — the stored true vector the exact-refine stage reads.
+  *
+  * plus the two O(k)/O(M·K) trained tables (`ivf_centroids`,
+  * `pq_codebook`) unchanged from f3.
+  *
+  * Why this supersedes the f3 pair (`ivf_assignments` + `pq_codes`):
+  *
+  *   - '''f3 IVF serve''' scanned the probed lists' RAW VECTORS and paid
+  *     a full-dimension cosine per candidate; '''f3 PQ serve''' scanned
+  *     codes 32x cheaper but over the WHOLE corpus (flat, O(probes·n)).
+  *     The composed serve routes nprobe lists and ADC-scores only within
+  *     them: candidate bytes = nprobe/k of the CODES (parquet column
+  *     pruning keeps `e`'s pages off the scan — the pinned ReadSchema
+  *     excludes it), candidate flops = M array lookups instead of a
+  *     dim-length dot product. The exact-refine stage then touches true
+  *     vectors only for the [[AnnIndex.Pool]]-bounded pool, read from
+  *     the SAME pruned partitions.
+  *   - '''storage''': one corpus-sized table instead of two (f3
+  *     duplicated vec_id/label per vector across both, and its PQ serve
+  *     path could never prune). The raw-vector copy itself remains BY
+  *     DESIGN — the refine pool must read the segments' own stored
+  *     vectors so upserted ids refine against their replacement
+  *     embeddings, never a stale corpus row (the [[AnnIndex
+  *     .pqProbeSegments]] rule).
+  *
+  * Lifecycle: the full LSM composition is supported — delta segments
+  * ([[appendSegment]]) assign+encode against the frozen base artifacts,
+  * serve unions masked segments under the same recency-boundary rule as
+  * f3 ([[AnnIndex.maskedUnion]]), [[compactSegments]] folds with
+  * delta-bounded work and file-level carry-over of untouched lists, and
+  * [[maintain]] runs the drift-triggered fold-then-maybe-retrain pass.
+  * Artifacts publish through [[AnnIndex.publishVersion]] — version
+  * claims, `_SUCCESS` markers, CURRENT pointer flips, retirement grace —
+  * so every pointer/claim/race spec pinned on f3 covers these roots too.
+  *
+  * All sizing constants are f3's ([[AnnIndex.K]]/[[AnnIndex.Nprobe]]/
+  * [[AnnIndex.Mpq]]/[[AnnIndex.Kpq]]/[[AnnIndex.Pool]]): recall floors
+  * compose (the IVF routing bounds candidate recall; ADC+refine within
+  * the routed lists matches exact-within-lists at q23f's measured
+  * fidelity), pinned >= 0.68 by IvfPqSpec at sf0.1.
+  */
+object IvfPq {
+
+  import AnnIndex.{K, Nprobe, LloydSteps, TopK, Mpq, Kpq, Sub, Pool,
+    FilteredNprobe, MaxProbes}
+
+  /** The composed artifact's list columns, in canonical order. */
+  private val ListCols: Seq[String] =
+    Seq("cid", "vec_id", "label", "codes", "qnorm", "e")
+
+  // ---- build -----------------------------------------------------------
+
+  /** (vec_id, codes, qnorm) for a (vec_id, e, ...) frame against a
+    * codebook frame — [[AnnIndex.encodePq]] minus the label join (the
+    * composed write already holds label on the assignment side).
+    */
+  private def pqCodesFor(src: DataFrame, cb: DataFrame): DataFrame =
+    AnnIndex.pqAssign(AnnIndex.pqSliced(src), cb)
+      .join(broadcast(cb.select(col("m"), col("code"), col("ce"))), Seq("m", "code"))
+      .groupBy("vec_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("m"), col("code")))),
+          x => x.getField("code")).as("codes"),
+        sqrt(sum(GraftFunctions.dotProduct(col("ce"), col("ce")))).as("qnorm"))
+
+  /** Train + write the composed index for `embFrame` under `dir` (an
+    * unpublished version dir — [[AnnIndex.publishVersion]] owns marker
+    * and pointer). Trainers are f3's verbatim ([[AnnIndex.trainIvf]],
+    * [[AnnIndex.trainPqCodebook]]); the one corpus-sized write joins the
+    * cid assignment with the code encoding on vec_id and clusters by cid
+    * before the partitioned write (one exchange, one file per list —
+    * the q110 small-files rule). Lists sort by vec_id within each
+    * partition so row-group stats support id-ranged reads.
+    */
+  private[ops] def writeComposed(s: SparkSession, embFrame: DataFrame,
+      dir: String): Unit = {
+    val emb = embFrame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = AnnIndex.trainIvf(emb, K, LloydSteps)
+      val centDf = {
+        import s.implicits._
+        centroids.toDF("cid", "ce")
+      }
+      centDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+      val cb = AnnIndex.trainPqCodebook(s, emb, AnnIndex.pqSliced(emb))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebook")
+        writeLists(AnnIndex.assignCids(emb, centroids), cb, s"$dir/ivfpq_lists")
+      } finally cb.unpersist(): Unit
+    } finally emb.unpersist(): Unit
+  }
+
+  /** One composed-list write for a frame already carrying `cid` —
+    * shared by full builds and delta segments.
+    */
+  private def writeLists(assigned: DataFrame, cb: DataFrame, out: String): Unit =
+    assigned
+      .join(pqCodesFor(assigned.select(col("vec_id"), col("e")), cb), Seq("vec_id"))
+      .select(ListCols.map(col): _*)
+      .repartition(col("cid"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(out)
+
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (or adopt) the composed index for this dataset, returning the
+    * CURRENT complete version dir — the [[AnnIndex.build]] discipline
+    * under its own dataset-keyed subroot (`…/ivfpq`; f3 fixtures stay
+    * untouched, the two formats coexist per dataset).
+    */
+  def build(s: SparkSession, d: String, force: Boolean = false): String = {
+    GraftFunctions.register(s)
+    val tag = Tables.datasetTag(d) + "/ivfpq"
+    if (force) built.remove(tag): Unit
+    built.computeIfAbsent(tag, tag => {
+      val root = AnnIndex.shmDir(tag)
+      val existing = if (force) None else AnnIndex.resolveVersion(root)
+      existing.getOrElse(
+        AnnIndex.publishVersion(root)(
+          writeComposed(s, AnnIndex.corpus(s, d), _)))
+    })
+  }
+
+  /** Build the composed index for an explicit (vec_id, e, label) frame
+    * under `root` — the lifecycle/spec entry point.
+    */
+  private[ops] def buildFrom(s: SparkSession, emb: DataFrame, root: String): String = {
+    GraftFunctions.register(s)
+    AnnIndex.publishVersion(root)(writeComposed(s, emb, _))
+  }
+
+  // ---- serve -----------------------------------------------------------
+
+  /** Composed serve over segment roots (base first, oldest to newest)
+    * with per-tombstone recency boundaries and an optional inline
+    * attribute pre-filter:
+    *
+    *   1. '''route''' — the collected probes rank the O(k·dim) routing
+    *      table ([[AnnIndex.routeProbes]]: driver-side at the bench's
+    *      K=16, distributed beyond [[AnnIndex.LiteralAssignMaxK]]),
+    *      yielding nprobe list ids per probe ROW;
+    *   2. '''ADC within the probed lists only''' — ONE statically
+    *      partition-pruned scan of the lists' CODE columns (`cid IN
+    *      (routed)` prunes directories; the ReadSchema excludes `e`, so
+    *      parquet column pruning keeps the raw-vector pages off the
+    *      scan — both pinned by IvfPqSpec), broadcast-joined to the
+    *      per-probe M×K lookup tables; a candidate's quantized cosine is
+    *      M array lookups. This is what closes f3-PQ's flat
+    *      O(probes·corpus) scan: candidate bytes are nprobe/k of the
+    *      codes.
+    *   3. '''exact refine''' — the top-[[AnnIndex.Pool]] pool per probe
+    *      row (bounded: ≤ MaxProbes·Pool ids, explicitly broadcast) joins
+    *      back to the SAME pruned partitions' `(vec_id, e)` columns and
+    *      re-ranks by true cosine. Upserted ids therefore refine against
+    *      the segment copy that produced their codes, never a stale
+    *      corpus row.
+    *
+    * Filtered probes widen nprobe exactly as f3 IVF does
+    * ([[AnnIndex.FilteredNprobe]] — the predicate thins every probed
+    * list, so the candidate pool is compensated at the routing stage;
+    * within the routed lists ADC pre-filtering stays lossless).
+    * Duplicate probe ids serve per-row (the r12 ordinal rule).
+    */
+  private[ops] def probeSegments(s: SparkSession, roots: Seq[String],
+      probeDf: DataFrame, tss: Seq[(DataFrame, Int)] = Nil,
+      attrFilter: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val nprobe = if (attrFilter.isDefined) FilteredNprobe else Nprobe
+    val cents = AnnIndex.readCentroids(s, roots.head)
+    val cb = AnnIndex.readCodebook(s, roots.head)
+    val probes = AnnIndex.collectProbes(probeDf)
+    val routed = AnnIndex.routeProbes(s, probes, cents, nprobe)
+    val neededCids = routed.map(_._4).distinct.sorted
+    // Per probe ROW: the flat ADC LUT (lut[m*K + code] = dot(pe_m,
+    // centroid(m, code))) and the probe norm — O(M·K·sub) each,
+    // bounded by MaxProbes at the collect.
+    val luts: Map[Int, (Seq[Double], Double)] =
+      probes.zipWithIndex.map { case ((_, pe), ord) =>
+        val lut: Seq[Double] = for (m <- 0 until Mpq; code <- 0 until Kpq) yield {
+          val ce = cb((m, code)); val off = m * Sub
+          var acc = 0.0; var i = 0
+          while (i < Sub) { acc += pe(off + i) * ce(i); i += 1 }
+          acc
+        }
+        ord -> (lut, math.sqrt(pe.map(x => x * x).sum))
+      }.toMap
+    val routedLut = {
+      import s.implicits._
+      routed.map { case (ord, pid, _, cid) =>
+        val (lut, pnorm) = luts(ord)
+        (ord, pid, cid, lut, pnorm)
+      }.toDF("__ord", "probe_id", "cid", "lut", "pnorm")
+    }
+    // Stage 2: codes-only scan of the probed lists. The cid filter is a
+    // LITERAL IN over partition values (static pruning); attrFilter
+    // rides the same scan (inline attribute, row-group skipping).
+    val codes = AnnIndex.maskedUnion(s, roots, "ivfpq_lists",
+      Seq(col("cid"), col("vec_id"), col("codes"), col("qnorm")), tss,
+      prep = df => df.filter(col("cid").isin(neededCids: _*))
+        .filter(attrFilter.getOrElse(lit(true))))
+    val scored = codes.join(broadcast(routedLut), Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("qdot",
+        aggregate(sequence(lit(0), lit(Mpq - 1)), lit(0.0),
+          (acc, m) => acc + element_at(col("lut"),
+            m * lit(Kpq) + element_at(col("codes"), m + lit(1)) + lit(1))))
+      .withColumn("qcos", col("qdot") / (col("pnorm") * col("qnorm")))
+    val wPool = Window.partitionBy("__ord").orderBy(col("qcos").desc, col("vec_id").asc)
+    val pool = scored
+      .withColumn("prank", row_number().over(wPool))
+      .filter(col("prank") <= Pool)
+      .select(col("__ord"), col("probe_id"), col("vec_id"))
+    // Stage 3: exact refine — true vectors from the SAME pruned
+    // partitions (second scan of the artifact, DIFFERENT columns: the
+    // codes pages stay off this one). The pool side is bounded by
+    // construction (≤ MaxProbes·Pool narrow rows), so it broadcasts
+    // explicitly: the probed lists' vector scan streams past the hash
+    // relation with no shuffle at any corpus size.
+    val vecs = AnnIndex.maskedUnion(s, roots, "ivfpq_lists",
+      Seq(col("vec_id"), col("e")), tss,
+      prep = df => df.filter(col("cid").isin(neededCids: _*)))
+    val peDf = {
+      import s.implicits._
+      probes.zipWithIndex.map { case ((_, pe), ord) => (ord, pe) }.toDF("__ord", "pe")
+    }
+    val wT = Window.partitionBy("__ord").orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(pool).join(vecs, Seq("vec_id"))
+      .join(broadcast(peDf), Seq("__ord"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("e"), col("pe")))
+      .withColumn("rnk", row_number().over(wT).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Q134 serve path: any (id, vector) probe frame against this
+    * dataset's composed index.
+    */
+  def probe(s: SparkSession, d: String, probeDf: DataFrame): DataFrame =
+    probeSegments(s, Seq(build(s, d)), probeDf)
+
+  def probe(s: SparkSession, d: String): DataFrame =
+    probe(s, d, AnnIndex.defaultProbes(s, d))
+
+  /** Metadata-filtered composed serve — the q130/q131 pre-filter shape
+    * on the f4 artifact: the predicate evaluates inside the pruned
+    * codes scan, nprobe widens per the IVF compensation rule.
+    */
+  def probeFiltered(s: SparkSession, d: String, attrFilter: Column,
+      probeDf: DataFrame): DataFrame =
+    probeSegments(s, Seq(build(s, d)), probeDf, attrFilter = Some(attrFilter))
+
+  def probeFiltered(s: SparkSession, d: String, attrFilter: Column): DataFrame =
+    probeFiltered(s, d, attrFilter, AnnIndex.defaultProbes(s, d))
+
+  // ---- lifecycle -------------------------------------------------------
+
+  /** Publish one composed delta segment for `batch` against the frozen
+    * index at `baseDir`: cid assignment against the base centroids and
+    * code encoding against the base codebook are pure scan-stage argmins
+    * over the batch — no Lloyd, no training (q113's append discipline).
+    */
+  private[ops] def appendSegment(s: SparkSession, baseDir: String,
+      batch: DataFrame, root: String): String = {
+    GraftFunctions.register(s)
+    AnnIndex.publishVersion(root) { vdir =>
+      val cents = AnnIndex.readCentroids(s, baseDir)
+      val cb = s.read.parquet(s"$baseDir/pq_codebook")
+      writeLists(AnnIndex.assignCids(batch, cents), cb, s"$vdir/ivfpq_lists")
+    }
+  }
+
+  /** Fold base + delta segments + tombstones into one physical composed
+    * index under a fresh published version — [[AnnIndex.compactInto]]'s
+    * discipline over the single-table artifact:
+    *
+    *   - touched lists = the segments' cids ∪ the tombstones' recorded
+    *     cids (bounded ≤K collects — tombstones carry their victim's cid
+    *     from write time, [[AnnIndex.tombstonesFor]]);
+    *   - touched lists merge base+segments, masks anti-join out under
+    *     the LSM recency-boundary rule, ONE exchange on cid;
+    *   - untouched base lists carry over file-level (object-store copy,
+    *     never a scan) — correct because a tombstoned vector's list is
+    *     touched by construction;
+    *   - trained artifacts copy unchanged (nothing retrains).
+    */
+  private[ops] def compactSegments(s: SparkSession, baseDir: String,
+      segDirs: Seq[String], tss: Seq[(DataFrame, Int)],
+      outRoot: String): String = {
+    GraftFunctions.register(s)
+    AnnIndex.publishVersion(outRoot) { vdir =>
+      val cols = ListCols.map(col)
+      def maskFor(segIdx: Int): Option[DataFrame] =
+        tss.filter(_._2 > segIdx).map(_._1.select(col("vec_id")))
+          .reduceOption(_ unionAll _)
+      def anti(df: DataFrame, segIdx: Int): DataFrame =
+        maskFor(segIdx).fold(df)(m =>
+          df.join(m, Seq("vec_id"), "left_anti").select(cols: _*))
+      val segLists = segDirs.zipWithIndex
+        .map { case (p, i) =>
+          anti(s.read.parquet(s"$p/ivfpq_lists").select(cols: _*), i + 1)
+        }
+        .reduceOption(_ unionAll _)
+      val touched: Set[Int] =
+        (segLists.toSeq.flatMap(_.select("cid").distinct().collect().map(_.getInt(0))) ++
+          tss.flatMap(_._1.select("cid").distinct().collect().map(_.getInt(0)))).toSet
+      val baseLists = anti(
+        s.read.parquet(s"$baseDir/ivfpq_lists")
+          .filter(col("cid").isin(touched.toSeq.sorted: _*))
+          .select(cols: _*), 0)
+      segLists.fold(baseLists)(baseLists.unionAll)
+        .repartition(col("cid"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$vdir/ivfpq_lists")
+      Afs.copyTree(s"$baseDir/ivf_centroids", s"$vdir/ivf_centroids")
+      Afs.copyTree(s"$baseDir/pq_codebook", s"$vdir/pq_codebook")
+      Afs.listStatus(s"$baseDir/ivfpq_lists")
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+        .filter(st => !touched.contains(st.getPath.getName.stripPrefix("cid=").toInt))
+        .foreach(st => Afs.copyTree(st.getPath.toString,
+          s"$vdir/ivfpq_lists/${st.getPath.getName}"))
+    }
+  }
+
+  /** The drift-triggered maintenance pass over a composed LSM state —
+    * [[AnnIndex.maintain]]'s three steps on the f4 artifact: fold and
+    * publish; drift-check the fold's own stored assignments (no
+    * re-assignment pass); retrain from the folded live set behind the
+    * same CURRENT pointer only when the monitor fires.
+    */
+  private[ops] def maintain(s: SparkSession, baseDir: String,
+      segDirs: Seq[String], tss: Seq[(DataFrame, Int)],
+      outRoot: String): AnnIndex.MaintainResult = {
+    GraftFunctions.register(s)
+    val folded = compactSegments(s, baseDir, segDirs, tss, outRoot)
+    val lists = s.read.parquet(s"$folded/ivfpq_lists")
+    val rep = AnnIndex.retrainCheckAssigned(s, folded, lists.select(col("cid"), col("e")))
+    if (!rep.recommend) AnnIndex.MaintainResult(folded, rep, retrained = false)
+    else AnnIndex.MaintainResult(
+      AnnIndex.publishVersion(outRoot)(writeComposed(s,
+        lists.select(col("vec_id"), col("e"), col("label")), _)),
+      rep, retrained = true)
+  }
+
+  // ---- registered queries ----------------------------------------------
+
+  /** Q133 — composed-index build, FORCED (the bench line prices the
+    * build every run; the probe query adopts the result). Census-oracled
+    * on conservation: every corpus vector appears exactly once in the
+    * composed lists, trained tables keep their configured sizes.
+    */
+  val q133: Q = Q(
+    "q133_ann_ivfpq_build",
+    (s, d) => {
+      val dir = build(s, d, force = true)
+      import s.implicits._
+      Seq("ivf_centroids", "ivfpq_lists", "pq_codebook")
+        .map(a => (a, s.read.parquet(s"$dir/$a").count()))
+        .toDF("artifact", "n_rows")
+        .orderBy("artifact")
+    },
+    Some(s"""SELECT 'ivf_centroids' AS artifact, CAST($K AS BIGINT) AS n_rows
+            |UNION ALL SELECT 'ivfpq_lists', count(*) FROM embeddings
+            |UNION ALL SELECT 'pq_codebook', CAST(${Mpq * Kpq} AS BIGINT)
+            |ORDER BY artifact""".stripMargin))
+
+  /** Q134 — composed serve: route nprobe lists, ADC within them only,
+    * exact refine on the pool (see [[probeSegments]]). Approximate →
+    * rows-only driver check; IvfPqSpec pins the recall floor (≥ 0.68 at
+    * sf0.1), the cid partition pruning on BOTH scans, and that the ADC
+    * scan's ReadSchema excludes the raw vectors.
+    */
+  val q134: Q = Q("q134_ann_ivfpq_probe", (s, d) => probe(s, d), None)
+
+  val queries: Seq[Q] = Seq(q133, q134)
+}

@@ -1,0 +1,168 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed IVF+PQ index (format f4, r12 verdict item 1): recall
+  * floor at the bench scale factor, the two plan facts that make it the
+  * at-scale shape (ADC touches ONLY probed lists, and reads ONLY code
+  * columns — the raw-vector pages stay off the scoring scan), filtered
+  * serving purity, and the LSM lifecycle composition (append → masked
+  * serve → delete-aware compact → maintain) over explicit frames.
+  */
+class IvfPqSpec extends SparkTestBase {
+
+  private val benchSf = "/root/testdata/sf0.1"
+
+  private def topkSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("probe_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q134 composed IVF+PQ recall >= 0.68 at sf0.1 (the IVF routing floor)") {
+    val exact = topkSet(Similarity.q23.fn(spark, benchSf))
+    val approx = topkSet(IvfPq.probe(spark, benchSf))
+    val r = (exact & approx).size.toDouble / exact.size
+    info(f"q134 composed recall $r%.3f")
+    assert(r >= 0.68, f"composed IVF+PQ recall regressed to $r%.3f (floor 0.68)")
+  }
+
+  /** Per-FileScan (partition-pruned?, ReadSchema) facts for the composed
+    * lists in a plan string.
+    */
+  private def listScans(plan: String): Seq[(Boolean, String)] =
+    plan.split("FileScan").toSeq.filter(_.contains("ivfpq_lists")).map { seg =>
+      val pruned = seg.contains("PartitionFilters: [cid")
+      val schema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(seg)
+        .map(_.group(1)).getOrElse("")
+      (pruned, schema)
+    }
+
+  test("q134 plan: ADC scans only probed lists' CODE columns; refine scans only their vectors") {
+    IvfPq.build(spark, sfDir)
+    val plan = IvfPq.probe(spark, sfDir).queryExecution.executedPlan.toString
+    val scans = listScans(plan)
+    assert(scans.size == 2, s"expected exactly two composed-list scans:\n$plan")
+    // Stage 2 (ADC): codes+qnorm, NO raw vectors — parquet column pruning
+    // is what makes the scoring scan 32x cheaper than f3's.
+    val adc = scans.filter { case (_, sch) =>
+      sch.contains("codes") && !sch.contains("e:") }
+    assert(adc.size == 1, s"ADC scan must read codes and never e:\n$plan")
+    assert(adc.head._1, s"ADC scan lost its static cid partition pruning:\n$plan")
+    // Stage 3 (refine): vectors, NO codes.
+    val refine = scans.filter { case (_, sch) =>
+      sch.contains("e:") && !sch.contains("codes") }
+    assert(refine.size == 1, s"refine scan must read e and never codes:\n$plan")
+    assert(refine.head._1, s"refine scan lost its cid partition pruning:\n$plan")
+    // No third corpus-sized input: candidates and refine both come from
+    // the index artifact, never the raw embeddings table.
+    assert(!plan.contains("embeddings.parquet"),
+      s"composed serve must not scan the corpus:\n$plan")
+  }
+
+  test("filtered composed probe: predicate purity, full surface, pushed filter") {
+    IvfPq.build(spark, sfDir)
+    val df = IvfPq.probeFiltered(spark, sfDir, col("label") === 7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,7)"),
+      s"attribute pre-filter must push into the codes scan:\n$plan")
+    val rows = df.collect()
+    val probes = AnnIndex.defaultProbes(spark, sfDir).count()
+    assert(rows.length == probes * AnnIndex.TopK,
+      s"filtered surface under-filled: ${rows.length} rows for $probes probes")
+    val label7: Set[Long] = AnnIndex.corpus(spark, sfDir)
+      .filter(col("label") === 7).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => label7.contains(r.getLong(r.fieldIndex("nbr_id")))),
+      "a neighbor escaped the label predicate")
+  }
+
+  // ---- lifecycle over explicit frames ----------------------------------
+
+  private def vecsDf(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map(i =>
+      (i, (0 until 64).map(j => math.cos(i * 13 + j * 3)), (i % 10).toInt))
+      .toDF("vec_id", "e", "label")
+  }
+
+  private def freshRoot(name: String): String = {
+    val base = new java.io.File(
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else sys.props("java.io.tmpdir"), name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(base)
+    base.toString
+  }
+
+  test("lifecycle: append -> masked serve -> delete-aware compact conserve the corpus") {
+    val root = freshRoot("graft-ivfpq-lifecycle")
+    val prevGrace = AnnIndex.RetireGraceMs
+    AnnIndex.RetireGraceMs = 0L
+    try {
+      val base = IvfPq.buildFrom(spark, vecsDf(0L until 300L), s"$root/base")
+      assert(spark.read.parquet(s"$base/ivfpq_lists").count() == 300)
+      // Append a composed delta segment against the frozen base.
+      val seg = IvfPq.appendSegment(spark, base, vecsDf(300L until 330L), s"$root/seg")
+      assert(spark.read.parquet(s"$seg/ivfpq_lists").count() == 30)
+      // Trained artifacts frozen: the segment carries lists only.
+      assert(!new java.io.File(s"$seg/ivf_centroids").exists())
+      // Serve across base+segment: neighbors from BOTH segments reachable.
+      val probes = vecsDf(Seq(305L)).select(col("vec_id").as("pid"), col("e").as("pe"))
+      val served = IvfPq.probeSegments(spark, Seq(base, seg), probes)
+      val nbrs = served.collect().map(_.getLong(1)).toSet
+      assert(served.count() == AnnIndex.TopK)
+      // Tombstone three base victims; masked serve never returns them.
+      val victims = vecsDf(Seq(5L, 6L, 7L))
+      val tsDir = AnnIndex.tombstonesFor(spark, base, victims, s"$root/ts")
+      val ts = spark.read.parquet(s"$tsDir/tombstones")
+      val maskedProbe = vecsDf(Seq(6L))
+        .select((col("vec_id") + 1000000L).as("pid"), col("e").as("pe"))
+      val masked = IvfPq.probeSegments(spark, Seq(base, seg), maskedProbe,
+        tss = Seq(ts -> Int.MaxValue))
+      val maskedNbrs = masked.collect().map(_.getLong(1)).toSet
+      assert(masked.count() == AnnIndex.TopK, "masked serve under-filled")
+      assert((maskedNbrs & Set(5L, 6L, 7L)).isEmpty,
+        s"a tombstoned vector surfaced: $maskedNbrs")
+      // Delete-aware compaction folds physically: exact census, no ghosts.
+      val folded = IvfPq.compactSegments(spark, base, Seq(seg),
+        Seq(ts -> Int.MaxValue), s"$root/fold")
+      val lists = spark.read.parquet(s"$folded/ivfpq_lists")
+      assert(lists.count() == 300 + 30 - 3)
+      assert(lists.filter(col("vec_id").isin(5L, 6L, 7L)).count() == 0,
+        "a deleted vector survived compaction physically")
+      // Trained artifacts carried over unchanged.
+      assert(spark.read.parquet(s"$folded/ivf_centroids").count() == AnnIndex.K)
+      assert(spark.read.parquet(s"$folded/pq_codebook").count()
+        == AnnIndex.Mpq * AnnIndex.Kpq)
+      // Serving the fold == serving the masked segment state, row for row.
+      val foldServe = IvfPq.probeSegments(spark, Seq(folded), maskedProbe)
+      def rows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+      assert(rows(foldServe) == rows(masked),
+        "compacted serve diverged from the masked segment serve")
+      assert(nbrs.nonEmpty)
+    } finally AnnIndex.RetireGraceMs = prevGrace
+  }
+
+  test("maintain on an undrifted composed state folds without retraining") {
+    val root = freshRoot("graft-ivfpq-maintain")
+    val prevGrace = AnnIndex.RetireGraceMs
+    AnnIndex.RetireGraceMs = 0L
+    try {
+      val base = IvfPq.buildFrom(spark, vecsDf(0L until 200L), s"$root/base")
+      val seg = IvfPq.appendSegment(spark, base, vecsDf(200L until 220L), s"$root/seg")
+      val res = IvfPq.maintain(spark, base, Seq(seg), Nil, s"$root/out")
+      assert(!res.retrained,
+        f"undrifted fold recommended a retrain (drift ${res.report.meanRelDrift}%.3f)")
+      assert(res.report.meanRelDrift < AnnIndex.RetrainDriftThreshold)
+      assert(spark.read.parquet(s"${res.dir}/ivfpq_lists").count() == 220)
+      // The published fold is CURRENT for its root.
+      assert(AnnIndex.resolveVersion(s"$root/out").contains(res.dir))
+    } finally AnnIndex.RetireGraceMs = prevGrace
+  }
+}
