@@ -78,8 +78,13 @@ object Afs {
   def createExclusive(p: String): Boolean = {
     val pp = new Path(p)
     val f = fsOf(pp)
-    val isLocal = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    // EXACT class match, not isInstanceOf: a LocalFileSystem SUBCLASS may
+    // deliberately change create semantics (vendor connectors; the
+    // fault-injecting test filesystem that emulates object-store
+    // non-exclusive creates) and must take the generic arm below, not the
+    // NIO O_EXCL shortcut that would mask its behavior.
+    val isLocal = f.getClass == classOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.getClass == classOf[org.apache.hadoop.fs.RawLocalFileSystem]
     if (isLocal) {
       try { java.nio.file.Files.createFile(
         java.nio.file.Paths.get(pp.toUri.getPath)): Unit; true }
