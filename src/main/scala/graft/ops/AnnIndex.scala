@@ -72,7 +72,7 @@ object AnnIndex {
     * evaluates during the pruned list scan itself — pre-filtering — so
     * a filtered probe never joins back to the corpus.
     */
-  private[ops] def corpus(s: SparkSession, d: String): DataFrame =
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame =
     Tables.spread(Tables.embeddings(s, d)
       .select(col("vec_id"), dbl(col("embedding")).as("e"), col("label")),
       col("vec_id"))
@@ -597,8 +597,9 @@ object AnnIndex {
     publishVersion(outRoot)(compactInto(s, baseDir, deltaDirs, tss, _))
   }
 
-  private[ops] def readCentroids(s: SparkSession, dir: String): Seq[(Int, Seq[Double])] =
-    s.read.parquet(s"$dir/ivf_centroids")
+  private[ops] def readCentroids(s: SparkSession, dir: String,
+      readOpts: Map[String, String] = Map.empty): Seq[(Int, Seq[Double])] =
+    s.read.options(readOpts).parquet(s"$dir/ivf_centroids")
       .collect().toIndexedSeq
       .map(r => (r.getInt(r.fieldIndex("cid")),
         r.getSeq[Double](r.fieldIndex("ce"))))
@@ -738,9 +739,10 @@ object AnnIndex {
     */
   private[ops] def maskedUnion(s: SparkSession, roots: Seq[String], sub: String,
       sel: Seq[Column], tss: Seq[(DataFrame, Int)],
-      prep: DataFrame => DataFrame = identity): DataFrame =
+      prep: DataFrame => DataFrame = identity,
+      readOpts: Map[String, String] = Map.empty): DataFrame =
     roots.zipWithIndex.map { case (p, i) =>
-      val seg = prep(s.read.parquet(s"$p/$sub")).select(sel: _*)
+      val seg = prep(s.read.options(readOpts).parquet(s"$p/$sub")).select(sel: _*)
       val m = tss.filter(_._2 > i).map(_._1.select(col("vec_id")))
         .reduceOption(_ unionAll _)
       m.fold(seg)(mm => seg.join(mm, Seq("vec_id"), "left_anti").select(sel: _*))
@@ -1133,9 +1135,9 @@ object AnnIndex {
     * loaded ONCE per serve call site (the batched driver reuses it
     * across every batch instead of re-collecting per batch).
     */
-  private[ops] def readCodebook(s: SparkSession,
-      cbDir: String): Map[(Int, Int), Seq[Double]] =
-    s.read.parquet(s"$cbDir/pq_codebook")
+  private[ops] def readCodebook(s: SparkSession, cbDir: String,
+      readOpts: Map[String, String] = Map.empty): Map[(Int, Int), Seq[Double]] =
+    s.read.options(readOpts).parquet(s"$cbDir/pq_codebook")
       .select(col("m"), col("code"), col("ce"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
 

@@ -90,7 +90,8 @@ object IvfPq {
     * partition so row-group stats support id-ranged reads.
     */
   private[ops] def writeComposed(s: SparkSession, embFrame: DataFrame,
-      dir: String): Unit = {
+      dir: String,
+      writeOptsFor: String => Map[String, String] = _ => Map.empty): Unit = {
     val emb = embFrame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val centroids = AnnIndex.trainIvf(emb, K, LloydSteps)
@@ -98,12 +99,17 @@ object IvfPq {
         import s.implicits._
         centroids.toDF("cid", "ce")
       }
-      centDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+      centDf.coalesce(1).write.mode("overwrite")
+        .options(writeOptsFor("ivf_centroids"))
+        .parquet(s"$dir/ivf_centroids")
       val cb = AnnIndex.trainPqCodebook(s, emb, AnnIndex.pqSliced(emb))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebook")
-        writeLists(AnnIndex.assignCids(emb, centroids), cb, s"$dir/ivfpq_lists")
+        cb.coalesce(1).write.mode("overwrite")
+          .options(writeOptsFor("pq_codebook"))
+          .parquet(s"$dir/pq_codebook")
+        writeLists(AnnIndex.assignCids(emb, centroids), cb,
+          s"$dir/ivfpq_lists", writeOptsFor("ivfpq_lists"))
       } finally cb.unpersist(): Unit
     } finally emb.unpersist(): Unit
   }
@@ -111,13 +117,14 @@ object IvfPq {
   /** One composed-list write for a frame already carrying `cid` —
     * shared by full builds and delta segments.
     */
-  private def writeLists(assigned: DataFrame, cb: DataFrame, out: String): Unit =
+  private def writeLists(assigned: DataFrame, cb: DataFrame, out: String,
+      writeOpts: Map[String, String] = Map.empty): Unit =
     assigned
       .join(pqCodesFor(assigned.select(col("vec_id"), col("e")), cb), Seq("vec_id"))
       .select(ListCols.map(col): _*)
       .repartition(col("cid"))
       .sortWithinPartitions("vec_id")
-      .write.mode("overwrite").partitionBy("cid")
+      .write.mode("overwrite").partitionBy("cid").options(writeOpts)
       .parquet(out)
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -143,10 +150,64 @@ object IvfPq {
   /** Build the composed index for an explicit (vec_id, e, label) frame
     * under `root` — the lifecycle/spec entry point.
     */
-  private[ops] def buildFrom(s: SparkSession, emb: DataFrame, root: String): String = {
+  private[graft] def buildFrom(s: SparkSession, emb: DataFrame, root: String): String = {
     GraftFunctions.register(s)
     AnnIndex.publishVersion(root)(writeComposed(s, emb, _))
   }
+
+  // ---- encrypted artifacts (r12 verdict item 3) -------------------------
+
+  /** The corpus column policy for encrypted index artifacts, PER
+    * ARTIFACT (the PME factory requires each file's column list to name
+    * only columns that file holds, by parquet leaf path): embeddings and
+    * labels — and everything the index derives from them (routing
+    * centroids, codebook entries and their norms, codes, reconstructed
+    * norms) — at INTERNAL. A vector is exactly as sensitive as the text
+    * it embeds; an index that stored its derived forms in plaintext
+    * would leak what the encrypted corpus protects. Ids (vec_id, cid,
+    * m/code ordinals) stay plaintext, like the reference's `id` column.
+    */
+  def indexPolicies: Map[String, graft.crypto.EncryptionPolicy] = {
+    import graft.crypto.{EncryptionPolicy, PrivilegeLevel}
+    Map(
+      "ivf_centroids" -> EncryptionPolicy(columnKeys = Map(
+        PrivilegeLevel.Internal -> Seq("ce.list.element"))),
+      "pq_codebook" -> EncryptionPolicy(columnKeys = Map(
+        PrivilegeLevel.Internal -> Seq("ce.list.element", "c2"))),
+      "ivfpq_lists" -> EncryptionPolicy(columnKeys = Map(
+        PrivilegeLevel.Internal ->
+          Seq("label", "codes.list.element", "qnorm", "e.list.element"))))
+  }
+
+  /** Build the composed index with every artifact written through the
+    * PME crypto factory under [[indexPolicies]] — the same per-relation
+    * options channel as [[graft.io.EncryptedParquet.write]] (wrapping
+    * needs no token). Version markers/pointers stay plaintext: they
+    * carry no data, only names.
+    */
+  private[graft] def buildFromEncrypted(s: SparkSession, emb: DataFrame,
+      root: String, kmsUrl: String): String = {
+    GraftFunctions.register(s)
+    val policies = indexPolicies
+    AnnIndex.publishVersion(root)(writeComposed(s, emb, _,
+      artifact => graft.crypto.EncryptionPolicy.writeConfMap(
+        policies(artifact), kmsUrl, accessToken = None)))
+  }
+
+  /** Serve an encrypted composed index: every artifact read (routing
+    * table, codebook, both list scans) carries the reader conf with
+    * `token`, so authorization is enforced per column AT THE SCAN — an
+    * under-privileged probe fails with a KeyAccessDeniedException-caused
+    * job failure at action time instead of serving, exactly like a
+    * direct under-privileged read of the corpus (EncryptedAnnSpec pins
+    * both the denial and result parity with a plaintext index).
+    */
+  private[graft] def probeEncrypted(s: SparkSession, roots: Seq[String],
+      probeDf: DataFrame, kmsUrl: String, token: Option[String],
+      tss: Seq[(DataFrame, Int)] = Nil,
+      attrFilter: Option[Column] = None): DataFrame =
+    probeSegments(s, roots, probeDf, tss, attrFilter,
+      readOpts = graft.crypto.EncryptionPolicy.readConfMap(kmsUrl, token))
 
   // ---- serve -----------------------------------------------------------
 
@@ -180,14 +241,15 @@ object IvfPq {
     * within the routed lists ADC pre-filtering stays lossless).
     * Duplicate probe ids serve per-row (the r12 ordinal rule).
     */
-  private[ops] def probeSegments(s: SparkSession, roots: Seq[String],
+  private[graft] def probeSegments(s: SparkSession, roots: Seq[String],
       probeDf: DataFrame, tss: Seq[(DataFrame, Int)] = Nil,
-      attrFilter: Option[Column] = None): DataFrame = {
+      attrFilter: Option[Column] = None,
+      readOpts: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
     val nprobe = if (attrFilter.isDefined) FilteredNprobe else Nprobe
-    val cents = AnnIndex.readCentroids(s, roots.head)
-    val cb = AnnIndex.readCodebook(s, roots.head)
+    val cents = AnnIndex.readCentroids(s, roots.head, readOpts)
+    val cb = AnnIndex.readCodebook(s, roots.head, readOpts)
     val probes = AnnIndex.collectProbes(probeDf)
     val routed = AnnIndex.routeProbes(s, probes, cents, nprobe)
     val neededCids = routed.map(_._4).distinct.sorted
@@ -217,7 +279,8 @@ object IvfPq {
     val codes = AnnIndex.maskedUnion(s, roots, "ivfpq_lists",
       Seq(col("cid"), col("vec_id"), col("codes"), col("qnorm")), tss,
       prep = df => df.filter(col("cid").isin(neededCids: _*))
-        .filter(attrFilter.getOrElse(lit(true))))
+        .filter(attrFilter.getOrElse(lit(true))),
+      readOpts = readOpts)
     val scored = codes.join(broadcast(routedLut), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("qdot",
@@ -238,7 +301,8 @@ object IvfPq {
     // relation with no shuffle at any corpus size.
     val vecs = AnnIndex.maskedUnion(s, roots, "ivfpq_lists",
       Seq(col("vec_id"), col("e")), tss,
-      prep = df => df.filter(col("cid").isin(neededCids: _*)))
+      prep = df => df.filter(col("cid").isin(neededCids: _*)),
+      readOpts = readOpts)
     val peDf = {
       import s.implicits._
       probes.zipWithIndex.map { case ((_, pe), ord) => (ord, pe) }.toDF("__ord", "pe")

@@ -27,6 +27,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CryptoMeasure {
 
+  /** Standalone entry point for the crypto cells while tuning
+    * (`sbt "runMain graft.tools.CryptoMeasure [sfDir]"`) — the same line
+    * Bench emits, without timing the whole suite.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Graft.tune(spark)
+    println(run(spark, sfDir))
+    spark.stop()
+  }
+
   private def dirBytes(p: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
@@ -100,6 +120,38 @@ object CryptoMeasure {
     } finally { rm(gcmDir); rm(ctrDir) }
   }
 
+  /** GCM on the composed ANN serve path (r12 verdict item 3): the same
+    * corpus indexed twice — plaintext and encrypted under
+    * [[graft.ops.IvfPq.indexPolicies]] — probed through the identical
+    * composed serve (route → ADC → refine). First probe warms (KEK
+    * unwraps, codegen, page cache); the second is the steady-state cell.
+    * Expected ≈ the 1.2x encrypted-read precedent: decryption rides the
+    * pruned scans, everything else is identical.
+    */
+  private def annServeSeconds(spark: SparkSession, sfDir: String,
+      kmsUrl: String): (Double, Double) = {
+    import graft.ops.{AnnIndex, IvfPq}
+    val root = tmpDir("graft-ann-crypto-")
+    try {
+      val emb = AnnIndex.corpus(spark, sfDir)
+      val plainDir = IvfPq.buildFrom(spark, emb, s"$root/plain")
+      val encDir = IvfPq.buildFromEncrypted(spark, emb, s"$root/enc", kmsUrl)
+      val probes = AnnIndex.defaultProbes(spark, sfDir)
+      def time(run: () => Unit): Double = {
+        run() // warmup
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val plainSec = time(() => IvfPq.probeSegments(spark, Seq(plainDir), probes)
+        .write.format("noop").mode("overwrite").save())
+      val gcmSec = time(() => IvfPq.probeEncrypted(spark, Seq(encDir), probes,
+        kmsUrl, Some("INTERNAL"))
+        .write.format("noop").mode("overwrite").save())
+      (plainSec, gcmSec)
+    } finally rm(root)
+  }
+
   def run(spark: SparkSession, sfDir: String): String = {
     val kms = new TestKmsServer().start()
     try {
@@ -116,6 +168,7 @@ object CryptoMeasure {
       val lineitemRatio = sizeRatio(Tables.lineitem(spark, sfDir), lineitemPolicy,
         kms.url, zstdLevel = 3)
       val (gcmSec, ctrSec) = cipherReadSeconds(spark, sfDir, lineitemPolicy, kms.url)
+      val (annPlainSec, annGcmSec) = annServeSeconds(spark, sfDir, kms.url)
 
       // --- KMS call counts per job (fresh server => clean counters) ---
       // KeyToolkit's KEK caches are JVM-STATIC (shared across sessions and
@@ -146,6 +199,9 @@ object CryptoMeasure {
           s""""lineitem_size_ratio":${fmt(lineitemRatio)},""" +
           s""""read_sec_gcm":${fmt(gcmSec)},"read_sec_ctr":${fmt(ctrSec)},""" +
           s""""ctr_vs_gcm":${fmt(ctrSec / gcmSec)},""" +
+          s""""ann_probe_sec_plain":${fmt(annPlainSec)},""" +
+          s""""ann_probe_sec_gcm":${fmt(annGcmSec)},""" +
+          s""""ann_gcm_vs_plain":${fmt(annGcmSec / annPlainSec)},""" +
           s""""write_wrap_calls":${w1 - w0},""" +
           s""""read_unwrap_calls_restricted":${u1 - u0},""" +
           s""""read_unwrap_calls_tokenless_plaintext_col":${u2 - u1},""" +

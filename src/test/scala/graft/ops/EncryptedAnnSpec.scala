@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.kms.TestKmsServer
+import org.apache.parquet.crypto.KeyAccessDeniedException
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Encrypted index artifacts (r12 verdict item 3): the composed index's
+  * three artifacts written through the PME crypto factory under the
+  * corpus column policy ([[IvfPq.indexPolicies]] — embeddings, labels and
+  * every derived form at INTERNAL), with serving gated on token
+  * privilege per scan.
+  */
+class EncryptedAnnSpec extends SparkTestBase {
+
+  private def freshRoot(name: String): String = {
+    val base = new java.io.File(
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else sys.props("java.io.tmpdir"), name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(base)
+    base.toString
+  }
+
+  private def causedByAccessDenied(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.isInstanceOf[KeyAccessDeniedException] ||
+          Option(t.getMessage).exists(m => m.contains("denied") || m.contains("403")))
+        return true
+      t = t.getCause
+    }
+    false
+  }
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+
+  test("encrypted composed index: INTERNAL serves with plaintext parity, lower privilege is denied") {
+    val kms = TestKmsServer.shared
+    val root = freshRoot("graft-ann-encrypted")
+    // The deterministic trainers (vec_id-hash seeds) make two builds of
+    // the same frame produce identical artifacts, so the encrypted and
+    // plaintext indexes are comparable row-for-row.
+    val emb = AnnIndex.corpus(spark, sfDir)
+    val plainDir = IvfPq.buildFrom(spark, emb, s"$root/plain")
+    val encDir = IvfPq.buildFromEncrypted(spark, emb, s"$root/enc", kms.url)
+    val probes = AnnIndex.defaultProbes(spark, sfDir)
+
+    // 1. The artifacts are GENUINELY encrypted: a plain reader without
+    //    the crypto factory cannot materialize the protected columns.
+    val bare = intercept[Throwable] {
+      spark.read.parquet(s"$encDir/ivfpq_lists").select("e", "codes").collect()
+    }
+    assert(bare != null)
+    // 2. Result parity: the INTERNAL-token serve returns exactly the
+    //    plaintext index's results.
+    val plain = rows(IvfPq.probeSegments(spark, Seq(plainDir), probes))
+    val enc = rows(IvfPq.probeEncrypted(spark, Seq(encDir), probes,
+      kms.url, Some("INTERNAL")))
+    assert(enc == plain, "encrypted serve diverged from the plaintext index")
+    // Higher privilege also serves (the lattice is monotone).
+    val encHigh = rows(IvfPq.probeEncrypted(spark, Seq(encDir), probes,
+      kms.url, Some("RESTRICTED")))
+    assert(encHigh == plain)
+    // 3. Gating: an under-privileged probe FAILS with a key-access
+    //    denial at action time — it must never serve.
+    Seq(None, Some("PUBLIC")).foreach { token =>
+      val e = intercept[Throwable] {
+        IvfPq.probeEncrypted(spark, Seq(encDir), probes, kms.url, token).collect()
+      }
+      assert(causedByAccessDenied(e),
+        s"under-privileged probe (token=$token) failed for the wrong reason: $e")
+    }
+  }
+
+  test("encrypted filtered serve keeps predicate purity under the token channel") {
+    val kms = TestKmsServer.shared
+    val root = freshRoot("graft-ann-encrypted-filtered")
+    val emb = AnnIndex.corpus(spark, sfDir)
+    val encDir = IvfPq.buildFromEncrypted(spark, emb, s"$root/enc", kms.url)
+    val out = IvfPq.probeEncrypted(spark, Seq(encDir),
+      AnnIndex.defaultProbes(spark, sfDir), kms.url, Some("INTERNAL"),
+      attrFilter = Some(col("label") === 7)).collect()
+    assert(out.nonEmpty, "filtered encrypted serve returned nothing")
+    val label7: Set[Long] = emb.filter(col("label") === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => label7.contains(r.getLong(r.fieldIndex("nbr_id")))),
+      "a neighbor escaped the label predicate on the encrypted index")
+  }
+}
