@@ -980,7 +980,7 @@ object AnnIndex {
     * serve matrix (filtered × masked × multi-segment) is available at
     * reindex scale with zero probe materialization.
     */
-  private[ops] def ivfProbeDistributedSegments(s: SparkSession,
+  private[graft] def ivfProbeDistributedSegments(s: SparkSession,
       roots: Seq[String], probeDf: DataFrame,
       tss: Seq[(String, Int)] = Nil,
       attrFilter: Option[Column] = None): DataFrame = {
@@ -1753,9 +1753,26 @@ object AnnIndex {
     * own delta segment against the frozen index at `baseDir`. Returns
     * the complete segment dirs in batch (LSM recency) order. The soak's
     * stream op and [[streamIngestInto]] share this body.
+    *
+    * `autoMaintainEvery` > 0 wires [[maintain]] INTO the ingest loop
+    * (r12 verdict item 5): after each committed micro-batch, once that
+    * many not-yet-folded segments have accumulated, the loop folds them
+    * (current fold ∨ base, plus the unfolded segments) into a fresh
+    * version under `root/maint` behind the usual CURRENT pointer —
+    * including the drift check and its conditional retrain. Each fold
+    * version carries a `_SEGMENTS` manifest (written BEFORE its
+    * `_SUCCESS`, so it is atomic with the version) naming every segment
+    * it contains; [[servingStateOf]] composes the reader view from it.
+    * A reader is consistent under any interleaving: it resolves ONE
+    * immutable fold, reads THAT fold's manifest, and unions the complete
+    * segments the manifest excludes — newer segments only ever ADD.
+    * Folding runs between micro-batches on the single stream thread, so
+    * it never races a segment writer; retirement grace protects readers
+    * holding the previous fold, as everywhere else.
     */
   private[ops] def streamIngestFrames(s: SparkSession, baseDir: String,
-      src: DataFrame, root: String, nFiles: Int = StreamFiles): Seq[String] = {
+      src: DataFrame, root: String, nFiles: Int = StreamFiles,
+      autoMaintainEvery: Int = 0): Seq[String] = {
     GraftFunctions.register(s)
     val cents = readCentroids(s, baseDir)
     val srcDir = s"$root/src"
@@ -1800,19 +1817,98 @@ object AnnIndex {
             encodePq(b.toDF(), cb)
               .write.mode("overwrite").parquet(s"$seg/pq_codes")
             Afs.touch(s"$seg/_COMPLETE")
+            if (autoMaintainEvery > 0) {
+              // Fold threshold check AFTER the batch commits: the fold
+              // runs on this same stream thread (AvailableNow is
+              // serial), so it never races a segment writer.
+              val (curBase, unfolded, already) =
+                servingStateOf(baseDir, segRoot, s"$root/maint")
+              if (unfolded.size >= autoMaintainEvery)
+                maintainWithManifest(batch.sparkSession, curBase, unfolded,
+                  s"$root/maint", already): Unit
+            }
           }
         } finally b.unpersist(): Unit
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start().awaitTermination()
-    // Numeric batch order, NOT lexicographic ("b10" < "b2" as strings):
-    // segment order is LSM recency order, which tombstone boundaries
-    // depend on for any caller composing these roots.
+    completeSegments(segRoot)
+  }
+
+  /** Complete segment dirs under an ingest root, in NUMERIC batch order,
+    * not lexicographic ("b10" < "b2" as strings): segment order is LSM
+    * recency order, which tombstone boundaries depend on for any caller
+    * composing these roots.
+    */
+  private def completeSegments(segRoot: String): Seq[String] =
     Afs.listStatus(segRoot)
       .filter(st => st.isDirectory && Afs.exists(s"${st.getPath}/_COMPLETE"))
       .sortBy(_.getPath.getName.stripPrefix("b").toLong)
       .map(_.getPath.toString).toIndexedSeq
+
+  /** The reader view of an auto-maintained ingest root: (serving base,
+    * not-yet-folded complete segments, folded segment names). The base
+    * is the CURRENT fold under `maintRoot` when one exists (its
+    * `_SEGMENTS` manifest — written before the fold's `_SUCCESS`, so
+    * atomic with the version — says which segments it already contains),
+    * else the frozen build base. Consistent under any fold/ingest
+    * interleaving: the fold is immutable once resolved, its manifest is
+    * part of it, and segments only ever get ADDED to the listing.
+    */
+  private[ops] def servingStateOf(baseDir: String, segRoot: String,
+      maintRoot: String): (String, Seq[String], Seq[String]) = {
+    val segs = completeSegments(segRoot)
+    currentVersion(maintRoot) match {
+      case Some(fold) =>
+        val already =
+          try Afs.readString(s"$fold/_SEGMENTS").split("\n").toSeq.filter(_.nonEmpty)
+          catch { case _: java.io.IOException => Seq.empty }
+        val name = (p: String) => new org.apache.hadoop.fs.Path(p).getName
+        (fold, segs.filterNot(p => already.contains(name(p))), already)
+      case None => (baseDir, segs, Nil)
+    }
+  }
+
+  /** [[maintain]] plus a `_SEGMENTS` manifest stamped into every version
+    * it publishes (fold and conditional retrain alike), landing BEFORE
+    * the version's `_SUCCESS` — the auto-maintain bookkeeping the ingest
+    * loop and [[servingStateOf]] share.
+    */
+  private[ops] def maintainWithManifest(s: SparkSession, baseDir: String,
+      segDirs: Seq[String], outRoot: String,
+      alreadyFolded: Seq[String]): MaintainResult = {
+    GraftFunctions.register(s)
+    val name = (p: String) => new org.apache.hadoop.fs.Path(p).getName
+    val manifest = (alreadyFolded ++ segDirs.map(name)).mkString("\n")
+    def stamp(vdir: String): Unit = Afs.writeString(s"$vdir/_SEGMENTS", manifest)
+    val folded = publishVersion(outRoot) { v =>
+      compactInto(s, baseDir, segDirs, Nil, v); stamp(v)
+    }
+    val lists = s.read.parquet(s"$folded/ivf_assignments")
+    val rep = retrainCheckAssigned(s, folded, lists)
+    if (!rep.recommend) MaintainResult(folded, rep, retrained = false)
+    else MaintainResult(
+      publishVersion(outRoot) { v =>
+        writeIndex(s, lists.select(col("vec_id"), col("e"), col("label")), v)
+        stamp(v)
+      },
+      rep, retrained = true)
+  }
+
+  /** Continuous ingest WITH the maintenance loop wired in: stream `src`
+    * as micro-batch segments against the frozen `baseDir`, auto-folding
+    * every `every` unfolded segments (see [[streamIngestFrames]]).
+    * Returns the post-stream reader view: (serving base — the latest
+    * fold, or `baseDir` if none fired — and the unfolded segments to
+    * union with it).
+    */
+  private[ops] def streamIngestWithMaintain(s: SparkSession, baseDir: String,
+      src: DataFrame, root: String, nFiles: Int,
+      every: Int): (String, Seq[String]) = {
+    streamIngestFrames(s, baseDir, src, root, nFiles, autoMaintainEvery = every): Unit
+    val (b, unfolded, _) = servingStateOf(baseDir, s"$root/segments", s"$root/maint")
+    (b, unfolded)
   }
 
   /** IVF serve across explicit segment roots (base first, oldest to

@@ -48,6 +48,37 @@ object ScaleDiag {
     if (siblings.contains(f.getPath)) siblings else siblings :+ benchSfDir
   }
 
+  /** The distributed LSM serve shape PRICED (r12 verdict item 6):
+    * [[graft.ops.AnnIndex.ivfProbeDistributedSegments]] over the
+    * dataset's real multi-segment masked state (append base + delta +
+    * delete tombstones — the q113/q129 fixtures) with q132's
+    * reindex-scale probe frame (5 re-keyed corpus copies, larger than
+    * MaxProbes, never materialized on the driver). Warm run then one
+    * timed steady-state run, the BASELINE §C cell for "every serve
+    * shape priced". Guarded by Bench like the other diag lines.
+    */
+  def annDistLsm(spark: SparkSession, benchSfDir: String): String = {
+    import graft.ops.AnnIndex
+    import org.apache.spark.sql.functions._
+    val (baseDir, deltaDir, tsDir) = AnnIndex.writeTombstones(spark, benchSfDir)
+    val reps = 5
+    val probes = AnnIndex.corpus(spark, benchSfDir)
+      .crossJoin(broadcast(spark.range(reps).toDF("r")))
+      .select(((col("r") + 1) * lit(10000000L) + col("vec_id")).as("pid"),
+        col("e").as("pe"))
+    val nProbes = probes.count()
+    def run(): Unit = AnnIndex.ivfProbeDistributedSegments(spark,
+        Seq(baseDir, deltaDir), probes, Seq(tsDir -> Int.MaxValue))
+      .write.format("noop").mode("overwrite").save()
+    run() // warm: fixtures, codegen, page cache
+    val t0 = System.nanoTime()
+    run()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val sf = new java.io.File(benchSfDir).getName
+    f"""{"metric":"ann_dist_lsm","probe_sec":$sec%.3f,"n_probes":$nProbes,""" +
+      s""""segments":2,"masked":true,"sf":"$sf"}"""
+  }
+
   /** Measured ANN recall at the BENCH scale factor (round-4 verdict #8):
     * the approximate paths' specs pin recall at test scale only, but
     * bucket-collision probability shifts with corpus density — so the

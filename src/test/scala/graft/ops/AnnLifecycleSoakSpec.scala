@@ -84,6 +84,7 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
   sealed trait Op
   case class Append(n: Int) extends Op
   case class Ingest(n: Int, files: Int) extends Op
+  case class IngestMaint(n: Int, files: Int) extends Op
   case class Delete(seed: Int, n: Int) extends Op
   case class Upsert(seed: Int, n: Int) extends Op
   case object Fold extends Op
@@ -123,6 +124,27 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
       assert(got.sorted == ids.toSeq.sorted,
         s"stream ingest wrote $got across ${segs.size} segments, expected $ids")
       St(st.base, st.segs :++ segs, st.tss, st.live ++ ids.map(_ -> 0), st.nextId + n)
+    case IngestMaint(n, files) =>
+      // Stream-ingest WITH the auto-maintain loop (r12 verdict item 5).
+      // The auto-fold absorbs its base plus its own segments, so the
+      // accumulated state folds first — the fold's base must cover
+      // everything live, exactly as a production serving root would
+      // already be folded before a maintained stream feeds it.
+      val st2 = if (st.segs.nonEmpty || st.tss.nonEmpty)
+        step(st, Fold, root, 9000 + k) else st
+      val ids = st2.nextId until st2.nextId + n
+      val (b, leftover) = AnnIndex.streamIngestWithMaintain(spark, st2.base,
+        frame(ids.map(_ -> 0)), s"$root/op$k", files, every = 1)
+      val got = readIds(s"$b/ivf_assignments") ++
+        leftover.flatMap(g => readIds(s"$g/ivf_assignments"))
+      val expect = st2.live.keySet ++ ids
+      assert(got.size == got.distinct.size,
+        s"auto-maintained ingest duplicated ids: ${got.diff(got.distinct).take(5)}")
+      assert(got.toSet == expect,
+        s"auto-maintained ingest ghosts=${(got.toSet -- expect).take(5)} " +
+          s"lost=${(expect -- got.toSet).take(5)}")
+      St(b, leftover.toVector, Vector.empty,
+        st2.live ++ ids.map(_ -> 0), st2.nextId + n)
     case Delete(seed, n) =>
       val victims = pick(st.live, seed, n)
       if (victims.isEmpty) st
@@ -314,6 +336,7 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
     baseDir0: Unit
     val genOp: Gen[Op] = Gen.frequency(
       3 -> Gen.zip(Gen.choose(2, 4), Gen.choose(1, 2)).map(t => Ingest(t._1, t._2)),
+      2 -> Gen.zip(Gen.choose(2, 4), Gen.choose(1, 2)).map(t => IngestMaint(t._1, t._2)),
       2 -> Gen.choose(1, 3).map(Append.apply),
       2 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Delete(t._1, t._2)),
       2 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Upsert(t._1, t._2)),
