@@ -527,6 +527,16 @@ object AnnIndex {
     * predicate at serve time ([[pqProbeFiltered]]).
     */
   private def encodePq(src: DataFrame, cb: DataFrame): DataFrame =
+    pqEncode(src, cb)
+      .join(src.select(col("vec_id"), col("label")), Seq("vec_id"))
+
+  /** The shared ADC encoding — (vec_id, codes, qnorm) for a (vec_id, e,
+    * …) frame against a codebook frame. [[encodePq]] (f3) adds the label
+    * join; [[IvfPq.writeLists]] (f4) joins it with the assignment side,
+    * which already carries label. ONE implementation so the two formats'
+    * codes can never silently diverge (review r13).
+    */
+  private[ops] def pqEncode(src: DataFrame, cb: DataFrame): DataFrame =
     pqAssign(pqSliced(src), cb)
       .join(broadcast(cb.select(col("m"), col("code"), col("ce"))), Seq("m", "code"))
       .groupBy("vec_id")
@@ -534,7 +544,6 @@ object AnnIndex {
         transform(array_sort(collect_list(struct(col("m"), col("code")))),
           x => x.getField("code")).as("codes"),
         sqrt(sum(GraftFunctions.dotProduct(col("ce"), col("ce")))).as("qnorm"))
-      .join(src.select(col("vec_id"), col("label")), Seq("vec_id"))
 
   /** Build (or adopt) the index for this dataset, returning the CURRENT
     * complete version dir. Synchronized via computeIfAbsent per JVM (the
@@ -1316,45 +1325,71 @@ object AnnIndex {
     *     mask it. Arbitrary interleavings of the two compose — the
     *     histories the lifecycle soak generates.
     */
-  private def compactInto(s: SparkSession, baseDir: String,
-      deltaDirs: Seq[String], tss: Seq[(DataFrame, Int)],
-      vdir: String): Unit = {
-    val cols = Seq(col("cid"), col("vec_id"), col("label"), col("e"))
-    // Re-select the canonical column order after the using-column
-    // anti-join (it reorders the key first, and the segment frames
-    // union positionally). segIdx picks the masks that apply to this
-    // segment's recency position.
-    def maskFor(segIdx: Int): Option[DataFrame] =
-      tss.filter(_._2 > segIdx).map(_._1.select(col("vec_id")))
-        .reduceOption(_ unionAll _)
-    def anti(df: DataFrame, segIdx: Int, sel: Seq[Column]): DataFrame =
-      maskFor(segIdx).fold(df)(m =>
-        df.join(m, Seq("vec_id"), "left_anti").select(sel: _*))
-    val deltaLists = deltaDirs.zipWithIndex
+  /** Masks applying to a segment's recency position, anti-joined out
+    * with the canonical column order RE-SELECTED after the using-column
+    * join (it reorders the key first, and segment frames union
+    * positionally — the r10 composition bug). Shared by both formats'
+    * folds and the read-side [[maskedUnion]]'s write-side twin.
+    */
+  private[ops] def lsmAnti(tss: Seq[(DataFrame, Int)])(
+      df: DataFrame, segIdx: Int, sel: Seq[Column]): DataFrame =
+    tss.filter(_._2 > segIdx).map(_._1.select(col("vec_id")))
+      .reduceOption(_ unionAll _)
+      .fold(df)(m => df.join(m, Seq("vec_id"), "left_anti").select(sel: _*))
+
+  /** Fold ONE cid-partitioned artifact across base + segments under the
+    * LSM recency-boundary rule — the shared core behind [[compactInto]]
+    * (f3 `ivf_assignments`) and [[IvfPq.compactSegments]] (f4
+    * `ivfpq_lists`), so a fix to the fold discipline lands once (review
+    * r13): touched lists = segments' cids ∪ tombstones' recorded cids
+    * (bounded ≤K collects); touched merge base+segments with masks
+    * anti-joined out through ONE exchange on cid; untouched base lists
+    * carry over file-level (object-store copy, never a scan) — correct
+    * because a tombstoned vector's list is touched by construction.
+    * Returns the touched set.
+    */
+  private[ops] def foldPartitionedArtifact(s: SparkSession, baseDir: String,
+      segDirs: Seq[String], tss: Seq[(DataFrame, Int)], sub: String,
+      colNames: Seq[String], sortInPartitions: Boolean, vdir: String,
+      readOpts: Map[String, String] = Map.empty,
+      writeOpts: Map[String, String] = Map.empty): Set[Int] = {
+    val cols = colNames.map(col)
+    val anti = lsmAnti(tss) _
+    val segLists = segDirs.zipWithIndex
       .map { case (p, i) =>
-        anti(s.read.parquet(s"$p/ivf_assignments").select(cols: _*), i + 1, cols)
+        anti(s.read.options(readOpts).parquet(s"$p/$sub").select(cols: _*), i + 1, cols)
       }
       .reduceOption(_ unionAll _)
     val touched: Set[Int] =
-      (deltaLists.toSeq.flatMap(_.select("cid").distinct().collect().map(_.getInt(0))) ++
+      (segLists.toSeq.flatMap(_.select("cid").distinct().collect().map(_.getInt(0))) ++
         tss.flatMap(_._1.select("cid").distinct().collect().map(_.getInt(0)))).toSet
     val baseLists = anti(
-      s.read.parquet(s"$baseDir/ivf_assignments")
+      s.read.options(readOpts).parquet(s"$baseDir/$sub")
         .filter(col("cid").isin(touched.toSeq.sorted: _*))
         .select(cols: _*), 0, cols)
-    deltaLists.fold(baseLists)(baseLists.unionAll)
+    val merged = segLists.fold(baseLists)(baseLists.unionAll)
       .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$vdir/ivf_assignments")
-    Afs.copyTree(s"$baseDir/ivf_centroids", s"$vdir/ivf_centroids")
-    Afs.copyTree(s"$baseDir/pq_codebook", s"$vdir/pq_codebook")
+    (if (sortInPartitions) merged.sortWithinPartitions("vec_id") else merged)
+      .write.mode("overwrite").partitionBy("cid").options(writeOpts)
+      .parquet(s"$vdir/$sub")
     // Untouched lists: file-level carry-over into the merged layout (on
     // an object store a server-side copy; never a scan).
-    Afs.listStatus(s"$baseDir/ivf_assignments")
+    Afs.listStatus(s"$baseDir/$sub")
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
       .filter(st => !touched.contains(st.getPath.getName.stripPrefix("cid=").toInt))
       .foreach(st => Afs.copyTree(st.getPath.toString,
-        s"$vdir/ivf_assignments/${st.getPath.getName}"))
+        s"$vdir/$sub/${st.getPath.getName}"))
+    touched
+  }
+
+  private def compactInto(s: SparkSession, baseDir: String,
+      deltaDirs: Seq[String], tss: Seq[(DataFrame, Int)],
+      vdir: String): Unit = {
+    foldPartitionedArtifact(s, baseDir, deltaDirs, tss, "ivf_assignments",
+      Seq("cid", "vec_id", "label", "e"), sortInPartitions = false, vdir): Unit
+    val anti = lsmAnti(tss) _
+    Afs.copyTree(s"$baseDir/ivf_centroids", s"$vdir/ivf_centroids")
+    Afs.copyTree(s"$baseDir/pq_codebook", s"$vdir/pq_codebook")
     if (tss.nonEmpty) {
       val codeCols = Seq(col("vec_id"), col("codes"), col("qnorm"), col("label"))
       val baseCodes = anti(
@@ -1638,9 +1673,10 @@ object AnnIndex {
     * reduces to one O(k·dim) aggregate over data it just wrote.
     */
   private[ops] def retrainCheckAssigned(s: SparkSession, indexDir: String,
-      preAssigned: DataFrame): RetrainReport = {
+      preAssigned: DataFrame,
+      readOpts: Map[String, String] = Map.empty): RetrainReport = {
     GraftFunctions.register(s)
-    val cents = readCentroids(s, indexDir)
+    val cents = readCentroids(s, indexDir, readOpts)
     val norms = cents.map { case (cid, ce) =>
       cid -> math.sqrt(ce.map(x => x * x).sum)
     }.toMap
@@ -1808,12 +1844,29 @@ object AnnIndex {
           // fileless segment would fail every later reader (found by
           // the lifecycle soak — AnnLifecycleSoakSpec).
           if (!b.isEmpty) {
-            assignCids(b.toDF(), cents)
+            // Under auto-maintain the trained artifacts to assign/encode
+            // against are the CURRENT SERVING BASE's, re-resolved per
+            // batch — a fold's retrain publishes NEW centroids and a NEW
+            // codebook, and a later batch encoded against the original
+            // base would silently mix two centroid/codebook spaces in
+            // the served state (review r13). The invariant: a retrain
+            // happens only inside a fold, a fold consumes every unfolded
+            // segment, so every unfolded segment is always encoded in
+            // the current fold-base's space. Without auto-maintain the
+            // base is frozen and the once-read artifacts stand.
+            val artifactBase =
+              if (autoMaintainEvery > 0)
+                servingStateOf(baseDir, segRoot, s"$root/maint")._1
+              else baseDir
+            val batchCents =
+              if (artifactBase == baseDir) cents
+              else readCentroids(batch.sparkSession, artifactBase)
+            assignCids(b.toDF(), batchCents)
               .select(col("cid"), col("vec_id"), col("label"), col("e"))
               .repartition(col("cid"))
               .write.mode("overwrite").partitionBy("cid")
               .parquet(s"$seg/ivf_assignments")
-            val cb = batch.sparkSession.read.parquet(s"$baseDir/pq_codebook")
+            val cb = batch.sparkSession.read.parquet(s"$artifactBase/pq_codebook")
             encodePq(b.toDF(), cb)
               .write.mode("overwrite").parquet(s"$seg/pq_codes")
             Afs.touch(s"$seg/_COMPLETE")
@@ -1861,9 +1914,13 @@ object AnnIndex {
     val segs = completeSegments(segRoot)
     currentVersion(maintRoot) match {
       case Some(fold) =>
+        // The manifest read FAILS LOUD: defaulting a transient IO error
+        // to "fold contains nothing" would make the reader union the
+        // fold with segments it already contains — silent duplicate
+        // serving (review r13). The manifest is written before the
+        // fold's _SUCCESS, so a resolvable fold always has one.
         val already =
-          try Afs.readString(s"$fold/_SEGMENTS").split("\n").toSeq.filter(_.nonEmpty)
-          catch { case _: java.io.IOException => Seq.empty }
+          Afs.readString(s"$fold/_SEGMENTS").split("\n").toSeq.filter(_.nonEmpty)
         val name = (p: String) => new org.apache.hadoop.fs.Path(p).getName
         (fold, segs.filterNot(p => already.contains(name(p))), already)
       case None => (baseDir, segs, Nil)

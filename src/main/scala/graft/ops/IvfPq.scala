@@ -67,19 +67,6 @@ object IvfPq {
 
   // ---- build -----------------------------------------------------------
 
-  /** (vec_id, codes, qnorm) for a (vec_id, e, ...) frame against a
-    * codebook frame — [[AnnIndex.encodePq]] minus the label join (the
-    * composed write already holds label on the assignment side).
-    */
-  private def pqCodesFor(src: DataFrame, cb: DataFrame): DataFrame =
-    AnnIndex.pqAssign(AnnIndex.pqSliced(src), cb)
-      .join(broadcast(cb.select(col("m"), col("code"), col("ce"))), Seq("m", "code"))
-      .groupBy("vec_id")
-      .agg(
-        transform(array_sort(collect_list(struct(col("m"), col("code")))),
-          x => x.getField("code")).as("codes"),
-        sqrt(sum(GraftFunctions.dotProduct(col("ce"), col("ce")))).as("qnorm"))
-
   /** Train + write the composed index for `embFrame` under `dir` (an
     * unpublished version dir — [[AnnIndex.publishVersion]] owns marker
     * and pointer). Trainers are f3's verbatim ([[AnnIndex.trainIvf]],
@@ -120,7 +107,8 @@ object IvfPq {
   private def writeLists(assigned: DataFrame, cb: DataFrame, out: String,
       writeOpts: Map[String, String] = Map.empty): Unit =
     assigned
-      .join(pqCodesFor(assigned.select(col("vec_id"), col("e")), cb), Seq("vec_id"))
+      .join(AnnIndex.pqEncode(assigned.select(col("vec_id"), col("e")), cb),
+        Seq("vec_id"))
       .select(ListCols.map(col): _*)
       .repartition(col("cid"))
       .sortWithinPartitions("vec_id")
@@ -266,12 +254,20 @@ object IvfPq {
         }
         ord -> (lut, math.sqrt(pe.map(x => x * x).sum))
       }.toMap
-    val routedLut = {
+    // Two SEPARATE broadcasts (review r13): the narrow routing pairs
+    // (one row per (ord, cid)) and the fat per-probe LUTs (one row per
+    // probe) — duplicating each probe's Mpq·Kpq-double LUT once per
+    // routed cid would make the broadcast nprobe-fold larger for
+    // nothing.
+    val routedPairs = {
       import s.implicits._
-      routed.map { case (ord, pid, _, cid) =>
-        val (lut, pnorm) = luts(ord)
-        (ord, pid, cid, lut, pnorm)
-      }.toDF("__ord", "probe_id", "cid", "lut", "pnorm")
+      routed.map { case (ord, pid, _, cid) => (ord, pid, cid) }
+        .toDF("__ord", "probe_id", "cid")
+    }
+    val lutDf = {
+      import s.implicits._
+      luts.toSeq.map { case (ord, (lut, pnorm)) => (ord, lut, pnorm) }
+        .toDF("__ord", "lut", "pnorm")
     }
     // Stage 2: codes-only scan of the probed lists. The cid filter is a
     // LITERAL IN over partition values (static pruning); attrFilter
@@ -281,8 +277,9 @@ object IvfPq {
       prep = df => df.filter(col("cid").isin(neededCids: _*))
         .filter(attrFilter.getOrElse(lit(true))),
       readOpts = readOpts)
-    val scored = codes.join(broadcast(routedLut), Seq("cid"))
+    val scored = codes.join(broadcast(routedPairs), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
+      .join(broadcast(lutDf), Seq("__ord"))
       .withColumn("qdot",
         aggregate(sequence(lit(0), lit(Mpq - 1)), lit(0.0),
           (acc, m) => acc + element_at(col("lut"),
@@ -339,6 +336,32 @@ object IvfPq {
     probeFiltered(s, d, attrFilter, AnnIndex.defaultProbes(s, d))
 
   // ---- lifecycle -------------------------------------------------------
+  //
+  // Every lifecycle entry point takes an optional [[IndexCrypto]] so the
+  // FULL composition — append, masked serve, delete-aware compact,
+  // maintain — runs on an encrypted index exactly as on a plaintext one
+  // (review r13: the serve path alone carrying the token made the
+  // encrypted lifecycle fail unconditionally): reads carry the
+  // token-bearing reader conf, rewritten artifacts re-encrypt under the
+  // per-artifact policies, and the file-level carry-over copies
+  // encrypted bytes verbatim (no decrypt — keys ride in the footers).
+
+  /** Crypto context for an encrypted index: the KMS endpoint plus the
+    * caller's token. Lifecycle ops need a token with enough privilege to
+    * READ the artifacts they fold (writes wrap fresh DEKs, no token).
+    */
+  final case class IndexCrypto(kmsUrl: String, token: Option[String]) {
+    private[ops] def readOpts: Map[String, String] =
+      graft.crypto.EncryptionPolicy.readConfMap(kmsUrl, token)
+    private[ops] def writeOptsFor(artifact: String): Map[String, String] =
+      graft.crypto.EncryptionPolicy.writeConfMap(
+        indexPolicies(artifact), kmsUrl, accessToken = None)
+  }
+
+  private def rOpts(crypto: Option[IndexCrypto]): Map[String, String] =
+    crypto.fold(Map.empty[String, String])(_.readOpts)
+  private def wOpts(crypto: Option[IndexCrypto], artifact: String): Map[String, String] =
+    crypto.fold(Map.empty[String, String])(_.writeOptsFor(artifact))
 
   /** Publish one composed delta segment for `batch` against the frozen
     * index at `baseDir`: cid assignment against the base centroids and
@@ -346,65 +369,36 @@ object IvfPq {
     * over the batch — no Lloyd, no training (q113's append discipline).
     */
   private[ops] def appendSegment(s: SparkSession, baseDir: String,
-      batch: DataFrame, root: String): String = {
+      batch: DataFrame, root: String,
+      crypto: Option[IndexCrypto] = None): String = {
     GraftFunctions.register(s)
     AnnIndex.publishVersion(root) { vdir =>
-      val cents = AnnIndex.readCentroids(s, baseDir)
-      val cb = s.read.parquet(s"$baseDir/pq_codebook")
-      writeLists(AnnIndex.assignCids(batch, cents), cb, s"$vdir/ivfpq_lists")
+      val cents = AnnIndex.readCentroids(s, baseDir, rOpts(crypto))
+      val cb = s.read.options(rOpts(crypto)).parquet(s"$baseDir/pq_codebook")
+      writeLists(AnnIndex.assignCids(batch, cents), cb,
+        s"$vdir/ivfpq_lists", wOpts(crypto, "ivfpq_lists"))
     }
   }
 
   /** Fold base + delta segments + tombstones into one physical composed
-    * index under a fresh published version — [[AnnIndex.compactInto]]'s
-    * discipline over the single-table artifact:
-    *
-    *   - touched lists = the segments' cids ∪ the tombstones' recorded
-    *     cids (bounded ≤K collects — tombstones carry their victim's cid
-    *     from write time, [[AnnIndex.tombstonesFor]]);
-    *   - touched lists merge base+segments, masks anti-join out under
-    *     the LSM recency-boundary rule, ONE exchange on cid;
-    *   - untouched base lists carry over file-level (object-store copy,
-    *     never a scan) — correct because a tombstoned vector's list is
-    *     touched by construction;
-    *   - trained artifacts copy unchanged (nothing retrains).
+    * index under a fresh published version — the shared
+    * [[AnnIndex.foldPartitionedArtifact]] core (touched lists = the
+    * segments' cids ∪ the tombstones' recorded cids, bounded ≤K
+    * collects; masks anti-joined out under the LSM recency-boundary
+    * rule; ONE exchange on cid; untouched base lists carry over
+    * file-level) over the single-table artifact, plus the unchanged
+    * trained-table copies (nothing retrains).
     */
   private[ops] def compactSegments(s: SparkSession, baseDir: String,
       segDirs: Seq[String], tss: Seq[(DataFrame, Int)],
-      outRoot: String): String = {
+      outRoot: String, crypto: Option[IndexCrypto] = None): String = {
     GraftFunctions.register(s)
     AnnIndex.publishVersion(outRoot) { vdir =>
-      val cols = ListCols.map(col)
-      def maskFor(segIdx: Int): Option[DataFrame] =
-        tss.filter(_._2 > segIdx).map(_._1.select(col("vec_id")))
-          .reduceOption(_ unionAll _)
-      def anti(df: DataFrame, segIdx: Int): DataFrame =
-        maskFor(segIdx).fold(df)(m =>
-          df.join(m, Seq("vec_id"), "left_anti").select(cols: _*))
-      val segLists = segDirs.zipWithIndex
-        .map { case (p, i) =>
-          anti(s.read.parquet(s"$p/ivfpq_lists").select(cols: _*), i + 1)
-        }
-        .reduceOption(_ unionAll _)
-      val touched: Set[Int] =
-        (segLists.toSeq.flatMap(_.select("cid").distinct().collect().map(_.getInt(0))) ++
-          tss.flatMap(_._1.select("cid").distinct().collect().map(_.getInt(0)))).toSet
-      val baseLists = anti(
-        s.read.parquet(s"$baseDir/ivfpq_lists")
-          .filter(col("cid").isin(touched.toSeq.sorted: _*))
-          .select(cols: _*), 0)
-      segLists.fold(baseLists)(baseLists.unionAll)
-        .repartition(col("cid"))
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$vdir/ivfpq_lists")
+      AnnIndex.foldPartitionedArtifact(s, baseDir, segDirs, tss,
+        "ivfpq_lists", ListCols, sortInPartitions = true, vdir,
+        rOpts(crypto), wOpts(crypto, "ivfpq_lists")): Unit
       Afs.copyTree(s"$baseDir/ivf_centroids", s"$vdir/ivf_centroids")
       Afs.copyTree(s"$baseDir/pq_codebook", s"$vdir/pq_codebook")
-      Afs.listStatus(s"$baseDir/ivfpq_lists")
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
-        .filter(st => !touched.contains(st.getPath.getName.stripPrefix("cid=").toInt))
-        .foreach(st => Afs.copyTree(st.getPath.toString,
-          s"$vdir/ivfpq_lists/${st.getPath.getName}"))
     }
   }
 
@@ -416,15 +410,17 @@ object IvfPq {
     */
   private[ops] def maintain(s: SparkSession, baseDir: String,
       segDirs: Seq[String], tss: Seq[(DataFrame, Int)],
-      outRoot: String): AnnIndex.MaintainResult = {
+      outRoot: String, crypto: Option[IndexCrypto] = None): AnnIndex.MaintainResult = {
     GraftFunctions.register(s)
-    val folded = compactSegments(s, baseDir, segDirs, tss, outRoot)
-    val lists = s.read.parquet(s"$folded/ivfpq_lists")
-    val rep = AnnIndex.retrainCheckAssigned(s, folded, lists.select(col("cid"), col("e")))
+    val folded = compactSegments(s, baseDir, segDirs, tss, outRoot, crypto)
+    val lists = s.read.options(rOpts(crypto)).parquet(s"$folded/ivfpq_lists")
+    val rep = AnnIndex.retrainCheckAssigned(s, folded,
+      lists.select(col("cid"), col("e")), rOpts(crypto))
     if (!rep.recommend) AnnIndex.MaintainResult(folded, rep, retrained = false)
     else AnnIndex.MaintainResult(
       AnnIndex.publishVersion(outRoot)(writeComposed(s,
-        lists.select(col("vec_id"), col("e"), col("label")), _)),
+        lists.select(col("vec_id"), col("e"), col("label")), _,
+        artifact => wOpts(crypto, artifact))),
       rep, retrained = true)
   }
 

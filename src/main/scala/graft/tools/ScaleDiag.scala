@@ -31,6 +31,7 @@ object ScaleDiag {
     spark.sparkContext.setLogLevel("WARN")
     graft.Graft.tune(spark)
     println(annRecall(spark, sfDir))
+    println(annDistLsm(spark, sfDir))
     spark.stop()
   }
 

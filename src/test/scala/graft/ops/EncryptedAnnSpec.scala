@@ -79,6 +79,45 @@ class EncryptedAnnSpec extends SparkTestBase {
     }
   }
 
+  test("encrypted lifecycle: append, masked serve, delete-compact and maintain run under the token") {
+    val kms = TestKmsServer.shared
+    val root = freshRoot("graft-ann-encrypted-lifecycle")
+    val crypto = Some(IvfPq.IndexCrypto(kms.url, Some("INTERNAL")))
+    import spark.implicits._
+    def frame(ids: Seq[Long]) = ids
+      .map(i => (i, (0 until 64).map(j => math.cos(i * 13 + j * 3)), (i % 10).toInt))
+      .toDF("vec_id", "e", "label")
+    val base = IvfPq.buildFromEncrypted(spark, frame(0L until 200L), s"$root/base", kms.url)
+    // Append encodes against the ENCRYPTED base artifacts and writes an
+    // encrypted segment.
+    val seg = IvfPq.appendSegment(spark, base, frame(200L until 220L), s"$root/seg", crypto)
+    intercept[Throwable] {
+      spark.read.parquet(s"$seg/ivfpq_lists").select("e").collect()
+    }
+    // Masked multi-segment serve under the token.
+    val ts = frame(Seq(5L, 6L)).select(col("vec_id"), lit(1).as("cid"))
+    val served = IvfPq.probeEncrypted(spark, Seq(base, seg),
+      frame(Seq(210L)).select((col("vec_id") + 1000000L).as("pid"), col("e").as("pe")),
+      kms.url, Some("INTERNAL"), tss = Seq(ts -> Int.MaxValue)).collect()
+    assert(served.length == AnnIndex.TopK)
+    assert(!served.exists(r => Set(5L, 6L).contains(r.getLong(1))),
+      "tombstoned id served from the encrypted state")
+    // Delete-aware compaction re-encrypts the fold; census under the token.
+    val folded = IvfPq.compactSegments(spark, base, Seq(seg),
+      Seq(ts -> Int.MaxValue), s"$root/fold", crypto)
+    val lists = spark.read
+      .options(graft.crypto.EncryptionPolicy.readConfMap(kms.url, Some("INTERNAL")))
+      .parquet(s"$folded/ivfpq_lists")
+    assert(lists.count() == 200 + 20 - 2)
+    intercept[Throwable] {
+      spark.read.parquet(s"$folded/ivfpq_lists").select("codes").collect()
+    }
+    // Maintain (fold + drift check) runs end-to-end under the token.
+    val res = IvfPq.maintain(spark, base, Seq(seg), Nil, s"$root/maint", crypto)
+    assert(!res.retrained)
+    assert(AnnIndex.resolveVersion(s"$root/maint").contains(res.dir))
+  }
+
   test("encrypted filtered serve keeps predicate purity under the token channel") {
     val kms = TestKmsServer.shared
     val root = freshRoot("graft-ann-encrypted-filtered")

@@ -179,6 +179,11 @@ object ShuffleBudgetSpec {
     "q130_ann_filtered_probe" -> 65536L,
     "q131_ann_pq_filtered_probe" -> 466482L,
     "q132_ann_distributed_probe" -> 716932L,
+    // r13 composed IVF+PQ: the build's exchanges are the cid cluster
+    // write + the assignment⋈codes join (measured 1.92 MB at sf0.01);
+    // the probe moves only the pool + window partials (80 KB).
+    "q133_ann_ivfpq_build" -> 1923222L,
+    "q134_ann_ivfpq_probe" -> 79812L,
     "q12_window_frame" -> 1705488L,
     "q13_topk" -> 65536L,
     "q14_setops" -> 65536L,
