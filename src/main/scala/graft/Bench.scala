@@ -615,6 +615,8 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] ann recall diag failed: $e") }
       try println(tools.ScaleDiag.annDistLsm(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] ann dist-lsm diag failed: $e") }
+      try println(tools.ScaleDiag.annDistIvfPq(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] ann dist-ivfpq diag failed: $e") }
       try println(tools.CryptoMeasure.run(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] crypto diag failed: $e") }
       // Exchange-byte sweep (r8 verdict item 4), recorded per round next

@@ -49,6 +49,11 @@ object GraftFunctions {
       exprs => NgramRepetitionExpr(exprs(0), intArg(exprs(1), "ngram_repetition"))),
     ("token_hashes", classOf[TokenHashesExpr],
       exprs => TokenHashesExpr(exprs(0))),
+    ("adc_dot", classOf[AdcDotExpr],
+      exprs => AdcDotExpr(exprs(0), exprs(1), intArg(exprs(2), "adc_dot"))),
+    ("pq_lut", classOf[PqLutExpr],
+      exprs => PqLutExpr(exprs(0), exprs(1), intArg(exprs(2), "pq_lut"),
+        intArg(exprs(3), "pq_lut"))),
     ("count_in_set", classOf[CountInSet],
       exprs => CountInSet(exprs(0), exprs(1))),
     ("intersect_count", classOf[IntersectCount],
@@ -119,6 +124,16 @@ object GraftFunctions {
 
   /** Column API: xxhash64 of each token. */
   def tokenHashes(tokens: Column): Column = call_function("token_hashes", tokens)
+
+  /** Column API: per-candidate ADC lookup sum — Σ_m lut[m*kpq+codes[m]]. */
+  def adcDot(lut: Column, codes: Column, kpq: Int): Column =
+    call_function("adc_dot", lut, codes, lit(kpq))
+
+  /** Column API: the probe's flat M×K ADC lookup table against a flat
+    * codebook literal.
+    */
+  def pqLut(pe: Column, cbFlat: Column, kpq: Int, sub: Int): Column =
+    call_function("pq_lut", pe, cbFlat, lit(kpq), lit(sub))
 
   /** Column API: count of tokens appearing in the (small) set column. */
   def countInSet(tokens: Column, set: Column): Column =

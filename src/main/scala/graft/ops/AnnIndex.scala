@@ -999,48 +999,65 @@ object AnnIndex {
       attrFilter)
   }
 
+  /** Normalized probe frame with the per-ROW serve ordinal appended —
+    * the distributed serve paths' input shape. The ordinal is
+    * [[monotonically_increasing_id]]: nondeterministic, so downstream
+    * code must keep it in ONE linear pipeline (never recompute it on
+    * two sides of a join) unless the frame is localCheckpoint'ed first.
+    */
+  private[ops] def probesWithOrdinal(probeDf: DataFrame): DataFrame =
+    normalizeProbes(probeDf)
+      .withColumn("__pord", monotonically_increasing_id())
+
+  /** Distributed routing, shared by the f3 and f4 end-to-end-DataFrame
+    * serve paths: `probes` (pid, pe, __pord — [[probesWithOrdinal]]'s
+    * shape) becomes one routed row per (probe row × probed list),
+    * k-thresholded like every other assignment site.
+    */
+  private[ops] def routeDistributed(s: SparkSession, probes: DataFrame,
+      cents: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame =
+    if (cents.size <= LiteralAssignMaxK) {
+      val entries = array(centroidEntries(col("pe"), cents): _*)
+      probes.withColumn("cid",
+        explode(transform(slice(array_sort(entries), 1, nprobe),
+          e => e.getField("cid"))))
+    } else {
+      // ONE linear pipeline — no self-join: the ordinal is
+      // nondeterministic (monotonically_increasing_id), so it must
+      // never be recomputed on two sides of a join (a shuffle-bearing
+      // probe source re-evaluates with different per-partition order
+      // and a probe's vector would join ANOTHER probe's routed list).
+      // The joinAssignCids executor-loss caveat applies here too: a
+      // partial stage recompute after shuffle-fetch failure can
+      // re-deal ordinals when the probe frame's own lineage holds an
+      // order-unstable shuffle — localCheckpoint such frames on a
+      // real cluster; deterministic (file-scan) probe sources are safe.
+      // scan → expand vs the broadcast routing table → per-ordinal
+      // aggregate: collect the k (negsim, cid) entries, sort, slice
+      // nprobe (the routeDriver ordering and tie-break), explode. The
+      // map-side partial collect_list means the exchange carries each
+      // probe's k narrow structs plus its vector once — vectors never
+      // ride the k-fold expansion.
+      val centDf = { import s.implicits._; cents.toDF("rcid", "ce") }
+      probes
+        .crossJoin(broadcast(centDf))
+        .withColumn("negsim", -GraftFunctions.cosineSim(col("pe"), col("ce")))
+        .groupBy(col("__pord"))
+        .agg(first(col("pid")).as("pid"), first(col("pe")).as("pe"),
+          slice(array_sort(collect_list(struct(col("negsim"), col("rcid")))),
+            1, nprobe).as("routed"))
+        .withColumn("cid",
+          explode(transform(col("routed"), e => e.getField("rcid"))))
+        .select("__pord", "pid", "pe", "cid")
+    }
+
   private def ivfDistributedCore(s: SparkSession, roots: Seq[String],
       cents: Seq[(Int, Seq[Double])], probeDf: DataFrame,
       tss: Seq[(DataFrame, Int)], attrFilter: Option[Column]): DataFrame = {
     val nprobe = if (attrFilter.isDefined) FilteredNprobe else Nprobe
     import org.apache.spark.sql.expressions.Window
-    val probes = normalizeProbes(probeDf)
-      .withColumn("__pord", monotonically_increasing_id())
-    val routed: DataFrame =
-      if (cents.size <= LiteralAssignMaxK) {
-        val entries = array(centroidEntries(col("pe"), cents): _*)
-        probes.withColumn("cid",
-          explode(transform(slice(array_sort(entries), 1, nprobe),
-            e => e.getField("cid"))))
-      } else {
-        // ONE linear pipeline — no self-join: the ordinal is
-        // nondeterministic (monotonically_increasing_id), so it must
-        // never be recomputed on two sides of a join (a shuffle-bearing
-        // probe source re-evaluates with different per-partition order
-        // and a probe's vector would join ANOTHER probe's routed list).
-        // The joinAssignCids executor-loss caveat applies here too: a
-        // partial stage recompute after shuffle-fetch failure can
-        // re-deal ordinals when the probe frame's own lineage holds an
-        // order-unstable shuffle — localCheckpoint such frames on a
-        // real cluster; deterministic (file-scan) probe sources are safe.
-        // scan → expand vs the broadcast routing table → per-ordinal
-        // aggregate: collect the k (negsim, cid) entries, sort, slice
-        // nprobe (the routeDriver ordering and tie-break), explode. The
-        // map-side partial collect_list means the exchange carries each
-        // probe's k narrow structs plus its vector once — vectors never
-        // ride the k-fold expansion.
-        val centDf = { import s.implicits._; cents.toDF("rcid", "ce") }
-        probes
-          .crossJoin(broadcast(centDf))
-          .withColumn("negsim", -GraftFunctions.cosineSim(col("pe"), col("ce")))
-          .groupBy(col("__pord"))
-          .agg(first(col("pid")).as("pid"), first(col("pe")).as("pe"),
-            slice(array_sort(collect_list(struct(col("negsim"), col("rcid")))),
-              1, nprobe).as("routed"))
-          .withColumn("cid",
-            explode(transform(col("routed"), e => e.getField("rcid"))))
-          .select("__pord", "pid", "pe", "cid")
-      }
+    val probes = probesWithOrdinal(probeDf)
+    val routed: DataFrame = routeDistributed(s, probes, cents, nprobe)
     val lists = maskedUnion(s, roots, "ivf_assignments",
       Seq(col("cid"), col("vec_id"), col("e")), tss,
       prep = df => df.filter(attrFilter.getOrElse(lit(true))))
@@ -1172,13 +1189,11 @@ object AnnIndex {
       import s.implicits._
       probeLut.toDF("__ord", "probe_id", "pe", "lut", "pnorm")
     }
-    // qdot = Σ_m lut[m*K + codes[m]] — an aggregate over the M codes;
-    // qcos against the stored reconstructed norm ranks the pool.
+    // qdot = Σ_m lut[m*K + codes[m]] — the codegen'd ADC kernel
+    // ([[graft.functions.AdcDotExpr]]); qcos against the stored
+    // reconstructed norm ranks the pool.
     val scored = codes.join(broadcast(lutDf), col("vec_id") =!= col("probe_id"))
-      .withColumn("qdot",
-        aggregate(sequence(lit(0), lit(Mpq - 1)), lit(0.0),
-          (acc, m) => acc + element_at(col("lut"),
-            m * lit(Kpq) + element_at(col("codes"), m + lit(1)) + lit(1))))
+      .withColumn("qdot", GraftFunctions.adcDot(col("lut"), col("codes"), Kpq))
       .withColumn("qcos", col("qdot") / (col("pnorm") * col("qnorm")))
     val wPool = Window.partitionBy("__ord").orderBy(col("qcos").desc, col("vec_id").asc)
     val pool = scored

@@ -280,10 +280,7 @@ object IvfPq {
     val scored = codes.join(broadcast(routedPairs), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .join(broadcast(lutDf), Seq("__ord"))
-      .withColumn("qdot",
-        aggregate(sequence(lit(0), lit(Mpq - 1)), lit(0.0),
-          (acc, m) => acc + element_at(col("lut"),
-            m * lit(Kpq) + element_at(col("codes"), m + lit(1)) + lit(1))))
+      .withColumn("qdot", GraftFunctions.adcDot(col("lut"), col("codes"), Kpq))
       .withColumn("qcos", col("qdot") / (col("pnorm") * col("qnorm")))
     val wPool = Window.partitionBy("__ord").orderBy(col("qcos").desc, col("vec_id").asc)
     val pool = scored
@@ -334,6 +331,129 @@ object IvfPq {
 
   def probeFiltered(s: SparkSession, d: String, attrFilter: Column): DataFrame =
     probeFiltered(s, d, attrFilter, AnnIndex.defaultProbes(s, d))
+
+  // ---- distributed serve -------------------------------------------------
+
+  /** FULLY-DISTRIBUTED composed serve — the reindex-scale probe path for
+    * the at-scale index format: the probe frame stays a DataFrame
+    * end-to-end (q132's discipline on the f4 artifact — no
+    * [[AnnIndex.collectProbes]], no MaxProbes cap, no per-batch driver
+    * round-trips).
+    *
+    * Stage shape vs the collected [[probeSegments]]:
+    *
+    *   - '''ordinal stability''' — the per-row serve ordinal appears on
+    *     BOTH sides of the refine join (the pool rows and the probe
+    *     vectors), so unlike the f3 distributed path's single linear
+    *     pipeline the probe frame is localCheckpoint'ed (eager) first:
+    *     the nondeterministic ordinal is dealt ONCE and every consumer
+    *     reads the same materialized values (the
+    *     [[AnnIndex.joinAssignCids]] caveat handled by construction, not
+    *     by caller discipline). Cost: one probe-sized materialization —
+    *     the input that motivates this path is large but
+    *     executor-storage-bounded (10⁷ probes ≈ 5 GB cluster-wide).
+    *   - '''routing''' — [[AnnIndex.routeDistributed]], the shared
+    *     k-thresholded plan (array expression over centroid literals at
+    *     demo k; broadcast routing table + per-ordinal aggregate past
+    *     [[AnnIndex.LiteralAssignMaxK]]).
+    *   - '''ADC''' — each routed row computes its flat M×K lookup table
+    *     as ONE array expression against the codebook literal (the
+    *     collected path's O(M·K·sub) driver loop, codegen'd; recomputed
+    *     nprobe× per probe — 4096 flops, noise next to the
+    *     per-candidate work it buys). Candidates are one CODES-column
+    *     scan of the lists joined to the routed probes on cid. There is
+    *     no STATIC cid pruning (the probed set is unknown at plan time —
+    *     the same honest trade-off as the f3 distributed path: a probe
+    *     frame big enough to need this path touches every list anyway),
+    *     but the scan reads codes, not raw vectors — the full-scan bytes
+    *     stay 32×-compressed, which is what f4 buys at this scale.
+    *     Scored rows project to (ordinal, ids, qcos) BEFORE the pool
+    *     window's exchange, so neither the LUT nor the probe vector ever
+    *     crosses a candidate-sized shuffle.
+    *   - '''refine''' — the per-ordinal top-[[AnnIndex.Pool]] pool joins
+    *     back to the checkpointed probe vectors on the ordinal and to
+    *     the lists' (vec_id, e) columns on vec_id. The pool is
+    *     probe-proportional (never MaxProbes-bounded here), so the joins
+    *     are left unhinted: AQE broadcasts the pool at small probe
+    *     counts and falls back to a shuffle join at reindex scale.
+    *
+    * Per-probe results are identical to [[probeSegments]] (same LUT
+    * arithmetic in the same summation order, same tie-breaks; pinned by
+    * IvfPqSpec on plain, filtered, masked-multi-segment and
+    * duplicate-pid frames, plus a no-LocalTableScan plan pin).
+    */
+  private[graft] def probeDistributedSegments(s: SparkSession,
+      roots: Seq[String], probeDf: DataFrame,
+      tss: Seq[(DataFrame, Int)] = Nil,
+      attrFilter: Option[Column] = None,
+      readOpts: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(s)
+    val nprobe = if (attrFilter.isDefined) FilteredNprobe else Nprobe
+    val cents = AnnIndex.readCentroids(s, roots.head, readOpts)
+    val cb = AnnIndex.readCodebook(s, roots.head, readOpts)
+    // cbFlat[(m*Kpq + code)*Sub + j] = cb(m, code)(j) — one literal
+    // array (M·K·sub doubles, 32 KB) baked into the LUT expression.
+    val cbFlat: Array[Double] = Array.tabulate(Mpq * Kpq * Sub) { i =>
+      val entry = i / Sub; cb((entry / Kpq, entry % Kpq))(i % Sub)
+    }
+    val probes = AnnIndex.probesWithOrdinal(probeDf).localCheckpoint(true)
+    val routed = AnnIndex.routeDistributed(s, probes, cents, nprobe)
+    // lut[m*Kpq + code] = dot(pe_m, cb(m, code)) — the collected path's
+    // driver loop as ONE codegen'd kernel ([[graft.functions.PqLutExpr]],
+    // same j-ascending summation order so qcos is bit-identical between
+    // the paths); pnorm likewise fused (dot of pe with itself).
+    //
+    // The repartition on cid MATERIALIZES each routed row's LUT exactly
+    // once before the scoring join. Without it, whole-stage codegen
+    // defers streamed-side expression evaluation into the join's match
+    // loop, so a broadcast plan recomputes the O(M·K·sub) LUT PER
+    // CANDIDATE — measured 3× the whole serve's wall at sf0.01. At
+    // reindex scale the exchange is free: it is exactly the
+    // hashpartitioning a shuffle join on cid requires, so the join
+    // reuses it instead of adding its own.
+    val probeSide = routed
+      .withColumn("lut",
+        GraftFunctions.pqLut(col("pe"), lit(cbFlat), Kpq, Sub))
+      .withColumn("pnorm",
+        sqrt(GraftFunctions.dotProduct(col("pe"), col("pe"))))
+      .select(col("__pord"), col("pid"), col("cid"), col("lut"), col("pnorm"))
+      .repartition(col("cid"))
+    val codes = AnnIndex.maskedUnion(s, roots, "ivfpq_lists",
+      Seq(col("cid"), col("vec_id"), col("codes"), col("qnorm")), tss,
+      prep = df => df.filter(attrFilter.getOrElse(lit(true))),
+      readOpts = readOpts)
+    val scored = codes.join(probeSide, Seq("cid"))
+      .filter(col("vec_id") =!= col("pid"))
+      .withColumn("qdot", GraftFunctions.adcDot(col("lut"), col("codes"), Kpq))
+      .withColumn("qcos", col("qdot") / (col("pnorm") * col("qnorm")))
+      .select(col("__pord"), col("pid"), col("vec_id"), col("qcos"))
+    val wPool = Window.partitionBy("__pord").orderBy(col("qcos").desc, col("vec_id").asc)
+    val pool = scored
+      .withColumn("prank", row_number().over(wPool))
+      .filter(col("prank") <= Pool)
+      .select(col("__pord"), col("pid"), col("vec_id"))
+    val vecs = AnnIndex.maskedUnion(s, roots, "ivfpq_lists",
+      Seq(col("vec_id"), col("e")), tss, readOpts = readOpts)
+    val wT = Window.partitionBy("__pord").orderBy(col("cos").desc, col("vec_id").asc)
+    pool
+      .join(probes.select(col("__pord"), col("pe")), Seq("__pord"))
+      .join(vecs, Seq("vec_id"))
+      .withColumn("cos", GraftFunctions.cosineSim(col("e"), col("pe")))
+      .withColumn("rnk", row_number().over(wT).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select(col("pid").as("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Distributed composed serve against this dataset's index (optionally
+    * attribute-pre-filtered — FilteredNprobe widening applies, like
+    * every filtered serve).
+    */
+  def probeDistributed(s: SparkSession, d: String, probeDf: DataFrame,
+      attrFilter: Option[Column] = None): DataFrame =
+    probeDistributedSegments(s, Seq(build(s, d)), probeDf,
+      attrFilter = attrFilter)
 
   // ---- lifecycle -------------------------------------------------------
   //

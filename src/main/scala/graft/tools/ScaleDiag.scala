@@ -32,6 +32,7 @@ object ScaleDiag {
     graft.Graft.tune(spark)
     println(annRecall(spark, sfDir))
     println(annDistLsm(spark, sfDir))
+    println(annDistIvfPq(spark, sfDir))
     spark.stop()
   }
 
@@ -78,6 +79,36 @@ object ScaleDiag {
     val sf = new java.io.File(benchSfDir).getName
     f"""{"metric":"ann_dist_lsm","probe_sec":$sec%.3f,"n_probes":$nProbes,""" +
       s""""segments":2,"masked":true,"sf":"$sf"}"""
+  }
+
+  /** The distributed COMPOSED serve priced (r13): [[graft.ops.IvfPq
+    * .probeDistributedSegments]] — probes a DataFrame end-to-end against
+    * the f4 artifact (codes-only candidate scan, expression-computed ADC
+    * LUTs, bounded exact refine) — with the same reindex-scale probe
+    * frame as [[annDistLsm]], so the two distributed serve shapes are
+    * directly comparable in the artifact: f3 pays a raw-vector candidate
+    * scan and no refine; f4 pays a 32×-narrower candidate scan plus the
+    * pool refine.
+    */
+  def annDistIvfPq(spark: SparkSession, benchSfDir: String): String = {
+    import graft.ops.{AnnIndex, IvfPq}
+    import org.apache.spark.sql.functions._
+    val dir = IvfPq.build(spark, benchSfDir)
+    val reps = 5
+    val probes = AnnIndex.corpus(spark, benchSfDir)
+      .crossJoin(broadcast(spark.range(reps).toDF("r")))
+      .select(((col("r") + 1) * lit(10000000L) + col("vec_id")).as("pid"),
+        col("e").as("pe"))
+    val nProbes = probes.count()
+    def run(): Unit = IvfPq.probeDistributedSegments(spark, Seq(dir), probes)
+      .write.format("noop").mode("overwrite").save()
+    run() // warm: fixtures, codegen, page cache
+    val t0 = System.nanoTime()
+    run()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val sf = new java.io.File(benchSfDir).getName
+    f"""{"metric":"ann_dist_ivfpq","probe_sec":$sec%.3f,"n_probes":$nProbes,""" +
+      s""""sf":"$sf"}"""
   }
 
   /** Measured ANN recall at the BENCH scale factor (round-4 verdict #8):

@@ -17,17 +17,63 @@ class HashKernelsSpec extends SparkTestBase {
       .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
   }
 
-  test("builder table exposes the full thirteen-function surface") {
+  test("builder table exposes the full fifteen-function surface") {
     // GraftSparkExtensions injects verbatim from this table, so pinning
     // it here pins the deployment (spark.sql.extensions) surface too —
     // the round-2 advisor caught the extension drifting to 3 of 6.
     // bloom_agg / bloom_might_contain joined in round 5 (q65's explicit
-    // bloom-routed anti-join shape).
+    // bloom-routed anti-join shape); adc_dot / pq_lut in round 13 (the
+    // codegen'd ADC kernels behind every PQ serve path).
     assert(GraftFunctions.builders.map(_._1).toSet === Set(
       "cosine_sim", "dot_product", "simhash64", "minhash_signature",
       "minhash_bands", "ngram_shingles", "ngram_shingle_hashes",
       "ngram_repetition", "token_hashes", "count_in_set", "intersect_count",
-      "bloom_agg", "bloom_might_contain"))
+      "adc_dot", "pq_lut", "bloom_agg", "bloom_might_contain"))
+  }
+
+  test("adc_dot == the aggregate/element_at HOF spelling, bit-exact") {
+    // The r13 ADC kernel replaced the interpreted HOF on every PQ serve
+    // path; this pins that the swap changed no arithmetic. 200 synthetic
+    // (lut[512], codes[8] in [0,64)) rows.
+    val df = spark.range(200).select(
+      transform(sequence(lit(0), lit(511)),
+        i => sin(i * (col("id") + 1))).as("lut"),
+      transform(sequence(lit(0), lit(7)),
+        m => pmod(m * (col("id") + 3) + col("id"), lit(64)).cast("int")).as("codes"))
+    val mismatch = df.select(
+        GraftFunctions.adcDot(col("lut"), col("codes"), 64).as("fast"),
+        aggregate(sequence(lit(0), lit(7)), lit(0.0),
+          (acc, m) => acc + element_at(col("lut"),
+            m * lit(64) + element_at(col("codes"), m + lit(1)) + lit(1))).as("ref"))
+      .where(not(col("fast") === col("ref")))
+      .count()
+    assert(mismatch === 0L)
+  }
+
+  test("pq_lut == the collected serve's driver-side LUT loop, bit-exact") {
+    val kpq = 4
+    val sub = 8
+    val cbFlat: Array[Double] =
+      Array.tabulate(2 * kpq * sub)(i => math.sin(i * 0.37 + 1.0))
+    val rows = spark.range(50)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(2 * sub - 1)),
+          j => cos(j * (col("id") + 2))).as("pe"))
+      .select(col("pe"),
+        GraftFunctions.pqLut(col("pe"), lit(cbFlat), kpq, sub).as("lut"))
+      .collect()
+    rows.foreach { r =>
+      val pe = r.getSeq[Double](0)
+      val got = r.getSeq[Double](1)
+      // The IvfPq.probeSegments driver loop, verbatim shape.
+      val want = for (m <- 0 until pe.length / sub; code <- 0 until kpq) yield {
+        val base = (m * kpq + code) * sub
+        var acc = 0.0; var j = 0
+        while (j < sub) { acc += pe(m * sub + j) * cbFlat(base + j); j += 1 }
+        acc
+      }
+      assert(got == want, s"pq_lut diverged from the driver loop")
+    }
   }
 
   test("token_hashes == transform(tokens, xxhash64), bit-exact") {

@@ -68,6 +68,21 @@ class EncryptedAnnSpec extends SparkTestBase {
     val encHigh = rows(IvfPq.probeEncrypted(spark, Seq(encDir), probes,
       kms.url, Some("RESTRICTED")))
     assert(encHigh == plain)
+    // The DISTRIBUTED composed serve composes with encryption too: the
+    // token-bearing reader conf threads through its scans (and denial
+    // gates it like the collected path).
+    val encDist = rows(IvfPq.probeDistributedSegments(spark, Seq(encDir),
+      probes, readOpts = graft.crypto.EncryptionPolicy.readConfMap(
+        kms.url, Some("INTERNAL"))))
+    assert(encDist == plain,
+      "encrypted distributed serve diverged from the plaintext index")
+    val eDist = intercept[Throwable] {
+      IvfPq.probeDistributedSegments(spark, Seq(encDir), probes,
+        readOpts = graft.crypto.EncryptionPolicy.readConfMap(
+          kms.url, Some("PUBLIC"))).collect()
+    }
+    assert(causedByAccessDenied(eDist),
+      s"under-privileged distributed probe failed for the wrong reason: $eDist")
     // 3. Gating: an under-privileged probe FAILS with a key-access
     //    denial at action time — it must never serve.
     Seq(None, Some("PUBLIC")).foreach { token =>

@@ -77,6 +77,62 @@ class IvfPqSpec extends SparkTestBase {
       "a neighbor escaped the label predicate")
   }
 
+  // ---- distributed serve -------------------------------------------------
+
+  private def rowSeq(df: DataFrame): Seq[(Long, Long, Long, Double)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+
+  test("distributed composed serve ≡ collected, incl. duplicate probe ids; 10k frame full-surface with no driver collect") {
+    IvfPq.build(spark, sfDir)
+    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
+    // Parity frame (collected path caps at MaxProbes): every corpus
+    // vector once, plus 20 DUPLICATE-pid rows — each probe ROW must get
+    // its own full top-k on both paths (the r12 ordinal rule).
+    val parityProbes = base.unionAll(base.filter(col("vec_id") < 20))
+    assert(rowSeq(IvfPq.probeDistributedSegments(spark,
+        Seq(IvfPq.build(spark, sfDir)), parityProbes))
+      == rowSeq(IvfPq.probeSegments(spark,
+        Seq(IvfPq.build(spark, sfDir)), parityProbes)),
+      "distributed and collected composed serving disagree")
+    // Reindex-scale frame: beyond MaxProbes by construction, probes a
+    // DataFrame end-to-end (no LocalTableScan anywhere in the plan —
+    // the collected path's probes materialize as one).
+    val reps = 21
+    val big = base
+      .crossJoin(broadcast(spark.range(reps.toLong).toDF("r")))
+      .select(((col("r") + 1) * lit(10000000L) + col("vec_id")).as("pid"),
+        col("e").as("pe"))
+    val n = big.count()
+    assert(n >= 10000L, "fixture must be a >=10k probe frame")
+    val dist = IvfPq.probeDistributed(spark, sfDir, big)
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"),
+      s"distributed composed serve materialized probes on the driver:\n$plan")
+    assert(dist.count() == n * AnnIndex.TopK,
+      "distributed composed serve lost surface at 10k probes")
+  }
+
+  test("distributed composed LSM serve ≡ collected: masks, boundaries and filters compose") {
+    val root = freshRoot("graft-ivfpq-distlsm")
+    val base = IvfPq.buildFrom(spark, vecsDf(0L until 200L), s"$root/idx")
+    val seg = IvfPq.appendSegment(spark, base, vecsDf(200L until 260L), s"$root/seg")
+    // Tombstone masking only the base (boundary 1 — the upsert shape).
+    val victims = vecsDf((0L until 200L).filter(_ % 7 == 0))
+      .select(col("vec_id"), col("e"))
+    val tsDir = AnnIndex.tombstonesFor(spark, base, victims, s"$root/ts")
+    val ts = spark.read.parquet(s"$tsDir/tombstones")
+    val probeDf = vecsDf(0L until 30L).select("vec_id", "e")
+    for (f <- Seq(None, Some(col("label") === 3))) {
+      val collected = rowSeq(IvfPq.probeSegments(spark, Seq(base, seg),
+        probeDf, Seq(ts -> 1), attrFilter = f))
+      val dist = rowSeq(IvfPq.probeDistributedSegments(spark, Seq(base, seg),
+        probeDf, Seq(ts -> 1), attrFilter = f))
+      assert(dist == collected,
+        s"distributed composed LSM serve diverged from segment serve (filter=$f)")
+    }
+  }
+
   // ---- lifecycle over explicit frames ----------------------------------
 
   private def vecsDf(ids: Seq[Long]): DataFrame = {
