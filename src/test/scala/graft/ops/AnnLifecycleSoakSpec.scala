@@ -346,4 +346,135 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
     check(Prop.forAll(genOps) { ops => runSequence(ops, pq = true); true },
       n = 10, workers = 4)
   }
+
+  // ---- format f4 (composed IVF+PQ) soak ----------------------------------
+  //
+  // The same model and invariants against the composed artifact's
+  // lifecycle (IvfPq.appendSegment/compactSegments/maintain over ONE
+  // cid-partitioned table): the hand-enumerated f4 pins live in
+  // IvfPqSpec; this property covers the random interleavings, with the
+  // DISTRIBUTED composed serve cross-checked row-for-row against the
+  // collected serve on every generated masked multi-segment state.
+
+  private lazy val baseDirF4: String =
+    IvfPq.buildFrom(spark, frame(baseIds.map(_ -> 0)), s"$soakRoot/basef4")
+
+  private def tsFrames(st: St): Seq[(DataFrame, Int)] =
+    st.tss.map { case (p, b) => spark.read.parquet(s"$p/tombstones") -> b }
+
+  private def conserved(dir: String, st: St, what: String): Unit = {
+    val got = readIds(s"$dir/ivfpq_lists")
+    assert(got.size == got.distinct.size,
+      s"$what duplicated ids: ${got.diff(got.distinct).distinct.take(5)}")
+    assert(got.toSet == st.live.keySet,
+      s"$what ghosts=${(got.toSet -- st.live.keySet).take(5)} " +
+        s"lost=${(st.live.keySet -- got.toSet).take(5)}")
+  }
+
+  private def stepF4(st: St, op: Op, root: String, k: Int): St = op match {
+    case Append(n) =>
+      val ids = st.nextId until st.nextId + n
+      val seg = IvfPq.appendSegment(spark, st.base,
+        frame(ids.map(_ -> 0)), s"$root/op$k")
+      val got = readIds(s"$seg/ivfpq_lists")
+      assert(got.sorted == ids.toSeq.sorted, s"f4 append wrote $got, expected $ids")
+      St(st.base, st.segs :+ seg, st.tss, st.live ++ ids.map(_ -> 0), st.nextId + n)
+    case Delete(seed, n) =>
+      val victims = pick(st.live, seed, n)
+      if (victims.isEmpty) st
+      else {
+        val vf = frame(victims.map(id => id -> st.live(id)))
+          .select(col("vec_id"), col("e"))
+        val ts = AnnIndex.tombstonesFor(spark, st.base, vf, s"$root/op$k")
+        St(st.base, st.segs, st.tss :+ (ts -> (1 + st.segs.size)),
+          st.live -- victims, st.nextId)
+      }
+    case Upsert(seed, n) =>
+      val victims = pick(st.live, seed, n)
+      if (victims.isEmpty) st
+      else {
+        val boundary = 1 + st.segs.size
+        val ts = AnnIndex.tombstonesFor(spark, st.base,
+          frame(victims.map(id => id -> st.live(id)))
+            .select(col("vec_id"), col("e")),
+          s"$root/op${k}ts")
+        val newVers = victims.map(id => id -> (st.live(id) + 1))
+        val seg = IvfPq.appendSegment(spark, st.base, frame(newVers),
+          s"$root/op${k}seg")
+        St(st.base, st.segs :+ seg, st.tss :+ (ts -> boundary),
+          st.live ++ newVers, st.nextId)
+      }
+    case Fold =>
+      val dir = IvfPq.compactSegments(spark, st.base, st.segs, tsFrames(st),
+        s"$root/op$k")
+      conserved(dir, st, "f4 compaction")
+      St(dir, Vector.empty, Vector.empty, st.live, st.nextId)
+    case Maintain =>
+      val r = IvfPq.maintain(spark, st.base, st.segs, tsFrames(st), s"$root/op$k")
+      conserved(r.dir, st, s"f4 maintain (retrained=${r.retrained})")
+      if (!r.retrained)
+        assert(AnnIndex.readCentroids(spark, r.dir).sortBy(_._1)
+          == AnnIndex.readCentroids(spark, st.base).sortBy(_._1),
+          "un-retrained f4 maintain touched the routing table")
+      St(r.dir, Vector.empty, Vector.empty, st.live, st.nextId)
+    case _ => st // stream-ingest is f3 machinery (q128); not generated here
+  }
+
+  private def serveCheckF4(st: St, what: String): Unit = {
+    val probeIds = pick(st.live, 3, 4)
+    assert(st.live.size > AnnIndex.TopK, "f4 soak corpus shrank below the surface")
+    import spark.implicits._
+    val probes = probeIds.map(id => (id + 1000000L, vec(id, st.live(id))))
+      .toDF("pid", "pe")
+    val roots = st.base +: st.segs
+    val res = IvfPq.probeSegments(spark, roots, probes, tsFrames(st)).collect()
+    assertServed(res, st, probeIds.size, s"$what f4")
+    val dist = IvfPq.probeDistributedSegments(spark, roots, probes,
+      tsFrames(st)).collect()
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(key(dist) == key(res),
+      s"$what: distributed composed serve diverged from the collected serve")
+    val fid = probeIds.head
+    val flab = (fid % 10).toInt
+    val fprobe = Seq((fid + 1000000L, vec(fid, st.live(fid)))).toDF("pid", "pe")
+    val fres = IvfPq.probeSegments(spark, roots, fprobe, tsFrames(st),
+      attrFilter = Some(col("label") === flab)).collect()
+    assert(fres.nonEmpty && fres.length <= AnnIndex.TopK,
+      s"$what f4-filtered: ${fres.length} rows")
+    val top = fres.find(_.getLong(2) == 1L).get
+    assert(top.getLong(1) == fid && top.getDouble(3) == 1.0,
+      s"$what f4-filtered top-1 (${top.getLong(1)}, ${top.getDouble(3)}) " +
+        "— stale copy served or fresh copy lost under the filter")
+    fres.foreach { r =>
+      val nbr = r.getLong(1)
+      assert(st.live.contains(nbr) && nbr % 10 == flab,
+        s"$what f4-filtered served $nbr (live=${st.live.contains(nbr)}, " +
+          s"label=${nbr % 10} vs $flab)")
+    }
+  }
+
+  private def runSequenceF4(ops: List[Op]): Unit = {
+    val root = new java.io.File(soakRoot, s"runf4-${runIds.incrementAndGet()}")
+    try {
+      var st = St(baseDirF4, Vector.empty, Vector.empty,
+        baseIds.map(_ -> 0).toMap, 1000L)
+      ops.zipWithIndex.foreach { case (op, k) => st = stepF4(st, op, root.toString, k) }
+      serveCheckF4(st, "pre-fold serve")
+      st = stepF4(st, Fold, root.toString, ops.size)
+      serveCheckF4(st, "post-fold serve")
+    } finally rmTree(root)
+  }
+
+  test("f4 lifecycle: random {append,delete,upsert,compact,maintain} sequences hold every invariant, distributed ≡ collected") {
+    baseDirF4: Unit
+    val genOp: Gen[Op] = Gen.frequency(
+      5 -> Gen.choose(1, 3).map(Append.apply),
+      3 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 3)).map(t => Delete(t._1, t._2)),
+      3 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Upsert(t._1, t._2)),
+      2 -> Gen.const(Fold),
+      1 -> Gen.const(Maintain))
+    val genOps = Gen.choose(2, 5).flatMap(Gen.listOfN(_, genOp))
+    check(Prop.forAll(genOps) { ops => runSequenceF4(ops); true }, n = 15, workers = 4)
+  }
 }

@@ -109,6 +109,15 @@ class IvfPqSpec extends SparkTestBase {
     val plan = dist.queryExecution.executedPlan.toString
     assert(!plan.contains("LocalTableScan"),
       s"distributed composed serve materialized probes on the driver:\n$plan")
+    // The routed side must pass through an exchange BELOW the scoring
+    // join: whole-stage codegen defers streamed-side expression
+    // evaluation into a broadcast join's match loop, so without this
+    // materialization the O(M·K·sub) LUT is recomputed per CANDIDATE
+    // row (measured 3× the serve's wall). The repartition(cid) in
+    // probeDistributedSegments is that barrier — pin it so a refactor
+    // can't silently drop it.
+    assert("Exchange hashpartitioning\\(cid".r.findFirstIn(plan).isDefined,
+      s"the LUT-materializing cid exchange vanished from the routed side:\n$plan")
     assert(dist.count() == n * AnnIndex.TopK,
       "distributed composed serve lost surface at 10k probes")
   }
