@@ -112,6 +112,32 @@ class ShuffleBudgetSpec extends SparkTestBase {
     check(measure("/root/testdata/sf0.1", heavyAnchors),
       ShuffleBudgetSpec.CeilingsSf01, "sf0.1")
   }
+
+  test("distributed composed serve: exchange bytes stay probe-proportional (own-measured)") {
+    // Not a registry query (priced by ScaleDiag.annDistIvfPq), but its
+    // exchange SHAPE is the regression class this spec exists for: the
+    // per-probe 512-double ADC LUT crosses exactly one probe-proportional
+    // exchange (the repartition(cid) under the scoring join — see the
+    // IvfPqSpec plan pin), and the candidate-sized exchanges carry only
+    // (ordinal, ids, qcos). A projection regression that pushes the LUT
+    // or the probe vector onto candidate rows multiplies these bytes
+    // ~10x at this sf's inverted probe:corpus ratio, far past the 2x
+    // ceiling. Measured 20.7 MB at sf0.01 (2500 probes x nprobe 6 LUTs
+    // dominate — at production corpus >> probe ratios the same bytes are
+    // noise next to the candidate scan).
+    import org.apache.spark.sql.functions._
+    val fn = (s: org.apache.spark.sql.SparkSession, d: String) => {
+      val dir = graft.ops.IvfPq.build(s, d)
+      val probes = graft.ops.AnnIndex.corpus(s, d)
+        .crossJoin(broadcast(s.range(5L).toDF("r")))
+        .select(((col("r") + 1) * lit(10000000L) + col("vec_id")).as("pid"),
+          col("e").as("pe"))
+      graft.ops.IvfPq.probeDistributedSegments(s, Seq(dir), probes)
+    }
+    val measured = ScaleDiag.shuffleBytes(spark, "/root/testdata/sf0.01",
+      Seq("dist_ivfpq_serve" -> fn)).toMap
+    check(measured, ShuffleBudgetSpec.CeilingsDistServe, "dist-serve")
+  }
 }
 
 object ShuffleBudgetSpec {
@@ -302,4 +328,11 @@ object ShuffleBudgetSpec {
     "q58_semantic_dedup" -> 4117194L,
     "q64_token_packing" -> 1894936L,
     "q99_assoc_rules" -> 7724472L)
+
+  /** The distributed composed serve at sf0.01 (2500 probes, 5× re-keyed
+    * corpus): the probe-proportional LUT exchange dominates at this
+    * inverted probe:corpus ratio. Measured 20.7 MB; ceiling 2× (r13).
+    */
+  val CeilingsDistServe: Map[String, Long] = Map(
+    "dist_ivfpq_serve" -> 41473160L)
 }
