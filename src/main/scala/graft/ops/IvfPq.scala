@@ -397,7 +397,14 @@ object IvfPq {
     val cbFlat: Array[Double] = Array.tabulate(Mpq * Kpq * Sub) { i =>
       val entry = i / Sub; cb((entry / Kpq, entry % Kpq))(i % Sub)
     }
-    val probes = AnnIndex.probesWithOrdinal(probeDf).localCheckpoint(true)
+    // LAZY localCheckpoint: the ordinal is dealt once, at the frame's
+    // first materialization inside the serve's own action (both refine-
+    // join sides then read the same stored blocks), so plan-only
+    // consumers (.explain, plan pins) pay nothing. The checkpointed
+    // blocks are released by the ContextCleaner when the returned
+    // frame's plan is garbage-collected — per-call serve frames in a
+    // long-lived session free themselves between batches.
+    val probes = AnnIndex.probesWithOrdinal(probeDf).localCheckpoint(false)
     val routed = AnnIndex.routeDistributed(s, probes, cents, nprobe)
     // lut[m*Kpq + code] = dot(pe_m, cb(m, code)) — the collected path's
     // driver loop as ONE codegen'd kernel ([[graft.functions.PqLutExpr]],

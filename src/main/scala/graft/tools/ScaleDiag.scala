@@ -59,15 +59,24 @@ object ScaleDiag {
     * timed steady-state run, the BASELINE §C cell for "every serve
     * shape priced". Guarded by Bench like the other diag lines.
     */
-  def annDistLsm(spark: SparkSession, benchSfDir: String): String = {
-    import graft.ops.AnnIndex
+  /** The reindex-scale probe frame shared by every distributed-serve
+    * pricing site (here and ShuffleBudgetSpec): `reps` re-keyed copies
+    * of the corpus, pids offset past any real vec_id so the
+    * self-exclusion filter never fires on them.
+    */
+  def reindexProbes(spark: SparkSession, sfDir: String,
+      reps: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val (baseDir, deltaDir, tsDir) = AnnIndex.writeTombstones(spark, benchSfDir)
-    val reps = 5
-    val probes = AnnIndex.corpus(spark, benchSfDir)
-      .crossJoin(broadcast(spark.range(reps).toDF("r")))
+    graft.ops.AnnIndex.corpus(spark, sfDir)
+      .crossJoin(broadcast(spark.range(reps.toLong).toDF("r")))
       .select(((col("r") + 1) * lit(10000000L) + col("vec_id")).as("pid"),
         col("e").as("pe"))
+  }
+
+  def annDistLsm(spark: SparkSession, benchSfDir: String): String = {
+    import graft.ops.AnnIndex
+    val (baseDir, deltaDir, tsDir) = AnnIndex.writeTombstones(spark, benchSfDir)
+    val probes = reindexProbes(spark, benchSfDir, 5)
     val nProbes = probes.count()
     def run(): Unit = AnnIndex.ivfProbeDistributedSegments(spark,
         Seq(baseDir, deltaDir), probes, Seq(tsDir -> Int.MaxValue))
@@ -91,14 +100,9 @@ object ScaleDiag {
     * pool refine.
     */
   def annDistIvfPq(spark: SparkSession, benchSfDir: String): String = {
-    import graft.ops.{AnnIndex, IvfPq}
-    import org.apache.spark.sql.functions._
+    import graft.ops.IvfPq
     val dir = IvfPq.build(spark, benchSfDir)
-    val reps = 5
-    val probes = AnnIndex.corpus(spark, benchSfDir)
-      .crossJoin(broadcast(spark.range(reps).toDF("r")))
-      .select(((col("r") + 1) * lit(10000000L) + col("vec_id")).as("pid"),
-        col("e").as("pe"))
+    val probes = reindexProbes(spark, benchSfDir, 5)
     val nProbes = probes.count()
     def run(): Unit = IvfPq.probeDistributedSegments(spark, Seq(dir), probes)
       .write.format("noop").mode("overwrite").save()

@@ -76,6 +76,32 @@ class HashKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("adc_dot and pq_lut return NULL on malformed inputs instead of reading out of bounds") {
+    // Both are SQL-registered, so inputs outside the artifact invariants
+    // can reach them; the element_at/HOF discipline is NULL, never a
+    // read past the array (r13 review).
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT
+        |  adc_dot(array(0.5D, 1.5D), array(0), 2)          AS ok,
+        |  adc_dot(array(0.5D), array(1), 2)                AS lut_short,
+        |  adc_dot(array(0.5D, 1.5D), array(2), 2)          AS code_high,
+        |  adc_dot(array(0.5D, 1.5D), array(-1), 2)         AS code_neg,
+        |  adc_dot(array(0.5D, 1.5D), array(CAST(NULL AS INT)), 2) AS code_null,
+        |  pq_lut(array(1.0D, 2.0D), array(3.0D, 4.0D, 5.0D, 6.0D), 2, 1) AS lut_ok,
+        |  pq_lut(array(1.0D, 2.0D, 3.0D), array(3.0D, 4.0D, 5.0D, 6.0D), 2, 2) AS pe_ragged,
+        |  pq_lut(array(1.0D, 2.0D), array(3.0D), 2, 1)     AS cb_short,
+        |  pq_lut(array(CAST(NULL AS DOUBLE)), array(3.0D, 4.0D), 2, 1) AS pe_null
+        |""".stripMargin).collect().head
+    assert(rows.getDouble(rows.fieldIndex("ok")) == 0.5)
+    Seq("lut_short", "code_high", "code_neg", "code_null",
+        "pe_ragged", "cb_short", "pe_null").foreach { c =>
+      assert(rows.isNullAt(rows.fieldIndex(c)), s"$c must be NULL")
+    }
+    // lut_ok: m=2 subvectors of width 1 -> lut[m*2+c] = pe[m]*cb[m*2+c].
+    assert(rows.getSeq[Double](rows.fieldIndex("lut_ok")) == Seq(3.0, 4.0, 10.0, 12.0))
+  }
+
   test("token_hashes == transform(tokens, xxhash64), bit-exact") {
     val mismatch = docs
       .select(

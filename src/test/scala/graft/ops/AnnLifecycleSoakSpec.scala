@@ -177,10 +177,7 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
           st.live ++ newVers, st.nextId)
       }
     case Fold =>
-      val tsFrames = st.tss.map { case (p, b) =>
-        spark.read.parquet(s"$p/tombstones") -> b
-      }
-      val dir = AnnIndex.compactAll(spark, st.base, st.segs, tsFrames, s"$root/op$k")
+      val dir = AnnIndex.compactAll(spark, st.base, st.segs, tsFrames(st), s"$root/op$k")
       // EXACT conservation at every fold: one copy per live id, no
       // ghost, no dup — in the lists AND the codes.
       val got = readIds(s"$dir/ivf_assignments")
@@ -199,10 +196,7 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
       // must be untouched exactly when no retrain ran. Soak upserts
       // replace embeddings with unrelated directions, so sequences with
       // churn exercise the retrain branch too.
-      val tsFrames = st.tss.map { case (p, b) =>
-        spark.read.parquet(s"$p/tombstones") -> b
-      }
-      val r = AnnIndex.maintain(spark, st.base, st.segs, tsFrames, s"$root/op$k")
+      val r = AnnIndex.maintain(spark, st.base, st.segs, tsFrames(st), s"$root/op$k")
       val got = readIds(s"${r.dir}/ivf_assignments")
       assert(got.size == got.distinct.size && got.toSet == st.live.keySet,
         s"maintain (retrained=${r.retrained}) broke conservation: " +
@@ -386,6 +380,8 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
         val vf = frame(victims.map(id => id -> st.live(id)))
           .select(col("vec_id"), col("e"))
         val ts = AnnIndex.tombstonesFor(spark, st.base, vf, s"$root/op$k")
+        assert(readIds(s"$ts/tombstones").sorted == victims.sorted,
+          "f4 tombstone read-back mismatch")
         St(st.base, st.segs, st.tss :+ (ts -> (1 + st.segs.size)),
           st.live -- victims, st.nextId)
       }

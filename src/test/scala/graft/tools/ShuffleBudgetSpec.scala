@@ -125,15 +125,13 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // ceiling. Measured 20.7 MB at sf0.01 (2500 probes x nprobe 6 LUTs
     // dominate — at production corpus >> probe ratios the same bytes are
     // noise next to the candidate scan).
-    import org.apache.spark.sql.functions._
-    val fn = (s: org.apache.spark.sql.SparkSession, d: String) => {
-      val dir = graft.ops.IvfPq.build(s, d)
-      val probes = graft.ops.AnnIndex.corpus(s, d)
-        .crossJoin(broadcast(s.range(5L).toDF("r")))
-        .select(((col("r") + 1) * lit(10000000L) + col("vec_id")).as("pid"),
-          col("e").as("pe"))
-      graft.ops.IvfPq.probeDistributedSegments(s, Seq(dir), probes)
-    }
+    // Build OUTSIDE the measured window (the fixtureQueries discipline):
+    // a solo run would otherwise count the one-time Lloyd/codebook
+    // training shuffles toward the serve's ceiling.
+    val dir = graft.ops.IvfPq.build(spark, "/root/testdata/sf0.01")
+    val fn = (s: org.apache.spark.sql.SparkSession, d: String) =>
+      graft.ops.IvfPq.probeDistributedSegments(s, Seq(dir),
+        ScaleDiag.reindexProbes(s, d, 5))
     val measured = ScaleDiag.shuffleBytes(spark, "/root/testdata/sf0.01",
       Seq("dist_ivfpq_serve" -> fn)).toMap
     check(measured, ShuffleBudgetSpec.CeilingsDistServe, "dist-serve")
