@@ -78,13 +78,19 @@ object Afs {
   def createExclusive(p: String): Boolean = {
     val pp = new Path(p)
     val f = fsOf(pp)
-    // EXACT class match, not isInstanceOf: a LocalFileSystem SUBCLASS may
-    // deliberately change create semantics (vendor connectors; the
-    // fault-injecting test filesystem that emulates object-store
-    // non-exclusive creates) and must take the generic arm below, not the
-    // NIO O_EXCL shortcut that would mask its behavior.
-    val isLocal = f.getClass == classOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      f.getClass == classOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    // Dispatch on the filesystem's SCHEME, not its class (r13, found by
+    // the concurrent-maintain race): with Hive's jars on the classpath
+    // the default `file://` filesystem is ProxyLocalFileSystem — a
+    // FilterFileSystem wrapper whose create(…, false) delegates to
+    // RawLocal's exists-check-then-open — so an exact-class whitelist
+    // (the r12 fix) silently routed local claims through the NON-atomic
+    // generic arm (a 2-thread barrier hammer double-wins ~half its
+    // rounds). Anything mounted under scheme `file` is the kernel FS,
+    // where NIO's CREATE_NEW (O_EXCL) is the strongest primitive
+    // whatever wrapper class serves it. Altered-semantics test/vendor
+    // filesystems (the fault-injecting store) register their OWN scheme
+    // and keep the generic arm.
+    val isLocal = Option(f.getUri).flatMap(u => Option(u.getScheme)).contains("file")
     if (isLocal) {
       try { java.nio.file.Files.createFile(
         java.nio.file.Paths.get(pp.toUri.getPath)): Unit; true }
