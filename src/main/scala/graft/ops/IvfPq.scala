@@ -551,6 +551,130 @@ object IvfPq {
       rep, retrained = true)
   }
 
+  // ---- format migration ------------------------------------------------
+
+  /** Migrate an existing f3 index (`ivf_assignments` + `pq_codes`) to
+    * the composed f4 format IN ONE PASS, with no retraining and no
+    * re-encoding: the f4 list row is exactly the join of an f3
+    * assignment row (cid, label, stored vector) with its f3 code row
+    * (codes, qnorm) on vec_id — both were derived from the same corpus
+    * frame by the same trained tables, which copy over file-level
+    * (f3 and f4 share the trained-table schema unchanged). An operator
+    * upgrading a fleet of f3 indexes therefore pays one corpus-sized
+    * join + one partitioned write per index — never a Lloyd pass — and
+    * the migrated index is a first-class f4 citizen: every serve path,
+    * the LSM lifecycle and [[rotateIndexKeys]] compose with it
+    * (IvfPqMigrateSpec pins artifact-exact equality with a fresh f4
+    * build plus append/tombstone/compact on a migrated base).
+    *
+    * Publishes through [[AnnIndex.publishVersion]] under `outRoot` —
+    * claim, `_SUCCESS`, CURRENT flip — so a reader of the new root never
+    * observes a partial migration; the f3 root is read-only throughout
+    * and stays serveable until its operator retires it.
+    *
+    * Fails loud (BEFORE the version flips) if the two f3 artifacts
+    * disagree on membership: an inner join would silently DROP a vector
+    * present in one but not the other, and a migration must never be
+    * the step that makes an existing corruption permanent.
+    */
+  def migrateFromF3(s: SparkSession, f3Dir: String, outRoot: String): String = {
+    GraftFunctions.register(s)
+    AnnIndex.publishVersion(outRoot) { vdir =>
+      val assigns = s.read.parquet(s"$f3Dir/ivf_assignments")
+        .select(col("cid"), col("vec_id"), col("label"), col("e"))
+      val codes = s.read.parquet(s"$f3Dir/pq_codes")
+        .select(col("vec_id"), col("codes"), col("qnorm"))
+      val nAssign = assigns.count()
+      val nCodes = codes.count()
+      require(nAssign == nCodes,
+        s"f3 index at $f3Dir is inconsistent: $nAssign assignment rows vs " +
+          s"$nCodes code rows — refusing to migrate (an inner join would " +
+          "silently drop the difference)")
+      val joined = assigns.join(codes, Seq("vec_id"))
+        .select(ListCols.map(col): _*)
+      joined
+        .repartition(col("cid"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$vdir/ivfpq_lists")
+      val nOut = s.read.parquet(s"$vdir/ivfpq_lists").count()
+      require(nOut == nAssign,
+        s"f3 index at $f3Dir is inconsistent: $nAssign assignment rows " +
+          s"joined to $nOut list rows — vec_ids differ between the " +
+          "artifacts; refusing to publish")
+      Afs.copyTree(s"$f3Dir/ivf_centroids", s"$vdir/ivf_centroids")
+      Afs.copyTree(s"$f3Dir/pq_codebook", s"$vdir/pq_codebook")
+    }
+  }
+
+  // ---- key rotation ----------------------------------------------------
+
+  /** Zero-downtime key rotation for a composed index: republish every
+    * artifact through the PME crypto factory with freshly-minted DEKs
+    * and KEKs as a NEW version behind the same CURRENT pointer flip
+    * every lifecycle op uses. This is the object-store-safe rotation the
+    * [[graft.io.EncryptedParquet.rotateByRewrite]] Scaladoc prescribes
+    * for versioned data (a same-path swap needs atomic rename; a
+    * version publish needs only the marker discipline): readers resolve
+    * the old version until the flip and the new one after, never a mix,
+    * and in-flight readers of the old version drain under the
+    * retirement grace exactly as after a compaction.
+    *
+    * `token` must unwrap every artifact column level (INTERNAL here —
+    * the same privilege any index read needs); it also drives the
+    * post-write verification read, which runs BEFORE the version flips
+    * so a truncated or key-broken rewrite can never become CURRENT
+    * (the claimed-but-incomplete version is ignored by readers and
+    * swept by the claims GC).
+    *
+    * With `plaintextSource = true` the source artifacts are read
+    * without the crypto factory — the same entry point upgrades a
+    * plaintext index (an f3 migration output, a pre-crypto fixture) to
+    * encrypted-at-rest in place.
+    *
+    * The KEK write cache is cleared first, so the rotated files
+    * reference only KEK ids minted by this call (the
+    * [[graft.io.EncryptedParquet.rotateByRewrite]] discipline; the
+    * EncryptedAnnSpec pins fresh KMS wrap traffic across a rotation).
+    */
+  def rotateIndexKeys(s: SparkSession, root: String, kmsUrl: String,
+      token: Option[String], plaintextSource: Boolean = false): String = {
+    import org.apache.parquet.crypto.keytools.KeyToolkit
+    GraftFunctions.register(s)
+    val cur = AnnIndex.resolveVersion(root).getOrElse(throw
+      new IllegalArgumentException(s"no complete index version under $root to rotate"))
+    val srcOpts =
+      if (plaintextSource) Map.empty[String, String]
+      else graft.crypto.EncryptionPolicy.readConfMap(kmsUrl, token)
+    KeyToolkit.removeCacheEntriesForAllTokens()
+    AnnIndex.publishVersion(root) { vdir =>
+      def wc(artifact: String): Map[String, String] =
+        graft.crypto.EncryptionPolicy.writeConfMap(
+          indexPolicies(artifact), kmsUrl, accessToken = None)
+      Seq("ivf_centroids", "pq_codebook").foreach { a =>
+        s.read.options(srcOpts).parquet(s"$cur/$a").coalesce(1)
+          .write.mode("overwrite").options(wc(a)).parquet(s"$vdir/$a")
+      }
+      s.read.options(srcOpts).parquet(s"$cur/ivfpq_lists")
+        .select(ListCols.map(col): _*)
+        .repartition(col("cid"))
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite").partitionBy("cid").options(wc("ivfpq_lists"))
+        .parquet(s"$vdir/ivfpq_lists")
+      // Verify before the flip, through FRESH unwraps (the read-side KEK
+      // cache would otherwise satisfy this from pre-rotation entries):
+      // the rewrite must decrypt and hold every row.
+      KeyToolkit.removeCacheEntriesForAllTokens()
+      val vOpts = graft.crypto.EncryptionPolicy.readConfMap(kmsUrl, token)
+      val nNew = s.read.options(vOpts).parquet(s"$vdir/ivfpq_lists").count()
+      val nOld = s.read.options(srcOpts).parquet(s"$cur/ivfpq_lists").count()
+      require(nNew == nOld,
+        s"rotated index rewrite at $vdir holds $nNew rows, source $cur " +
+          s"holds $nOld — refusing to flip CURRENT (incomplete version " +
+          "is unreferenced and will be GC'd)")
+    }
+  }
+
   // ---- registered queries ----------------------------------------------
 
   /** Q133 — composed-index build, FORCED (the bench line prices the

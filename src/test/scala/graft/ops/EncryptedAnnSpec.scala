@@ -133,6 +133,68 @@ class EncryptedAnnSpec extends SparkTestBase {
     assert(AnnIndex.resolveVersion(s"$root/maint").contains(res.dir))
   }
 
+  test("key rotation republishes under fresh KEKs behind the pointer flip: serve parity, gating intact, old version drains") {
+    val kms = TestKmsServer.shared
+    val root = freshRoot("graft-ann-rotate")
+    val emb = AnnIndex.corpus(spark, sfDir)
+    val encRoot = s"$root/enc"
+    val v1 = IvfPq.buildFromEncrypted(spark, emb, encRoot, kms.url)
+    val probes = AnnIndex.defaultProbes(spark, sfDir)
+    val before = rows(IvfPq.probeEncrypted(spark, Seq(v1), probes,
+      kms.url, Some("INTERNAL")))
+    val (w0, _) = kms.counts
+    val v2 = IvfPq.rotateIndexKeys(spark, encRoot, kms.url, Some("INTERNAL"))
+    // A NEW version is CURRENT; the files reference only KEKs minted by
+    // the rotation (the cleared write cache forces fresh KMS wrap
+    // traffic — a silent cache reuse would show zero new wraps).
+    assert(v2 != v1)
+    assert(AnnIndex.resolveVersion(encRoot).contains(v2))
+    val (w1, _) = kms.counts
+    assert(w1 > w0, "rotation minted no fresh KEKs — the wrap cache leaked through")
+    // Serve parity on the rotated version, denial still enforced.
+    assert(rows(IvfPq.probeEncrypted(spark, Seq(v2), probes,
+      kms.url, Some("INTERNAL"))) == before,
+      "rotation changed serve results")
+    val e = intercept[Throwable] {
+      IvfPq.probeEncrypted(spark, Seq(v2), probes, kms.url, Some("PUBLIC")).collect()
+    }
+    assert(causedByAccessDenied(e),
+      s"post-rotation under-privileged probe failed for the wrong reason: $e")
+    // The PREVIOUS version is untouched inside the retirement grace: an
+    // in-flight reader that resolved before the flip drains normally.
+    assert(rows(IvfPq.probeEncrypted(spark, Seq(v1), probes,
+      kms.url, Some("INTERNAL"))) == before,
+      "rotation disturbed the previous version inside the retirement grace")
+  }
+
+  test("a plaintext index upgrades to encrypted-at-rest through the same rotation path") {
+    val kms = TestKmsServer.shared
+    val root = freshRoot("graft-ann-encrypt-upgrade")
+    import spark.implicits._
+    val emb = (0L until 200L)
+      .map(i => (i, (0 until 64).map(j => math.sin(i * 17 + j * 7)), (i % 10).toInt))
+      .toDF("vec_id", "e", "label")
+    val idxRoot = s"$root/idx"
+    val v1 = IvfPq.buildFrom(spark, emb, idxRoot)
+    val probes = emb.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 1000000L).as("pid"), col("e").as("pe"))
+    val before = rows(IvfPq.probeSegments(spark, Seq(v1), probes))
+    val v2 = IvfPq.rotateIndexKeys(spark, idxRoot, kms.url, Some("INTERNAL"),
+      plaintextSource = true)
+    // The upgraded version is genuinely encrypted and serves with parity
+    // under the token; lower privilege is denied.
+    intercept[Throwable] {
+      spark.read.parquet(s"$v2/ivfpq_lists").select("e").collect()
+    }
+    assert(rows(IvfPq.probeEncrypted(spark, Seq(v2), probes,
+      kms.url, Some("INTERNAL"))) == before,
+      "encrypt-in-place upgrade changed serve results")
+    val e = intercept[Throwable] {
+      IvfPq.probeEncrypted(spark, Seq(v2), probes, kms.url, None).collect()
+    }
+    assert(causedByAccessDenied(e))
+  }
+
   test("encrypted filtered serve keeps predicate purity under the token channel") {
     val kms = TestKmsServer.shared
     val root = freshRoot("graft-ann-encrypted-filtered")
