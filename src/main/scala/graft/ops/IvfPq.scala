@@ -167,6 +167,16 @@ object IvfPq {
           Seq("label", "codes.list.element", "qnorm", "e.list.element"))))
   }
 
+  /** [[indexPolicies]] with the key-material mode applied: internal
+    * material (the reference's default — wrapped KEKs ride inside each
+    * immutable footer) or EXTERNAL material (`_KEY_MATERIAL_FOR_*`
+    * sidecars), which is what makes [[rotateIndexKeysInPlace]]'s
+    * metadata-only rotation possible.
+    */
+  def indexPoliciesFor(externalMaterial: Boolean): Map[String, graft.crypto.EncryptionPolicy] =
+    if (!externalMaterial) indexPolicies
+    else indexPolicies.view.mapValues(_.copy(internalKeyMaterial = false)).toMap
+
   /** Build the composed index with every artifact written through the
     * PME crypto factory under [[indexPolicies]] — the same per-relation
     * options channel as [[graft.io.EncryptedParquet.write]] (wrapping
@@ -174,9 +184,9 @@ object IvfPq {
     * carry no data, only names.
     */
   private[graft] def buildFromEncrypted(s: SparkSession, emb: DataFrame,
-      root: String, kmsUrl: String): String = {
+      root: String, kmsUrl: String, externalMaterial: Boolean = false): String = {
     GraftFunctions.register(s)
-    val policies = indexPolicies
+    val policies = indexPoliciesFor(externalMaterial)
     AnnIndex.publishVersion(root)(writeComposed(s, emb, _,
       artifact => graft.crypto.EncryptionPolicy.writeConfMap(
         policies(artifact), kmsUrl, accessToken = None)))
@@ -477,12 +487,13 @@ object IvfPq {
     * caller's token. Lifecycle ops need a token with enough privilege to
     * READ the artifacts they fold (writes wrap fresh DEKs, no token).
     */
-  final case class IndexCrypto(kmsUrl: String, token: Option[String]) {
+  final case class IndexCrypto(kmsUrl: String, token: Option[String],
+      externalMaterial: Boolean = false) {
     private[ops] def readOpts: Map[String, String] =
       graft.crypto.EncryptionPolicy.readConfMap(kmsUrl, token)
     private[ops] def writeOptsFor(artifact: String): Map[String, String] =
       graft.crypto.EncryptionPolicy.writeConfMap(
-        indexPolicies(artifact), kmsUrl, accessToken = None)
+        indexPoliciesFor(externalMaterial)(artifact), kmsUrl, accessToken = None)
   }
 
   private def rOpts(crypto: Option[IndexCrypto]): Map[String, String] =
@@ -673,6 +684,51 @@ object IvfPq {
           s"holds $nOld — refusing to flip CURRENT (incomplete version " +
           "is unreferenced and will be GC'd)")
     }
+  }
+
+  /** METADATA-ONLY in-place key rotation for an index built with
+    * EXTERNAL key material ([[buildFromEncrypted]] with
+    * `externalMaterial = true`): parquet-mr's
+    * `KeyToolkit.rotateMasterKeys` unwraps each sidecar's KEKs with the
+    * KMS's current master keys, mints fresh KEKs, re-wraps and rewrites
+    * ONLY the `_KEY_MATERIAL_FOR_*` sidecars — the encrypted data files
+    * are untouched (EncryptedAnnSpec pins them byte-identical across a
+    * rotation). This is the 100 TB rotation: O(files) small-JSON
+    * rewrites and O(KEK levels) KMS calls, zero data IO — where
+    * [[rotateIndexKeys]] (the internal-material path, the reference's
+    * default) must re-encrypt the corpus-sized artifact.
+    *
+    * The rotation is in place — the version dir and CURRENT pointer are
+    * unchanged — and safe under live readers: fresh material references
+    * fresh KEK ids that simply miss warm caches and unwrap on demand,
+    * while old master keys remain valid at the KMS for any reader
+    * mid-scan (the KeyRotationSpec concurrent-reader property, which
+    * holds per-file here too). `token` must unwrap every KEK level the
+    * artifacts carry (INTERNAL). Returns the (unchanged) CURRENT dir.
+    *
+    * The lists artifact is cid-partitioned, and `rotateMasterKeys`
+    * works on one flat directory of sidecars — so each `cid=` partition
+    * dir rotates as its own folder (O(k) calls, each metadata-only).
+    */
+  def rotateIndexKeysInPlace(s: SparkSession, root: String, kmsUrl: String,
+      token: Option[String]): String = {
+    import org.apache.parquet.crypto.keytools.KeyToolkit
+    val cur = AnnIndex.resolveVersion(root).getOrElse(throw
+      new IllegalArgumentException(s"no complete index version under $root to rotate"))
+    val conf = new org.apache.hadoop.conf.Configuration(
+      s.sessionState.newHadoopConf())
+    graft.crypto.EncryptionPolicy.applyReadConf(conf, kmsUrl, token)
+    conf.set(KeyToolkit.KEY_MATERIAL_INTERNAL_PROPERTY_NAME, "false")
+    KeyToolkit.removeCacheEntriesForAllTokens()
+    val listDirs = Afs.listStatus(s"$cur/ivfpq_lists")
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .map(_.getPath.toString)
+    (Seq(s"$cur/ivf_centroids", s"$cur/pq_codebook") ++ listDirs)
+      .foreach(d => KeyToolkit.rotateMasterKeys(d, conf))
+    // Readers from this JVM must unwrap the fresh KEKs, not replay a
+    // warm pre-rotation cache entry.
+    KeyToolkit.removeCacheEntriesForAllTokens()
+    cur
   }
 
   // ---- registered queries ----------------------------------------------

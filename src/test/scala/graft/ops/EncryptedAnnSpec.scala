@@ -167,6 +167,64 @@ class EncryptedAnnSpec extends SparkTestBase {
       "rotation disturbed the previous version inside the retirement grace")
   }
 
+  test("external-material index rotates in place: sidecars rewritten, data files byte-identical, parity and gating hold") {
+    val kms = TestKmsServer.shared
+    val root = freshRoot("graft-ann-rotate-inplace")
+    import spark.implicits._
+    val emb = (0L until 200L)
+      .map(i => (i, (0 until 64).map(j => math.cos(i * 19 + j * 3)), (i % 10).toInt))
+      .toDF("vec_id", "e", "label")
+    val encRoot = s"$root/enc"
+    val v1 = IvfPq.buildFromEncrypted(spark, emb, encRoot, kms.url,
+      externalMaterial = true)
+    val probes = emb.filter(col("vec_id") === 11L)
+      .select((col("vec_id") + 1000000L).as("pid"), col("e").as("pe"))
+    val before = rows(IvfPq.probeEncrypted(spark, Seq(v1), probes,
+      kms.url, Some("INTERNAL")))
+
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    def crc(f: java.io.File): Long = {
+      val c = new java.util.zip.CRC32()
+      c.update(java.nio.file.Files.readAllBytes(f.toPath)); c.getValue
+    }
+    def snap(pred: String => Boolean): Map[String, Long] =
+      walk(new java.io.File(v1.stripPrefix("file:")))
+        .filter(f => pred(f.getName)).map(f => f.getPath -> crc(f)).toMap
+    val dataBefore = snap(_.endsWith(".parquet"))
+    val sidecarsBefore = snap(_.startsWith("_KEY_MATERIAL_FOR_"))
+    assert(dataBefore.nonEmpty)
+    assert(sidecarsBefore.nonEmpty,
+      "external-material build must write _KEY_MATERIAL_FOR_* sidecars")
+    val (w0, _) = kms.counts
+
+    val v2 = IvfPq.rotateIndexKeysInPlace(spark, encRoot, kms.url, Some("INTERNAL"))
+
+    // Metadata-only and in place: the version dir is unchanged, every
+    // encrypted data file is byte-identical, every sidecar carries fresh
+    // (rewrapped) key material, and the KMS saw fresh wrap traffic.
+    assert(v2 == v1, "in-place rotation must not publish a new version")
+    assert(snap(_.endsWith(".parquet")) == dataBefore,
+      "in-place rotation rewrote data files — it must be metadata-only")
+    val sidecarsAfter = snap(_.startsWith("_KEY_MATERIAL_FOR_"))
+    assert(sidecarsAfter.keySet == sidecarsBefore.keySet,
+      "rotation changed the sidecar file set")
+    assert(sidecarsBefore.forall { case (p, c) => sidecarsAfter(p) != c },
+      "rotation left a sidecar's key material unrotated")
+    assert(kms.counts._1 > w0, "rotation minted no fresh KEKs at the KMS")
+    // Serve parity on the SAME version, gating intact.
+    assert(rows(IvfPq.probeEncrypted(spark, Seq(v1), probes,
+      kms.url, Some("INTERNAL"))) == before,
+      "in-place rotation changed serve results")
+    val e = intercept[Throwable] {
+      IvfPq.probeEncrypted(spark, Seq(v1), probes, kms.url, Some("PUBLIC")).collect()
+    }
+    assert(causedByAccessDenied(e),
+      s"post-rotation under-privileged probe failed for the wrong reason: $e")
+  }
+
   test("a plaintext index upgrades to encrypted-at-rest through the same rotation path") {
     val kms = TestKmsServer.shared
     val root = freshRoot("graft-ann-encrypt-upgrade")
