@@ -152,6 +152,36 @@ object CryptoMeasure {
     } finally rm(root)
   }
 
+  /** Rotation asymmetry on the composed index (r13): the SAME
+    * external-material encrypted index rotated both ways — metadata-only
+    * in-place ([[graft.ops.IvfPq.rotateIndexKeysInPlace]]: sidecar
+    * rewrites, zero data IO) vs the full-rewrite republish
+    * ([[graft.ops.IvfPq.rotateIndexKeys]]: decrypt + re-encrypt the
+    * corpus-sized artifact). The ratio is the 100 TB key-lifecycle story
+    * in one number: in-place cost is O(files) small-JSON rewrites
+    * regardless of data volume, while the rewrite scales with the data.
+    * One-shot timings (no warmup): rotation is an operational action, so
+    * the cold cost is the honest cell.
+    */
+  private def rotationSeconds(spark: SparkSession, sfDir: String,
+      kmsUrl: String): (Double, Double) = {
+    import graft.ops.{AnnIndex, IvfPq}
+    val root = tmpDir("graft-ann-rotate-")
+    try {
+      val emb = AnnIndex.corpus(spark, sfDir)
+      IvfPq.buildFromEncrypted(spark, emb, s"$root/idx", kmsUrl,
+        externalMaterial = true): Unit
+      def time(run: () => Unit): Double = {
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }
+      val inPlace = time(() => IvfPq.rotateIndexKeysInPlace(
+        spark, s"$root/idx", kmsUrl, Some("INTERNAL")): Unit)
+      val rewrite = time(() => IvfPq.rotateIndexKeys(
+        spark, s"$root/idx", kmsUrl, Some("INTERNAL")): Unit)
+      (inPlace, rewrite)
+    } finally rm(root)
+  }
+
   def run(spark: SparkSession, sfDir: String): String = {
     val kms = new TestKmsServer().start()
     try {
@@ -169,6 +199,7 @@ object CryptoMeasure {
         kms.url, zstdLevel = 3)
       val (gcmSec, ctrSec) = cipherReadSeconds(spark, sfDir, lineitemPolicy, kms.url)
       val (annPlainSec, annGcmSec) = annServeSeconds(spark, sfDir, kms.url)
+      val (rotInPlaceSec, rotRewriteSec) = rotationSeconds(spark, sfDir, kms.url)
 
       // --- KMS call counts per job (fresh server => clean counters) ---
       // KeyToolkit's KEK caches are JVM-STATIC (shared across sessions and
@@ -202,6 +233,9 @@ object CryptoMeasure {
           s""""ann_probe_sec_plain":${fmt(annPlainSec)},""" +
           s""""ann_probe_sec_gcm":${fmt(annGcmSec)},""" +
           s""""ann_gcm_vs_plain":${fmt(annGcmSec / annPlainSec)},""" +
+          s""""rotate_inplace_sec":${fmt(rotInPlaceSec)},""" +
+          s""""rotate_rewrite_sec":${fmt(rotRewriteSec)},""" +
+          s""""rewrite_vs_inplace":${fmt(rotRewriteSec / rotInPlaceSec)},""" +
           s""""write_wrap_calls":${w1 - w0},""" +
           s""""read_unwrap_calls_restricted":${u1 - u0},""" +
           s""""read_unwrap_calls_tokenless_plaintext_col":${u2 - u1},""" +
