@@ -101,19 +101,33 @@ object IvfPq {
     } finally emb.unpersist(): Unit
   }
 
-  /** One composed-list write for a frame already carrying `cid` —
-    * shared by full builds and delta segments.
+  /** THE canonical physical write of a composed-list frame: one exchange
+    * on cid, one file per list, rows sorted by vec_id within each
+    * partition (the q110 small-files rule + id-ranged row-group stats).
+    * Every site that lands `ivfpq_lists` rows — build/append
+    * ([[writeLists]]), migration ([[migrateFromF3]]) and the rewrite
+    * rotation ([[rotateIndexKeys]]) — goes through here, so the layout
+    * invariants cannot drift between them (review r13).
     */
-  private def writeLists(assigned: DataFrame, cb: DataFrame, out: String,
-      writeOpts: Map[String, String] = Map.empty): Unit =
-    assigned
-      .join(AnnIndex.pqEncode(assigned.select(col("vec_id"), col("e")), cb),
-        Seq("vec_id"))
+  private def writeListRows(rows: DataFrame, out: String,
+      writeOpts: Map[String, String]): Unit =
+    rows
       .select(ListCols.map(col): _*)
       .repartition(col("cid"))
       .sortWithinPartitions("vec_id")
       .write.mode("overwrite").partitionBy("cid").options(writeOpts)
       .parquet(out)
+
+  /** One composed-list write for a frame already carrying `cid` —
+    * shared by full builds and delta segments.
+    */
+  private def writeLists(assigned: DataFrame, cb: DataFrame, out: String,
+      writeOpts: Map[String, String] = Map.empty): Unit =
+    writeListRows(
+      assigned.join(
+        AnnIndex.pqEncode(assigned.select(col("vec_id"), col("e")), cb),
+        Seq("vec_id")),
+      out, writeOpts)
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -584,9 +598,11 @@ object IvfPq {
     * and stays serveable until its operator retires it.
     *
     * Fails loud (BEFORE the version flips) if the two f3 artifacts
-    * disagree on membership: an inner join would silently DROP a vector
-    * present in one but not the other, and a migration must never be
-    * the step that makes an existing corruption permanent.
+    * violate the exactly-one-row-per-vec_id invariant — a missing id on
+    * either side would be silently DROPPED by the inner join, and a
+    * duplicated id would fan out (count-based checks cancel those two
+    * defects against each other — review r13); a migration must never
+    * be the step that makes an existing corruption permanent.
     */
   def migrateFromF3(s: SparkSession, f3Dir: String, outRoot: String): String = {
     GraftFunctions.register(s)
@@ -595,24 +611,29 @@ object IvfPq {
         .select(col("cid"), col("vec_id"), col("label"), col("e"))
       val codes = s.read.parquet(s"$f3Dir/pq_codes")
         .select(col("vec_id"), col("codes"), col("qnorm"))
+      // The true invariant, checked directly: every vec_id appears
+      // EXACTLY ONCE in each artifact. One agg pass per side; catches
+      // missing ids, duplicates, and combinations a row-count
+      // comparison cannot see.
+      val bad = assigns.groupBy("vec_id").agg(count(lit(1)).as("na"))
+        .join(codes.groupBy("vec_id").agg(count(lit(1)).as("nc")),
+          Seq("vec_id"), "full_outer")
+        .filter(col("na").isNull || col("nc").isNull ||
+          col("na") =!= 1L || col("nc") =!= 1L)
+      val offenders = bad.select("vec_id").limit(5)
+        .collect().map(_.get(0)).toSeq
+      require(offenders.isEmpty,
+        s"f3 index at $f3Dir is inconsistent: vec_ids ${offenders.mkString(", ")}" +
+          " (first 5) are missing or duplicated across ivf_assignments/" +
+          "pq_codes — refusing to migrate")
+      writeListRows(assigns.join(codes, Seq("vec_id")),
+        s"$vdir/ivfpq_lists", Map.empty)
+      // Belt-and-braces conservation after the verified-bijective join.
       val nAssign = assigns.count()
-      val nCodes = codes.count()
-      require(nAssign == nCodes,
-        s"f3 index at $f3Dir is inconsistent: $nAssign assignment rows vs " +
-          s"$nCodes code rows — refusing to migrate (an inner join would " +
-          "silently drop the difference)")
-      val joined = assigns.join(codes, Seq("vec_id"))
-        .select(ListCols.map(col): _*)
-      joined
-        .repartition(col("cid"))
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$vdir/ivfpq_lists")
       val nOut = s.read.parquet(s"$vdir/ivfpq_lists").count()
       require(nOut == nAssign,
-        s"f3 index at $f3Dir is inconsistent: $nAssign assignment rows " +
-          s"joined to $nOut list rows — vec_ids differ between the " +
-          "artifacts; refusing to publish")
+        s"migration wrote $nOut list rows from $nAssign assignment rows " +
+          s"at $f3Dir — refusing to publish")
       Afs.copyTree(s"$f3Dir/ivf_centroids", s"$vdir/ivf_centroids")
       Afs.copyTree(s"$f3Dir/pq_codebook", s"$vdir/pq_codebook")
     }
@@ -657,32 +678,42 @@ object IvfPq {
     val srcOpts =
       if (plaintextSource) Map.empty[String, String]
       else graft.crypto.EncryptionPolicy.readConfMap(kmsUrl, token)
+    // The rewrite PRESERVES the source's key-material mode (review r13:
+    // writing internal material over an external-material index would
+    // silently strip its sidecars and break every future
+    // [[rotateIndexKeysInPlace]]): external iff the current version
+    // carries sidecars. A plaintext upgrade defaults to the reference's
+    // internal-material default.
+    val externalOut = !plaintextSource &&
+      Afs.listStatus(s"$cur/ivf_centroids")
+        .exists(_.getPath.getName.startsWith("_KEY_MATERIAL_FOR_"))
+    val policies = indexPoliciesFor(externalOut)
     KeyToolkit.removeCacheEntriesForAllTokens()
     AnnIndex.publishVersion(root) { vdir =>
       def wc(artifact: String): Map[String, String] =
         graft.crypto.EncryptionPolicy.writeConfMap(
-          indexPolicies(artifact), kmsUrl, accessToken = None)
+          policies(artifact), kmsUrl, accessToken = None)
       Seq("ivf_centroids", "pq_codebook").foreach { a =>
         s.read.options(srcOpts).parquet(s"$cur/$a").coalesce(1)
           .write.mode("overwrite").options(wc(a)).parquet(s"$vdir/$a")
       }
-      s.read.options(srcOpts).parquet(s"$cur/ivfpq_lists")
-        .select(ListCols.map(col): _*)
-        .repartition(col("cid"))
-        .sortWithinPartitions("vec_id")
-        .write.mode("overwrite").partitionBy("cid").options(wc("ivfpq_lists"))
-        .parquet(s"$vdir/ivfpq_lists")
-      // Verify before the flip, through FRESH unwraps (the read-side KEK
-      // cache would otherwise satisfy this from pre-rotation entries):
-      // the rewrite must decrypt and hold every row.
+      writeListRows(s.read.options(srcOpts).parquet(s"$cur/ivfpq_lists"),
+        s"$vdir/ivfpq_lists", wc("ivfpq_lists"))
+      // Verify ALL THREE artifacts before the flip, through FRESH
+      // unwraps (the read-side KEK cache would otherwise satisfy this
+      // from pre-rotation entries): every rewrite must decrypt and hold
+      // every row — a key-broken routing table that flipped CURRENT
+      // would down the index at the first probe (review r13).
       KeyToolkit.removeCacheEntriesForAllTokens()
       val vOpts = graft.crypto.EncryptionPolicy.readConfMap(kmsUrl, token)
-      val nNew = s.read.options(vOpts).parquet(s"$vdir/ivfpq_lists").count()
-      val nOld = s.read.options(srcOpts).parquet(s"$cur/ivfpq_lists").count()
-      require(nNew == nOld,
-        s"rotated index rewrite at $vdir holds $nNew rows, source $cur " +
-          s"holds $nOld — refusing to flip CURRENT (incomplete version " +
-          "is unreferenced and will be GC'd)")
+      Seq("ivf_centroids", "pq_codebook", "ivfpq_lists").foreach { a =>
+        val nNew = s.read.options(vOpts).parquet(s"$vdir/$a").count()
+        val nOld = s.read.options(srcOpts).parquet(s"$cur/$a").count()
+        require(nNew == nOld,
+          s"rotated $a at $vdir holds $nNew rows, source $cur holds " +
+            s"$nOld — refusing to flip CURRENT (incomplete version is " +
+            "unreferenced and will be GC'd)")
+      }
     }
   }
 

@@ -223,6 +223,19 @@ class EncryptedAnnSpec extends SparkTestBase {
     }
     assert(causedByAccessDenied(e),
       s"post-rotation under-privileged probe failed for the wrong reason: $e")
+    // The REWRITE rotation preserves the external material mode (its
+    // republished version still carries sidecars), so in-place rotation
+    // keeps working after it — the two rotations compose indefinitely.
+    val v3 = IvfPq.rotateIndexKeys(spark, encRoot, kms.url, Some("INTERNAL"))
+    assert(v3 != v1)
+    assert(walk(new java.io.File(v3.stripPrefix("file:")))
+      .exists(_.getName.startsWith("_KEY_MATERIAL_FOR_")),
+      "rewrite rotation stripped the external key-material mode")
+    val v4 = IvfPq.rotateIndexKeysInPlace(spark, encRoot, kms.url, Some("INTERNAL"))
+    assert(v4 == v3, "in-place rotation must work on the rewrite's output")
+    assert(rows(IvfPq.probeEncrypted(spark, Seq(v3), probes,
+      kms.url, Some("INTERNAL"))) == before,
+      "rotation composition changed serve results")
   }
 
   test("a plaintext index upgrades to encrypted-at-rest through the same rotation path") {

@@ -109,4 +109,25 @@ class IvfPqMigrateSpec extends SparkTestBase {
     assert(e.getMessage.contains("inconsistent"),
       s"migration failed for the wrong reason: $e")
   }
+
+  test("migration refuses duplicated vec_ids even when row counts match") {
+    val root = freshRoot("graft-ivfpq-migrate-dup")
+    val f3 = AnnIndex.buildFrom(spark, frame(0L until 100L), s"$root/f3")
+    val bad = s"$root/f3-bad"
+    graft.io.Afs.copyTree(f3, bad)
+    // Duplicate one code row AND drop another: total row counts still
+    // match, so a count-based check would pass — the join would fan out
+    // id 1 and silently lose id 2 (the review-r13 scenario).
+    val codes = spark.read.parquet(s"$bad/pq_codes").localCheckpoint(true)
+    val mangled = codes.filter(col("vec_id") =!= 2L)
+      .unionAll(codes.filter(col("vec_id") === 1L))
+      .localCheckpoint(true)
+    assert(mangled.count() == codes.count(), "fixture must keep counts equal")
+    mangled.write.mode("overwrite").parquet(s"$bad/pq_codes")
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.migrateFromF3(spark, bad, s"$root/f4")
+    }
+    assert(e.getMessage.contains("missing or duplicated"),
+      s"migration failed for the wrong reason: $e")
+  }
 }
