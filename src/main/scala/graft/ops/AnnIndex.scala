@@ -1825,7 +1825,45 @@ object AnnIndex {
       src: DataFrame, root: String, nFiles: Int = StreamFiles,
       autoMaintainEvery: Int = 0): Seq[String] = {
     GraftFunctions.register(s)
-    val cents = readCentroids(s, baseDir)
+    // Trained tables cached per artifact base: re-read only when a fold's
+    // retrain actually moved the serving base (the once-read f3 behavior,
+    // keyed so auto-maintain re-resolution stays cheap).
+    val centsCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+    streamIngestCore(s, baseDir, src, root, nFiles, autoMaintainEvery,
+      writeSegment = (ss, df, artifactBase, seg) => {
+        val batchCents =
+          centsCache.computeIfAbsent(artifactBase, b => readCentroids(ss, b))
+        assignCids(df, batchCents)
+          .select(col("cid"), col("vec_id"), col("label"), col("e"))
+          .repartition(col("cid"))
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$seg/ivf_assignments")
+        val cb = ss.read.parquet(s"$artifactBase/pq_codebook")
+        encodePq(df, cb)
+          .write.mode("overwrite").parquet(s"$seg/pq_codes")
+      },
+      maintainStep = (ss, curBase, unfolded, maintRoot, already) =>
+        maintainWithManifest(ss, curBase, unfolded, maintRoot, already): Unit)
+  }
+
+  /** The FORMAT-AGNOSTIC checkpointed ingest loop behind
+    * [[streamIngestFrames]] (f3) and [[IvfPq.streamIngestWithMaintain]]
+    * (f4) — extracted so the streaming discipline (checkpoint-replay
+    * idempotence, `_COMPLETE` markers, no-data-batch suppression,
+    * serial-thread auto-maintain, manifest-composed reader views) lands
+    * once and cannot drift between the formats (review r13).
+    * `writeSegment(session, batch, artifactBase, segDir)` writes one
+    * format-specific delta segment encoded against `artifactBase`'s
+    * trained tables; `maintainStep(session, servingBase, unfoldedSegs,
+    * maintRoot, alreadyFoldedNames)` folds when the threshold fires.
+    */
+  private[ops] def streamIngestCore(s: SparkSession, baseDir: String,
+      src: DataFrame, root: String, nFiles: Int, autoMaintainEvery: Int,
+      writeSegment: (SparkSession, DataFrame, String, String) => Unit,
+      maintainStep: (SparkSession, String, Seq[String], String, Seq[String]) => Unit)
+      : Seq[String] = {
+    GraftFunctions.register(s)
     val srcDir = s"$root/src"
     val segRoot = s"$root/segments"
     if (!Afs.exists(s"$srcDir/_SUCCESS")) {
@@ -1873,17 +1911,7 @@ object AnnIndex {
               if (autoMaintainEvery > 0)
                 servingStateOf(baseDir, segRoot, s"$root/maint")._1
               else baseDir
-            val batchCents =
-              if (artifactBase == baseDir) cents
-              else readCentroids(batch.sparkSession, artifactBase)
-            assignCids(b.toDF(), batchCents)
-              .select(col("cid"), col("vec_id"), col("label"), col("e"))
-              .repartition(col("cid"))
-              .write.mode("overwrite").partitionBy("cid")
-              .parquet(s"$seg/ivf_assignments")
-            val cb = batch.sparkSession.read.parquet(s"$artifactBase/pq_codebook")
-            encodePq(b.toDF(), cb)
-              .write.mode("overwrite").parquet(s"$seg/pq_codes")
+            writeSegment(batch.sparkSession, b.toDF(), artifactBase, seg)
             Afs.touch(s"$seg/_COMPLETE")
             if (autoMaintainEvery > 0) {
               // Fold threshold check AFTER the batch commits: the fold
@@ -1892,8 +1920,8 @@ object AnnIndex {
               val (curBase, unfolded, already) =
                 servingStateOf(baseDir, segRoot, s"$root/maint")
               if (unfolded.size >= autoMaintainEvery)
-                maintainWithManifest(batch.sparkSession, curBase, unfolded,
-                  s"$root/maint", already): Unit
+                maintainStep(batch.sparkSession, curBase, unfolded,
+                  s"$root/maint", already)
             }
           }
         } finally b.unpersist(): Unit

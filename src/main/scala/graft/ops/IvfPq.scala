@@ -576,6 +576,83 @@ object IvfPq {
       rep, retrained = true)
   }
 
+  // ---- streaming ingest --------------------------------------------------
+
+  /** [[maintain]] plus a `_SEGMENTS` manifest stamped into every version
+    * it publishes (fold and conditional retrain alike), landing BEFORE
+    * the version's `_SUCCESS` — the f4 twin of the f3 auto-maintain
+    * bookkeeping, over the same [[AnnIndex.servingStateOf]] reader view.
+    */
+  private[ops] def maintainWithManifest(s: SparkSession, baseDir: String,
+      segDirs: Seq[String], outRoot: String, alreadyFolded: Seq[String],
+      crypto: Option[IndexCrypto] = None): AnnIndex.MaintainResult = {
+    GraftFunctions.register(s)
+    val name = (p: String) => new org.apache.hadoop.fs.Path(p).getName
+    val manifest = (alreadyFolded ++ segDirs.map(name)).mkString("\n")
+    def stamp(vdir: String): Unit = Afs.writeString(s"$vdir/_SEGMENTS", manifest)
+    val folded = AnnIndex.publishVersion(outRoot) { v =>
+      AnnIndex.foldPartitionedArtifact(s, baseDir, segDirs, Nil,
+        "ivfpq_lists", ListCols, sortInPartitions = true, v,
+        rOpts(crypto), wOpts(crypto, "ivfpq_lists")): Unit
+      Afs.copyTree(s"$baseDir/ivf_centroids", s"$v/ivf_centroids")
+      Afs.copyTree(s"$baseDir/pq_codebook", s"$v/pq_codebook")
+      stamp(v)
+    }
+    val lists = s.read.options(rOpts(crypto)).parquet(s"$folded/ivfpq_lists")
+    val rep = AnnIndex.retrainCheckAssigned(s, folded,
+      lists.select(col("cid"), col("e")), rOpts(crypto))
+    if (!rep.recommend) AnnIndex.MaintainResult(folded, rep, retrained = false)
+    else AnnIndex.MaintainResult(
+      AnnIndex.publishVersion(outRoot) { v =>
+        writeComposed(s, lists.select(col("vec_id"), col("e"), col("label")), v,
+          artifact => wOpts(crypto, artifact))
+        stamp(v)
+      },
+      rep, retrained = true)
+  }
+
+  /** Continuous composed-segment ingest WITH the maintenance loop wired
+    * in — q128's streaming discipline (checkpointed micro-batches,
+    * replay-idempotent overwrites, `_COMPLETE` markers, no-data-batch
+    * suppression) on the f4 artifact, through the shared
+    * [[AnnIndex.streamIngestCore]]: each micro-batch assigns AND encodes
+    * against the CURRENT serving base's trained tables (re-resolved per
+    * batch, so a fold's retrain can never mix centroid/codebook spaces)
+    * and lands one composed delta segment; every `every` unfolded
+    * segments the loop folds them behind the usual CURRENT pointer with
+    * the `_SEGMENTS` manifest. With `crypto`, every segment and every
+    * fold is written through the PME factory and every read carries the
+    * token — the last index write path composes with encryption
+    * (IvfPqStreamSpec pins plaintext conservation/serve and the
+    * encrypted variant's parity + denial).
+    *
+    * Returns the post-stream reader view: (serving base — the latest
+    * fold, or `baseDir` if none fired — and the unfolded segments to
+    * union with it).
+    */
+  private[ops] def streamIngestWithMaintain(s: SparkSession, baseDir: String,
+      src: DataFrame, root: String, nFiles: Int, every: Int,
+      crypto: Option[IndexCrypto] = None): (String, Seq[String]) = {
+    GraftFunctions.register(s)
+    val centsCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+    AnnIndex.streamIngestCore(s, baseDir, src, root, nFiles, every,
+      writeSegment = (ss, df, artifactBase, seg) => {
+        val cents = centsCache.computeIfAbsent(artifactBase,
+          b => AnnIndex.readCentroids(ss, b, rOpts(crypto)))
+        val cb = ss.read.options(rOpts(crypto))
+          .parquet(s"$artifactBase/pq_codebook")
+        writeLists(AnnIndex.assignCids(df, cents), cb,
+          s"$seg/ivfpq_lists", wOpts(crypto, "ivfpq_lists"))
+      },
+      maintainStep = (ss, curBase, unfolded, maintRoot, already) =>
+        maintainWithManifest(ss, curBase, unfolded, maintRoot, already,
+          crypto): Unit): Unit
+    val (b, unfolded, _) =
+      AnnIndex.servingStateOf(baseDir, s"$root/segments", s"$root/maint")
+    (b, unfolded)
+  }
+
   // ---- format migration ------------------------------------------------
 
   /** Migrate an existing f3 index (`ivf_assignments` + `pq_codes`) to

@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.kms.TestKmsServer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest on the composed f4 artifact
+  * ([[IvfPq.streamIngestWithMaintain]] through the shared
+  * [[AnnIndex.streamIngestCore]]): q128's checkpointed micro-batch
+  * discipline landing composed delta segments, auto-maintain folding
+  * them behind the CURRENT pointer with `_SEGMENTS` manifests, a
+  * concurrent reader staying consistent across every fold — and the
+  * whole loop composing with encryption (the last index write path).
+  */
+class IvfPqStreamSpec extends SparkTestBase {
+
+  private val Dim = 64
+
+  private def vec(id: Long): Seq[Double] =
+    (0 until Dim).map(j => math.sin(id * 29.0 + j * 13.0))
+
+  private def frame(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.map(id => (id, vec(id), (id % 10).toInt)).toDF("vec_id", "e", "label")
+  }
+
+  private def freshRoot(name: String): String = {
+    val f = new java.io.File(
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
+      else sys.props("java.io.tmpdir"), name)
+    def rm(g: java.io.File): Unit = {
+      if (g.isDirectory) Option(g.listFiles()).getOrElse(Array.empty).foreach(rm)
+      g.delete(): Unit
+    }
+    rm(f)
+    f.toString
+  }
+
+  test("f4 stream-ingest: serve continuity across auto-fired folds, conservation and manifest at the end") {
+    import spark.implicits._
+    val root = freshRoot("graft-ivfpq-stream")
+    val baseIds = 0L until 64L
+    val ingestIds = 1000L until 1024L
+    val universe = (baseIds ++ ingestIds).toSet
+    val baseDir = IvfPq.buildFrom(spark, frame(baseIds), s"$root/base")
+    val segRoot = s"$root/ingest/segments"
+    val maintRoot = s"$root/ingest/maint"
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicLong()
+    @volatile var stop = false
+    val probeId = 7L
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val (b, unfolded, _) = AnnIndex.servingStateOf(baseDir, segRoot, maintRoot)
+          val probes = Seq((probeId + 1000000L, vec(probeId))).toDF("pid", "pe")
+          val res = IvfPq.probeSegments(spark, b +: unfolded, probes).collect()
+          reads.incrementAndGet(): Unit
+          if (res.length != AnnIndex.TopK)
+            failures.add(s"surface ${res.length} rows (base=$b segs=${unfolded.size})"): Unit
+          val top = res.find(_.getLong(2) == 1L)
+          if (!top.exists(r => r.getLong(1) == probeId && r.getDouble(3) == 1.0))
+            failures.add(s"top-1 lost self: ${top.map(r => (r.getLong(1), r.getDouble(3)))}"): Unit
+          val nbrs = res.map(_.getLong(1))
+          if (nbrs.distinct.length != nbrs.length)
+            failures.add(s"duplicate neighbors: ${nbrs.mkString(",")}"): Unit
+          nbrs.filterNot(universe).foreach(g => failures.add(s"ghost neighbor $g"): Unit)
+        } catch {
+          case e: Throwable => failures.add(s"reader threw: $e"): Unit
+        }
+      }
+    })
+    reader.start()
+    val (finalBase, unfolded) = try {
+      IvfPq.streamIngestWithMaintain(spark, baseDir, frame(ingestIds),
+        s"$root/ingest", nFiles = 4, every = 2)
+    } finally { stop = true; reader.join(30000) }
+    assert(failures.isEmpty, s"reader violations: ${failures.toArray.take(5).mkString(" | ")}")
+    assert(reads.get() >= 3, s"reader only completed ${reads.get()} polls — fixture too fast")
+
+    val fold = AnnIndex.resolveVersion(maintRoot)
+    assert(fold.isDefined, "no auto-maintain fold fired at every=2 over 4 batches")
+    assert(unfolded.isEmpty, s"expected all segments folded, left: $unfolded")
+    val got = spark.read.parquet(s"$finalBase/ivfpq_lists")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got.size == got.distinct.size, "fold duplicated ids")
+    assert(got.toSet == universe,
+      s"fold lost=${(universe -- got.toSet).take(5)} ghosts=${(got.toSet -- universe).take(5)}")
+    val manifest = graft.io.Afs.readString(s"${fold.get}/_SEGMENTS")
+      .split("\n").filter(_.nonEmpty)
+    assert(manifest.length == 4, s"manifest: ${manifest.mkString(",")}")
+  }
+
+  test("encrypted f4 stream-ingest: segments and folds land encrypted, serve under the token, denial gates") {
+    import spark.implicits._
+    val kms = TestKmsServer.shared
+    val root = freshRoot("graft-ivfpq-stream-enc")
+    val crypto = Some(IvfPq.IndexCrypto(kms.url, Some("INTERNAL")))
+    val baseIds = 0L until 64L
+    val ingestIds = 1000L until 1024L
+    val universe = (baseIds ++ ingestIds).toSet
+    val baseDir = IvfPq.buildFromEncrypted(spark, frame(baseIds),
+      s"$root/base", kms.url)
+    val (finalBase, unfolded) = IvfPq.streamIngestWithMaintain(spark, baseDir,
+      frame(ingestIds), s"$root/ingest", nFiles = 4, every = 2, crypto)
+    assert(unfolded.isEmpty, s"expected all segments folded, left: $unfolded")
+    // Every landed artifact is genuinely encrypted: a bare reader cannot
+    // materialize the protected columns of the fold (nor of a segment).
+    intercept[Throwable] {
+      spark.read.parquet(s"$finalBase/ivfpq_lists").select("e", "codes").collect()
+    }
+    // Conservation under the token.
+    val readOpts = graft.crypto.EncryptionPolicy.readConfMap(kms.url, Some("INTERNAL"))
+    val got = spark.read.options(readOpts).parquet(s"$finalBase/ivfpq_lists")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got.size == got.distinct.size, "encrypted fold duplicated ids")
+    assert(got.toSet == universe,
+      s"encrypted fold lost=${(universe -- got.toSet).take(5)} " +
+        s"ghosts=${(got.toSet -- universe).take(5)}")
+    // Serve under the token: a streamed id is findable and top-1-exact.
+    val probes = Seq((1007L + 1000000L, vec(1007L))).toDF("pid", "pe")
+    val res = IvfPq.probeEncrypted(spark, Seq(finalBase), probes,
+      kms.url, Some("INTERNAL")).collect()
+    assert(res.length == AnnIndex.TopK)
+    val top = res.find(_.getLong(2) == 1L).get
+    assert(top.getLong(1) == 1007L && top.getDouble(3) == 1.0,
+      s"streamed-in vector lost from the encrypted fold: " +
+        s"(${top.getLong(1)}, ${top.getDouble(3)})")
+    // Denial still gates the streamed state.
+    val e = intercept[Throwable] {
+      IvfPq.probeEncrypted(spark, Seq(finalBase), probes,
+        kms.url, Some("PUBLIC")).collect()
+    }
+    assert(e != null)
+  }
+}
