@@ -31,6 +31,26 @@ object Bench {
       */
     def load1: String = slurp("/proc/loadavg").split(" ").headOption.getOrElse("?")
 
+    /** CPU pressure-stall avg10 (`/proc/pressure/cpu`, "some" line): the
+      * share of the last 10 s in which at least one runnable task was
+      * stalled waiting for CPU. THE contention signal the r13 retry gate
+      * was missing — 1-min loadavg is a lagging average that reported
+      * 1.86 while a 0.3 s-class query's retry stalled for 19.2 s under
+      * bursty co-tenant CPU; PSI avg10 reacts within seconds and
+      * measures the stall itself, not the queue length. −1 when the
+      * kernel exposes no PSI.
+      */
+    def psiCpu: Double =
+      try {
+        val txt = slurp("/proc/pressure/cpu")
+        "some .*?avg10=([0-9.]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+      } catch { case _: Throwable => -1.0 }
+
+    def psiRaw: String =
+      slurp("/proc/pressure/cpu").linesIterator
+        .find(_.startsWith("some")).getOrElse("?")
+
     /** Host conditions the bench cannot control but the numbers depend
       * on: printed once per run so a slow BENCH_r{N} is attributable.
       */
@@ -43,7 +63,8 @@ object Bench {
         val f = new java.io.File("/dev/shm")
         s"${f.getUsableSpace / (1L << 30)}G"
       } catch { case _: Throwable => "?" }
-      s"loadavg=${slurp("/proc/loadavg")} $memAvail cgroup.cpu.max=[$cpuMax] shmFree=$shmFree"
+      s"loadavg=${slurp("/proc/loadavg")} psi.cpu=[$psiRaw] $memAvail " +
+        s"cgroup.cpu.max=[$cpuMax] shmFree=$shmFree"
     }
   }
 
@@ -223,6 +244,14 @@ object Bench {
 
   private type QFn = (SparkSession, String) => org.apache.spark.sql.DataFrame
 
+  /** One timed execution, with the evidence the retry rule adjudicates
+    * on: task-time vs cpu-time (a stalled sample has task ≫ cpu — tasks
+    * held runnable-but-not-running cost task-time but no cpu-time) and
+    * the CPU PSI at the measurement's end.
+    */
+  private final case class RunSample(wall: Double, diag: String,
+      taskS: Double, cpuS: Double, psiEnd: Double)
+
   /** One untimed pass over the selected queries in a single fresh
     * context, recording per-query (jobs fired, shuffle bytes written).
     * Runs at the sf0.01 sibling of the bench dir when present: shape
@@ -337,6 +366,7 @@ object Bench {
     sweepLocalDirs()
     System.err.println(s"[bench-env] ${Diag.envLine}")
     val loadStart = try Diag.load1.toDouble catch { case _: Throwable => -1.0 }
+    val psiStart = Diag.psiCpu
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Optional comma-separated filter for local bisection (driver unset).
@@ -450,7 +480,7 @@ object Bench {
         }
         try spark.catalog.clearCache() catch { case _: Throwable => () }
       }
-      def timedRun(name: String, fn: QFn): (Double, String) = {
+      def timedRun(name: String, fn: QFn): RunSample = {
         org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
         qm.reset()
         val t0 = System.nanoTime()
@@ -470,20 +500,25 @@ object Bench {
         org.apache.spark.graft.ListenerFlush.flush(spark.sparkContext)
         System.err.println(f"[bench-diag] $name wall=$dt%.1fs " +
           f"jit=${(Diag.compileMs - comp0) / 1000.0}%.1fs " +
-          f"gc=${(Diag.gcMs - gc0) / 1000.0}%.1fs ${qm.line} load=${Diag.load1}")
-        // Task-time/CPU/GC sums plus the instantaneous 1-min loadavg ride
-        // into the final JSON so a one-shot BENCH_r{N} run is attributable
-        // after the fact: wall >> taskSum/32 means stalled tasks (host/
-        // IO); cpu >> plan-expected means the JVM ran the query degraded
-        // (e.g. interpreted); a high load marks external host contention.
+          f"gc=${(Diag.gcMs - gc0) / 1000.0}%.1fs ${qm.line} load=${Diag.load1} " +
+          f"psi=${Diag.psiCpu}%.1f")
+        // Task-time/CPU/GC sums plus the instantaneous 1-min loadavg and
+        // CPU PSI ride into the final JSON so a one-shot BENCH_r{N} run
+        // is attributable after the fact: wall >> taskSum/32 means
+        // stalled tasks (host/IO); cpu >> plan-expected means the JVM ran
+        // the query degraded (e.g. interpreted); high load/PSI marks
+        // external host contention.
         val ld = try Diag.load1.toDouble catch { case _: Throwable => -1.0 }
-        val diag = f""""$name":{"task":${qm.taskMs.sum / 1000.0}%.1f,""" +
-          f""""cpu":${qm.cpuMs.sum / 1000.0}%.1f,"tgc":${qm.gcMs.sum / 1000.0}%.1f,""" +
-          f""""load":$ld%.2f}"""
+        val psi = Diag.psiCpu
+        val taskS = qm.taskMs.sum / 1000.0
+        val cpuS = qm.cpuMs.sum / 1000.0
+        val diag = f""""$name":{"task":$taskS%.1f,""" +
+          f""""cpu":$cpuS%.1f,"tgc":${qm.gcMs.sum / 1000.0}%.1f,""" +
+          f""""load":$ld%.2f,"psi":$psi%.1f}"""
         // Drop persisted tables between queries — a leftover cache from a
         // dedup query measurably contaminates its successors.
         try spark.catalog.clearCache() catch { case _: Throwable => () }
-        (if (ok) dt else -1.0, diag)
+        RunSample(if (ok) dt else -1.0, diag, taskS, cpuS, psi)
       }
       // SHARED groups are timed TWICE — forward order, then reverse —
       // keeping each query's MINIMUM (r10 verdict item 1): the solo rule
@@ -501,39 +536,58 @@ object Bench {
       // it.
       val orders: Seq[Seq[(String, QFn)]] =
         if (group.sizeIs == 1) Seq(group) else Seq(group, group.reverse)
-      val measured: Map[String, (Double, String)] = orders.flatMap { ord =>
+      val measured: Map[String, RunSample] = orders.flatMap { ord =>
         ord.map { case (name, fn) => name -> timedRun(name, fn) }
       }.groupBy(_._1).map { case (n, runs) =>
-        val best = runs.map(_._2).filter(_._1 >= 0).sortBy(_._1).headOption
+        val best = runs.map(_._2).filter(_.wall >= 0).sortBy(_.wall).headOption
         n -> best.getOrElse(runs.head._2)
       }
-      // Rerun rule (r11 verdict item 1, load-gated per r12 verdict item
-      // 4): any query whose best timed wall exceeds 2x its committed seal
-      // wall gets a fresh re-timing in the same warmed context, keeping
-      // the minimum. Shared groups' dual-order min already cancels most
-      // one-shot host spikes; SOLO groups had a single timed run and
-      // inherited them raw (q38 7.2x, q113 5.9x on a load-23 box, plans
-      // unchanged). The r12 lesson (q26: retry 4.7s > prior 1.2s at load
-      // 6.2) is that an IMMEDIATE retry re-samples the same stall — so
-      // the retry first waits, sleep-bounded, for the 1-min loadavg to
-      // drop below cpus/4, and when the retry itself still ran contended
-      // (load at its end >= the gate) AND stayed >2x, ONE further
-      // load-gated retry is permitted. The artifact carries every wall
-      // ("prior"/"retry"/"retry2" in the diag map) plus the load the
-      // settle-wait ended at, so a surviving >2x entry is adjudicable as
-      // plan-not-host from the artifact alone. NOTE the policy is
-      // one-sided by design (it can only LOWER walls relative to a naive
-      // single run, never raise them) — declared in the artifact header
-      // ("retry_policy") so seal-to-seal comparisons account for it.
+      // Rerun rule (r11 verdict item 1; PSI-adjudicated per r13 verdict
+      // item 1): any query whose best timed wall exceeds 2x its committed
+      // seal wall gets re-timed in the same warmed context, keeping the
+      // minimum. The r12/r13 lesson chain: an IMMEDIATE retry re-samples
+      // the same stall (r12 q26), and a 1-MIN-LOADAVG gate cannot see
+      // bursty co-tenant contention (r13 q125: retry 19.2 s at "settled"
+      // load 1.86 — loadavg is a lagging queue-length average, not a
+      // stall measure). The gate is now CPU PSI avg10 (/proc/pressure/
+      // cpu — the share of the last 10 s some runnable task spent
+      // stalled), and a retry SAMPLE is accepted as adjudicating only
+      // when its own evidence says it ran uncontended: task-time ≈
+      // cpu-time (a stalled sample's tasks accrue task-time but no
+      // cpu-time) and low PSI at its end. A clean still->2x sample IS
+      // the plan-not-host proof the artifact needs — stop retrying and
+      // carry the evidence ("survivor_clean":true); a contaminated
+      // still->2x sample earns one more settle+retry (bounded at 2).
+      // Every wall, settle load/PSI, and the accept verdict ride in the
+      // diag map, so a surviving >2x row is adjudicable from the
+      // artifact alone. NOTE the policy is one-sided by design (it can
+      // only LOWER walls relative to a naive single run, never raise
+      // them) — declared in the artifact header ("retry_policy") so
+      // seal-to-seal comparisons account for it.
       val loadGate = (try cpus.toDouble catch { case _: Throwable => 32.0 }) / 4.0
-      def settleLoad(): Double = {
-        val deadlineNs = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        var ld = try Diag.load1.toDouble catch { case _: Throwable => -1.0 }
-        while (ld >= loadGate && System.nanoTime() < deadlineNs) {
+      val psiGate = 10.0 // percent: >10% of the last 10s stalled = contended
+      def settleContention(): (Double, Double) = {
+        val deadlineNs = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        def read(): (Double, Double) =
+          (try Diag.load1.toDouble catch { case _: Throwable => -1.0 }, Diag.psiCpu)
+        var (ld, psi) = read()
+        while ((ld >= loadGate || psi >= psiGate) && System.nanoTime() < deadlineNs) {
           Thread.sleep(5000)
-          ld = try Diag.load1.toDouble catch { case _: Throwable => -1.0 }
+          val r = read(); ld = r._1; psi = r._2
         }
-        ld
+        (ld, psi)
+      }
+      // A sample adjudicates (is "clean") when its own task/cpu evidence
+      // shows no stall — task-time within 1.5x of cpu-time plus 2s of
+      // absolute slack for scheduling overhead on sub-second queries —
+      // and the host's PSI at its end is below the gate (PSI unavailable
+      // falls back to the loadavg gate).
+      def cleanSample(r: RunSample): Boolean = {
+        val taskCpuOk = r.taskS <= 1.5 * r.cpuS + 2.0
+        val hostOk =
+          if (r.psiEnd >= 0) r.psiEnd < psiGate
+          else (try Diag.load1.toDouble catch { case _: Throwable => -1.0 }) < loadGate
+        taskCpuOk && hostOk
       }
       // Splice extra fields into a per-query diag object; a malformed
       // diag (not brace-terminated) is left untouched rather than
@@ -541,41 +595,46 @@ object Bench {
       def splice(diag: String, extra: String): String =
         if (diag.endsWith("}")) diag.dropRight(1) + "," + extra + "}" else diag
       val settled: Map[String, (Double, String)] = measured.map {
-        case (name, (dt, diag)) =>
+        case (name, first) =>
           sealWalls.get(name) match {
-            case Some(seal) if dt >= 0 && seal > 0 && dt > 2 * seal =>
+            case Some(seal) if first.wall >= 0 && seal > 0 && first.wall > 2 * seal =>
               val fn = group.find(_._1 == name).get._2
-              def retryOnce(tag: String): (Double, String, Double) = {
-                val ld = settleLoad()
+              var runs = Vector((first, "prior", -1.0, -1.0))
+              var attempt = 0
+              var done = false
+              while (!done && attempt < 2) {
+                attempt += 1
+                val tag = if (attempt == 1) "retry" else "retry2"
+                val (ld, psi) = settleContention()
                 System.err.println(f"[bench-retry] $name > 2x seal=$seal%.2fs — " +
-                  f"re-timing ($tag) at settled load=$ld%.2f")
-                val (d, g) = timedRun(name, fn)
-                (d, g, ld)
+                  f"re-timing ($tag) at settled load=$ld%.2f psi=$psi%.1f")
+                val smp = timedRun(name, fn)
+                runs :+= ((smp, tag, ld, psi))
+                val bestWall = runs.map(_._1.wall).filter(_ >= 0).min
+                // Stop when the number is back in band OR this sample is
+                // clean (uncontended by its own evidence): a clean >2x
+                // wall is a real measurement, not a stall to retry away.
+                done = bestWall <= 2 * seal || (smp.wall >= 0 && cleanSample(smp))
               }
-              val (dt2, diag2, ld2) = retryOnce("retry")
-              // Load AT THE RETRY'S END: the settle-wait can time out and
-              // the retry itself can run into a fresh spike; either way a
-              // still->2x wall measured under load earns one more sample.
-              val ldEnd = try Diag.load1.toDouble catch { case _: Throwable => -1.0 }
-              val contended = ld2 >= loadGate || ldEnd >= loadGate
-              val (dt3, diag3, ld3) =
-                if (contended && dt2 >= 0 && math.min(dt, dt2) > 2 * seal) {
-                  val (d, g, l) = retryOnce("retry2"); (d, Some(g), l)
-                } else (-1.0, None, -1.0)
-              val runs = Seq((dt, diag, "prior"), (dt2, diag2, "retry")) ++
-                diag3.map(g => (dt3, g, "retry2"))
-              val valid = runs.filter(_._1 >= 0)
-              val best = if (valid.nonEmpty) valid.minBy(_._1) else runs.head
-              val others = runs.filterNot(_._3 == best._3)
-                .map { case (d, _, tag) => f""""$tag":$d%.3f""" }
-              // Every retry's settled load rides into the artifact — a
-              // query still >2x after retry2 must be adjudicable
-              // plan-vs-host from the artifact alone (review r13).
-              val loads = Seq(f""""retry_load":$ld2%.2f""") ++
-                (if (diag3.isDefined) Seq(f""""retry2_load":$ld3%.2f""") else Nil)
-              name -> (best._1,
-                splice(best._2, (others ++ loads).mkString(",")))
-            case _ => name -> (dt, diag)
+              val valid = runs.filter(_._1.wall >= 0)
+              val best = if (valid.nonEmpty) valid.minBy(_._1.wall) else runs.head
+              val others = runs.filterNot(_._2 == best._2)
+                .map { case (r, tag, _, _) => f""""$tag":${r.wall}%.3f""" }
+              val settles = runs.filter(_._2 != "prior").flatMap {
+                case (_, tag, ld, psi) => Seq(
+                  f""""${tag}_load":$ld%.2f""", f""""${tag}_psi":$psi%.1f""")
+              }
+              // A row still >2x after the loop carries its adjudication:
+              // survivor_clean=true means the kept sample's own task/cpu
+              // + PSI evidence proves plan-not-host; false means the host
+              // never gave a clean window (both retries contaminated).
+              val verdictBits =
+                if (best._1.wall > 2 * seal)
+                  Seq(s""""survivor_clean":${cleanSample(best._1)}""")
+                else Nil
+              name -> (best._1.wall,
+                splice(best._1.diag, (others ++ settles ++ verdictBits).mkString(",")))
+            case _ => name -> (first.wall, first.diag)
           }
       }
       group.map { case (name, _) =>
@@ -593,7 +652,7 @@ object Bench {
     val soloJson = soloNames.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""diag":$diags,"solo":$soloJson,""" +
-      f""""retry_policy":"gt2x-seal-load-gated-keep-min","sf":"$sfDir"}"""
+      f""""retry_policy":"gt2x-seal-psi-gated-clean-sample-keep-min","sf":"$sfDir"}"""
     println(fullLine)
     // The stdout channel has failed twice (round 3: tail truncation ate
     // the total; round 4: the sbt logger's "[info] " prefix broke the
@@ -660,7 +719,8 @@ object Bench {
       f""""n_queries":${results.size},"n_ok":${ok.size},"queries":$qs,""" +
       f""""slowest":$slowest,"slowest_diag":$slowestDiag,""" +
       f""""seal":${sealQueries.getOrElse("{}")},""" +
-      f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"sf":"$sfDir"}""")
+      f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,""" +
+      f""""psi_start":$psiStart%.1f,"psi_end":${Diag.psiCpu}%.1f,"sf":"$sfDir"}""")
     // r8 postmortem: the full 128-query map made the total_summary line
     // itself outgrow the driver's tail capture and BENCH_r08.json
     // recorded "parsed": null. The map stays (round-over-round diffs
