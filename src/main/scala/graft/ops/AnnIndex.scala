@@ -6,7 +6,20 @@ import graft.io.Afs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Materialized ANN index: build-once / probe-many (r8 verdict item 3).
+/** Materialized ANN index — format f3 (build-once / probe-many, r8
+  * verdict item 3).
+  *
+  * '''QUARANTINE NOTICE (r14, r13 verdict item 2):''' the registry
+  * converged on the composed f4 format ([[IvfPq]]). From this module
+  * only q110 (the f3 BUILD — the artifact [[IvfPq.migrateFromF3]]
+  * consumes) stays registered; the f3 serve and lifecycle paths below
+  * are retained as the spec-pinned REFERENCE implementations
+  * (AnnIndexSpec / AnnLifecycleSoakSpec / AnnRetrainSpec pin recall
+  * floors, plan shapes, LSM semantics and publication races on them)
+  * and as migration support. They are not bench-priced and must not
+  * grow features — new serve/lifecycle work lands on [[IvfPq]]. The
+  * format-agnostic cores (publication protocol, trainers, assignment,
+  * routing, fold, ingest loop, serving state) remain shared and live.
   *
   * q23e/q23f demonstrate the IVF and PQ *algorithms* but re-pay the full
   * index build (Lloyd passes, codebook training, corpus encoding) on
@@ -1220,8 +1233,8 @@ object AnnIndex {
     * index is trained on vec_id % 10 != 0; the "newly arrived" batch is
     * the other 10%.
     */
-  private def baseSlice(df: DataFrame): DataFrame = df.filter(pmod(col("vec_id"), lit(10)) =!= 0)
-  private def batchSlice(df: DataFrame): DataFrame = df.filter(pmod(col("vec_id"), lit(10)) === 0)
+  private[ops] def baseSlice(df: DataFrame): DataFrame = df.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+  private[ops] def batchSlice(df: DataFrame): DataFrame = df.filter(pmod(col("vec_id"), lit(10)) === 0)
 
   /** The base index over the 90% slice — a one-time dataset-keyed
     * fixture (markered like build()): the append query must price the
@@ -1462,7 +1475,7 @@ object AnnIndex {
     * (multiple of 10) — so deletion is exercised against every segment
     * kind, not just the base.
     */
-  private def deleteSlice(df: DataFrame): DataFrame =
+  private[ops] def deleteSlice(df: DataFrame): DataFrame =
     df.filter(pmod(col("vec_id"), lit(20)).isin(3, 10))
 
   /** Record deletes as a TOMBSTONE SEGMENT — the LSM delete discipline:
@@ -1857,11 +1870,17 @@ object AnnIndex {
     * format-specific delta segment encoded against `artifactBase`'s
     * trained tables; `maintainStep(session, servingBase, unfoldedSegs,
     * maintRoot, alreadyFoldedNames)` folds when the threshold fires.
+    * `afterBatch(session, batchId)` runs LAST for each committed
+    * non-empty batch, on the stream thread (so it can never race a
+    * segment writer or a fold) — the hook mid-stream operations like
+    * tombstone enqueues ([[IvfPq.enqueueTombstones]]) use to compose
+    * deterministically with the ingest loop.
     */
   private[ops] def streamIngestCore(s: SparkSession, baseDir: String,
       src: DataFrame, root: String, nFiles: Int, autoMaintainEvery: Int,
       writeSegment: (SparkSession, DataFrame, String, String) => Unit,
-      maintainStep: (SparkSession, String, Seq[String], String, Seq[String]) => Unit)
+      maintainStep: (SparkSession, String, Seq[String], String, Seq[String]) => Unit,
+      afterBatch: (SparkSession, Long) => Unit = (_, _) => ())
       : Seq[String] = {
     GraftFunctions.register(s)
     val srcDir = s"$root/src"
@@ -1923,6 +1942,7 @@ object AnnIndex {
                 maintainStep(batch.sparkSession, curBase, unfolded,
                   s"$root/maint", already)
             }
+            afterBatch(batch.sparkSession, id)
           }
         } finally b.unpersist(): Unit
       }
@@ -2272,5 +2292,18 @@ object AnnIndex {
     },
     None)
 
-  val queries: Seq[Q] = Seq(q110, q111, q112, q113, q127, q128, q129, q130, q131, q132)
+  /** Registered: ONLY the f3 build (q110) — it is the migration source
+    * [[IvfPq.migrateFromF3]] converts (and q111 prices serving the
+    * conversion's output). Every other ANN registry line converged on
+    * the composed f4 format in r14 (r13 verdict item 2): the q111–q132
+    * names are now registered by [[IvfPq.queries]] against the at-scale
+    * artifact. The f3 Q vals above and the f3 serve/lifecycle code in
+    * this file are QUARANTINED, not deleted: they are the
+    * spec-pinned reference implementations (AnnIndexSpec,
+    * AnnLifecycleSoakSpec, AnnRetrainSpec pin recall floors, plan
+    * shapes, LSM semantics and race behavior on them) and the
+    * migration-support surface — they are no longer priced by the
+    * bench and must not grow new features; new work lands on IvfPq.
+    */
+  val queries: Seq[Q] = Seq(q110)
 }

@@ -178,7 +178,13 @@ object IvfPq {
         PrivilegeLevel.Internal -> Seq("ce.list.element", "c2"))),
       "ivfpq_lists" -> EncryptionPolicy(columnKeys = Map(
         PrivilegeLevel.Internal ->
-          Seq("label", "codes.list.element", "qnorm", "e.list.element"))))
+          Seq("label", "codes.list.element", "qnorm", "e.list.element"))),
+      // Tombstone segments carry each victim's stored embedding (for
+      // cid re-resolution after a retrain — see [[enqueueTombstones]]),
+      // which is exactly as sensitive as the lists' `e`; ids/cids stay
+      // plaintext like everywhere else.
+      "ivfpq_tombstones" -> EncryptionPolicy(columnKeys = Map(
+        PrivilegeLevel.Internal -> Seq("e.list.element"))))
   }
 
   /** [[indexPolicies]] with the key-material mode applied: internal
@@ -582,16 +588,40 @@ object IvfPq {
     * it publishes (fold and conditional retrain alike), landing BEFORE
     * the version's `_SUCCESS` — the f4 twin of the f3 auto-maintain
     * bookkeeping, over the same [[AnnIndex.servingStateOf]] reader view.
+    *
+    * `tsPending` (r13 verdict item 4) folds enqueued tombstone segments
+    * ([[enqueueTombstones]]) physically, under the LSM recency-boundary
+    * rule: each entry is (name, frame(vec_id, cid, e), boundary,
+    * enqueue-time base) and masks exactly the fold positions < boundary
+    * in [base] ++ segDirs. Consumed tombstones are recorded in the
+    * manifest as `ts:<name>` lines so the reader view stops masking
+    * them (the fold made the drop physical). A tombstone whose
+    * enqueue-time base is NOT this fold's base (a retrain moved the
+    * centroid space in between — only possible for an out-of-loop
+    * enqueue racing a fold) has stale recorded cids; its victims'
+    * stored embeddings re-resolve against the current base, so the
+    * touched-list set stays exact and no victim can ghost through an
+    * untouched-list carry-over.
     */
   private[ops] def maintainWithManifest(s: SparkSession, baseDir: String,
       segDirs: Seq[String], outRoot: String, alreadyFolded: Seq[String],
-      crypto: Option[IndexCrypto] = None): AnnIndex.MaintainResult = {
+      crypto: Option[IndexCrypto] = None,
+      tsPending: Seq[(String, DataFrame, Int, String)] = Nil): AnnIndex.MaintainResult = {
     GraftFunctions.register(s)
     val name = (p: String) => new org.apache.hadoop.fs.Path(p).getName
-    val manifest = (alreadyFolded ++ segDirs.map(name)).mkString("\n")
+    val manifest = (alreadyFolded ++ segDirs.map(name) ++
+      tsPending.map("ts:" + _._1)).mkString("\n")
     def stamp(vdir: String): Unit = Afs.writeString(s"$vdir/_SEGMENTS", manifest)
+    val tss: Seq[(DataFrame, Int)] = tsPending.map { case (_, df, bnd, tsBase) =>
+      val resolved =
+        if (tsBase == baseDir) df.select(col("vec_id"), col("cid"))
+        else AnnIndex.assignCids(df.select(col("vec_id"), col("e")),
+          AnnIndex.readCentroids(s, baseDir, rOpts(crypto)))
+          .select(col("vec_id"), col("cid"))
+      (resolved, bnd)
+    }
     val folded = AnnIndex.publishVersion(outRoot) { v =>
-      AnnIndex.foldPartitionedArtifact(s, baseDir, segDirs, Nil,
+      AnnIndex.foldPartitionedArtifact(s, baseDir, segDirs, tss,
         "ivfpq_lists", ListCols, sortInPartitions = true, v,
         rOpts(crypto), wOpts(crypto, "ivfpq_lists")): Unit
       Afs.copyTree(s"$baseDir/ivf_centroids", s"$v/ivf_centroids")
@@ -630,27 +660,149 @@ object IvfPq {
     * fold, or `baseDir` if none fired — and the unfolded segments to
     * union with it).
     */
+  /** One composed-segment writer against a per-base cached routing
+    * table — the shared `writeSegment` closure of every f4 ingest loop.
+    */
+  private def segmentWriter(crypto: Option[IndexCrypto],
+      centsCache: java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]])
+      : (SparkSession, DataFrame, String, String) => Unit =
+    (ss, df, artifactBase, seg) => {
+      val cents = centsCache.computeIfAbsent(artifactBase,
+        b => AnnIndex.readCentroids(ss, b, rOpts(crypto)))
+      val cb = ss.read.options(rOpts(crypto))
+        .parquet(s"$artifactBase/pq_codebook")
+      writeLists(AnnIndex.assignCids(df, cents), cb,
+        s"$seg/ivfpq_lists", wOpts(crypto, "ivfpq_lists"))
+    }
+
   private[ops] def streamIngestWithMaintain(s: SparkSession, baseDir: String,
       src: DataFrame, root: String, nFiles: Int, every: Int,
-      crypto: Option[IndexCrypto] = None): (String, Seq[String]) = {
+      crypto: Option[IndexCrypto] = None,
+      afterBatch: (SparkSession, Long) => Unit = (_, _) => ()): (String, Seq[String]) = {
     GraftFunctions.register(s)
     val centsCache =
       new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
     AnnIndex.streamIngestCore(s, baseDir, src, root, nFiles, every,
-      writeSegment = (ss, df, artifactBase, seg) => {
-        val cents = centsCache.computeIfAbsent(artifactBase,
-          b => AnnIndex.readCentroids(ss, b, rOpts(crypto)))
-        val cb = ss.read.options(rOpts(crypto))
-          .parquet(s"$artifactBase/pq_codebook")
-        writeLists(AnnIndex.assignCids(df, cents), cb,
-          s"$seg/ivfpq_lists", wOpts(crypto, "ivfpq_lists"))
-      },
-      maintainStep = (ss, curBase, unfolded, maintRoot, already) =>
+      writeSegment = segmentWriter(crypto, centsCache),
+      // Every fold consumes ALL pending tombstones along with the
+      // unfolded segments (r13 verdict item 4): a delete enqueued
+      // mid-stream is masked by the serve path until the next
+      // threshold-fired fold makes it physical — the same
+      // write-then-fold LSM discipline as the segments themselves.
+      maintainStep = (ss, curBase, unfolded, maintRoot, already) => {
+        val foldedTs = already.filter(_.startsWith("ts:"))
+          .map(_.stripPrefix("ts:")).toSet
         maintainWithManifest(ss, curBase, unfolded, maintRoot, already,
-          crypto): Unit): Unit
+          crypto, pendingTombstones(ss, root, foldedTs, crypto)): Unit
+      },
+      afterBatch = afterBatch): Unit
     val (b, unfolded, _) =
       AnnIndex.servingStateOf(baseDir, s"$root/segments", s"$root/maint")
     (b, unfolded)
+  }
+
+  // ---- streaming deletes (r13 verdict item 4) ----------------------------
+
+  private val tsSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Enqueue a tombstone segment against a live ingest root: victims
+    * (vec_id, e, …) are recorded with their cid resolved against the
+    * CURRENT serving base (so the next fold knows its dirty lists
+    * without scanning any) plus their stored embedding (so a fold whose
+    * base moved in between — a retrain — can re-resolve instead of
+    * trusting a stale cid), and a recency BOUNDARY = 1 + the number of
+    * complete unfolded segments at enqueue time: the tombstone masks
+    * the serving base and every segment already landed, and nothing
+    * that lands after it — so a later micro-batch re-adding the same
+    * vec_id (an upsert) serves its fresh copy, the standard LSM
+    * sequencing rule. A delete is a WRITE: nothing in the index
+    * mutates, the serve path masks ([[servingView]]) until the next
+    * fold makes the drop physical ([[maintainWithManifest]]).
+    * `_COMPLETE` lands last, so a reader never sees a partial
+    * tombstone; with `crypto` the victims' embeddings are encrypted
+    * under the `ivfpq_tombstones` policy like every other derived form.
+    * Call between folds (the in-loop [[AnnIndex.streamIngestCore]]
+    * `afterBatch` hook runs on the stream thread, which serializes by
+    * construction); an out-of-loop enqueue racing a fold is still safe
+    * — worst case its base is stale and the next fold re-resolves.
+    */
+  def enqueueTombstones(s: SparkSession, baseDir: String, root: String,
+      victims: DataFrame, crypto: Option[IndexCrypto] = None): String = {
+    GraftFunctions.register(s)
+    val (curBase, unfolded, _) =
+      AnnIndex.servingStateOf(baseDir, s"$root/segments", s"$root/maint")
+    val boundary = 1 + unfolded.size
+    val tsRoot = s"$root/tsq"
+    Afs.mkdirs(tsRoot)
+    var n = tsSeq.incrementAndGet()
+    var attempts = 0
+    while (!Afs.createExclusive(s"$tsRoot/t$n._CLAIM")) {
+      n = tsSeq.incrementAndGet(); attempts += 1
+      if (attempts >= AnnIndex.ClaimAttemptCap) throw new java.io.IOException(
+        s"tombstone claim loop lost $attempts consecutive claims under $tsRoot")
+    }
+    val dir = s"$tsRoot/t$n"
+    val cents = AnnIndex.readCentroids(s, curBase, rOpts(crypto))
+    AnnIndex.assignCids(victims.select(col("vec_id"), col("e")), cents)
+      .select(col("vec_id"), col("cid"), col("e"))
+      .coalesce(1).write.mode("overwrite")
+      .options(wOpts(crypto, "ivfpq_tombstones"))
+      .parquet(s"$dir/tombstones")
+    Afs.writeString(s"$dir/_BOUNDARY", boundary.toString)
+    Afs.writeString(s"$dir/_BASE", curBase)
+    Afs.touch(s"$dir/_COMPLETE")
+    dir
+  }
+
+  /** Complete tombstone segments under `root/tsq` not yet consumed by a
+    * fold (the fold records consumed ones as `ts:` manifest lines), in
+    * enqueue order: (name, frame, boundary, enqueue-time base).
+    */
+  private def pendingTombstones(s: SparkSession, root: String,
+      foldedTs: Set[String], crypto: Option[IndexCrypto])
+      : Seq[(String, DataFrame, Int, String)] = {
+    val tsRoot = s"$root/tsq"
+    Afs.listStatus(tsRoot)
+      .filter(st => st.isDirectory && Afs.exists(s"${st.getPath}/_COMPLETE"))
+      .sortBy(_.getPath.getName.stripPrefix("t").toLong)
+      .map(_.getPath.toString)
+      .filterNot(p => foldedTs.contains(new org.apache.hadoop.fs.Path(p).getName))
+      .map { p =>
+        (new org.apache.hadoop.fs.Path(p).getName,
+          s.read.options(rOpts(crypto)).parquet(s"$p/tombstones"),
+          Afs.readString(s"$p/_BOUNDARY").trim.toInt,
+          Afs.readString(s"$p/_BASE").trim)
+      }
+  }
+
+  /** The full reader view of an ingest root: (serving base — latest
+    * fold or the build base; unfolded complete segments; pending
+    * tombstone masks at their recency boundaries). Consistent under any
+    * ingest/fold/enqueue interleaving for the same reason
+    * [[AnnIndex.servingStateOf]] is — the fold is immutable once
+    * resolved, its manifest names both the segments and the tombstones
+    * it consumed, and newer segments/tombstones only ever ADD.
+    */
+  private[graft] def servingView(s: SparkSession, baseDir: String, root: String,
+      crypto: Option[IndexCrypto] = None)
+      : (String, Seq[String], Seq[(DataFrame, Int)]) = {
+    val (b, unfolded, already) =
+      AnnIndex.servingStateOf(baseDir, s"$root/segments", s"$root/maint")
+    val foldedTs = already.filter(_.startsWith("ts:"))
+      .map(_.stripPrefix("ts:")).toSet
+    val pend = pendingTombstones(s, root, foldedTs, crypto)
+      .map { case (_, df, bnd, _) => (df.select(col("vec_id")), bnd) }
+    (b, unfolded, pend)
+  }
+
+  /** Serve the live view of an ingest root — fold/base ∪ unfolded
+    * segments, pending deletes masked: the read path a stream-ingested,
+    * delete-accepting index answers probes from between folds.
+    */
+  def probeServing(s: SparkSession, baseDir: String, root: String,
+      probeDf: DataFrame, crypto: Option[IndexCrypto] = None): DataFrame = {
+    val (b, unfolded, tss) = servingView(s, baseDir, root, crypto)
+    probeSegments(s, b +: unfolded, probeDf, tss, readOpts = rOpts(crypto))
   }
 
   // ---- format migration ------------------------------------------------
@@ -746,6 +898,30 @@ object IvfPq {
     * [[graft.io.EncryptedParquet.rotateByRewrite]] discipline; the
     * EncryptedAnnSpec pins fresh KMS wrap traffic across a rotation).
     */
+  /** Order-independent content fingerprint of an artifact: row count
+    * plus the sum of per-row xxhash64 over EVERY column (sorted by
+    * name). count() alone is served from footer/row-group metadata —
+    * per BASELINE.md's own KMS-call measurement, a read touching no
+    * encrypted column unwraps only the footer KEK — so a count-based
+    * verify never exercises freshly-minted column KEKs/DEKs and a
+    * column-key-broken rewrite would pass it (ADVICE r13). The hash
+    * forces every column, encrypted ones included, through the decrypt
+    * path; summing makes it insensitive to row order, which the
+    * rewrite's repartition does not preserve. The sum runs in
+    * decimal(38,0) — a long sum of 2⁶³-range hashes overflows (and
+    * under ANSI mode, Spark 4's default, that ABORTS the verify rather
+    * than wrapping).
+    */
+  private[graft] def contentFingerprint(s: SparkSession, path: String,
+      readOpts: Map[String, String]): (Long, String) = {
+    val df = s.read.options(readOpts).parquet(path)
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      sum(xxhash64(df.columns.sorted.map(col): _*)
+        .cast("decimal(38,0)")).as("h")).head()
+    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+  }
+
   def rotateIndexKeys(s: SparkSession, root: String, kmsUrl: String,
       token: Option[String], plaintextSource: Boolean = false): String = {
     import org.apache.parquet.crypto.keytools.KeyToolkit
@@ -776,20 +952,36 @@ object IvfPq {
       }
       writeListRows(s.read.options(srcOpts).parquet(s"$cur/ivfpq_lists"),
         s"$vdir/ivfpq_lists", wc("ivfpq_lists"))
+      // A stream-ingested index's fold versions carry a _SEGMENTS
+      // manifest naming the segments they contain; servingStateOf reads
+      // it FAIL-LOUD. A rotation that republished such a version without
+      // the manifest would break every reader and the ingest loop's own
+      // maintain step the moment retirement grace deleted the old fold
+      // (ADVICE r13) — so the manifest rides into the rotated version
+      // verbatim (it carries only segment NAMES, no data). Unfolded
+      // delta segments live under sibling roots and are NOT rotated
+      // here: they retain their original keys until the next fold
+      // re-encrypts them under the fold's fresh write conf — rotate
+      // their roots separately if the interval matters.
+      if (Afs.exists(s"$cur/_SEGMENTS"))
+        Afs.copyFile(s"$cur/_SEGMENTS", s"$vdir/_SEGMENTS")
       // Verify ALL THREE artifacts before the flip, through FRESH
       // unwraps (the read-side KEK cache would otherwise satisfy this
       // from pre-rotation entries): every rewrite must decrypt and hold
-      // every row — a key-broken routing table that flipped CURRENT
-      // would down the index at the first probe (review r13).
+      // every row AND every column — the content fingerprint forces the
+      // freshly-minted column KEKs/DEKs through real unwraps, where a
+      // bare count() is metadata-served and would flip CURRENT over a
+      // column-key-broken rewrite (ADVICE r13), downing the index at
+      // the first probe.
       KeyToolkit.removeCacheEntriesForAllTokens()
       val vOpts = graft.crypto.EncryptionPolicy.readConfMap(kmsUrl, token)
       Seq("ivf_centroids", "pq_codebook", "ivfpq_lists").foreach { a =>
-        val nNew = s.read.options(vOpts).parquet(s"$vdir/$a").count()
-        val nOld = s.read.options(srcOpts).parquet(s"$cur/$a").count()
-        require(nNew == nOld,
-          s"rotated $a at $vdir holds $nNew rows, source $cur holds " +
-            s"$nOld — refusing to flip CURRENT (incomplete version is " +
-            "unreferenced and will be GC'd)")
+        val (nNew, hNew) = contentFingerprint(s, s"$vdir/$a", vOpts)
+        val (nOld, hOld) = contentFingerprint(s, s"$cur/$a", srcOpts)
+        require(nNew == nOld && hNew == hOld,
+          s"rotated $a at $vdir holds ($nNew rows, hash $hNew), source " +
+            s"$cur holds ($nOld, $hOld) — refusing to flip CURRENT " +
+            "(incomplete version is unreferenced and will be GC'd)")
       }
     }
   }
@@ -816,7 +1008,20 @@ object IvfPq {
     *
     * The lists artifact is cid-partitioned, and `rotateMasterKeys`
     * works on one flat directory of sidecars — so each `cid=` partition
-    * dir rotates as its own folder (O(k) calls, each metadata-only).
+    * dir rotates as its own folder. Those O(k) rotations are
+    * DISTRIBUTED over the executors (r13 verdict item 3: a serial
+    * driver loop at the documented k=√n≈32k posture is tens of
+    * thousands of sequential KMS+FS round-trips — hours, on the one
+    * path sold as "stays seconds at 100 TB"): each task rebuilds the
+    * driver's Hadoop conf (so s3a credentials / custom FS impls ride
+    * along) plus the crypto reader props, and rotates its slice of
+    * partition dirs independently — per-dir rotations touch disjoint
+    * sidecar files and parquet-mr's KEK caches are concurrent, so the
+    * only coordination needed is the JVM-wide cache flush at the
+    * boundaries (kept; in local mode tasks share this JVM, on a
+    * cluster each executor simply starts cold). Rotation wall becomes
+    * O(k / cores) — pinned at k ≥ 1024 by EncryptedAnnSpec's
+    * wide-partition case.
     */
   def rotateIndexKeysInPlace(s: SparkSession, root: String, kmsUrl: String,
       token: Option[String]): String = {
@@ -831,15 +1036,305 @@ object IvfPq {
     val listDirs = Afs.listStatus(s"$cur/ivfpq_lists")
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
       .map(_.getPath.toString)
-    (Seq(s"$cur/ivf_centroids", s"$cur/pq_codebook") ++ listDirs)
-      .foreach(d => KeyToolkit.rotateMasterKeys(d, conf))
+    val dirs = Seq(s"$cur/ivf_centroids", s"$cur/pq_codebook") ++ listDirs
+    val confSer = org.apache.spark.graft.HadoopConfSer.wrap(conf)
+    val slices = math.max(1,
+      math.min(dirs.size, s.sparkContext.defaultParallelism))
+    s.sparkContext.parallelize(dirs, slices).foreachPartition { it =>
+      val taskConf = org.apache.spark.graft.HadoopConfSer.unwrap(confSer)
+      it.foreach(d => org.apache.parquet.crypto.keytools.KeyToolkit
+        .rotateMasterKeys(d, taskConf))
+    }
     // Readers from this JVM must unwrap the fresh KEKs, not replay a
     // warm pre-rotation cache entry.
     KeyToolkit.removeCacheEntriesForAllTokens()
     cur
   }
 
+  // ---- dataset-keyed lifecycle fixtures (the registered queries) --------
+  //
+  // r13 verdict item 2: the registry's ANN serve AND lifecycle lines all
+  // price the composed f4 format now — f3 survives only as q110 (the
+  // build that is the migration source) and the quarantined spec-pinned
+  // reference implementations in AnnIndex. Fixture discipline is f3's
+  // verbatim: one-time bases adopt, the priced operation republishes per
+  // invocation.
+
+  private def fixture(s: SparkSession, d: String, suffix: String)(
+      make: String => String): String = {
+    val key = Tables.datasetTag(d) + "/" + suffix
+    built.computeIfAbsent(key, _ => {
+      val root = AnnIndex.shmDir(key)
+      AnnIndex.resolveVersion(root).getOrElse(make(root))
+    })
+  }
+
+  /** f4 base index over the 90% slice — a one-time dataset-keyed
+    * fixture: the append/compact/stream lines price their OPERATION,
+    * never a rebuild.
+    */
+  private def ensureAppendBase(s: SparkSession, d: String): String = {
+    GraftFunctions.register(s)
+    fixture(s, d, "ivfpq_append_base")(root =>
+      AnnIndex.publishVersion(root)(
+        writeComposed(s, AnnIndex.baseSlice(AnnIndex.corpus(s, d)), _)))
+  }
+
+  /** (base, FRESH delta): the 10% batch appended as a composed delta
+    * segment against the frozen base — republished per call, so q113
+    * prices the append every run.
+    */
+  def appendDelta(s: SparkSession, d: String): (String, String) = {
+    val baseDir = ensureAppendBase(s, d)
+    val batch = AnnIndex.batchSlice(AnnIndex.corpus(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaDir =
+      try appendSegment(s, baseDir, batch.toDF(),
+        AnnIndex.shmDir(Tables.datasetTag(d) + "/ivfpq_append_delta"))
+      finally { batch.unpersist(): Unit }
+    (baseDir, deltaDir)
+  }
+
+  /** (base, delta) with the delta ADOPTED when one exists — the serve
+    * lines' steady state (q112 must price the segment-union SERVE, not
+    * an append).
+    */
+  private def ensureAppendState(s: SparkSession, d: String): (String, String) = {
+    val baseDir = ensureAppendBase(s, d)
+    val deltaRoot = AnnIndex.shmDir(Tables.datasetTag(d) + "/ivfpq_append_delta")
+    (baseDir, AnnIndex.resolveVersion(deltaRoot).getOrElse(appendDelta(s, d)._2))
+  }
+
+  /** The f3→f4 migration output for this dataset's f3 index (q110's
+    * artifact) — a one-time dataset-keyed fixture (the trainers are
+    * deterministic, so a q110 forced rebuild reproduces the same f3
+    * artifacts and the adopted migration stays exact).
+    */
+  private def ensureMigrated(s: SparkSession, d: String): String = {
+    GraftFunctions.register(s)
+    fixture(s, d, "ivfpq_migrated")(root =>
+      migrateFromF3(s, AnnIndex.build(s, d), root))
+  }
+
+  /** Fold base + the (fresh) delta into one physical composed index —
+    * q127's priced operation.
+    */
+  def compact(s: SparkSession, d: String): String = {
+    val (baseDir, deltaDir) = appendDelta(s, d)
+    compactSegments(s, baseDir, Seq(deltaDir), Nil,
+      AnnIndex.shmDir(Tables.datasetTag(d) + "/ivfpq_append_compacted"))
+  }
+
+  /** Tombstone the deterministic 10% delete slice (victims split across
+    * base AND delta — [[AnnIndex.deleteSlice]]) and fold the drop
+    * physical — q129's priced operation.
+    */
+  def compactWithDeletes(s: SparkSession, d: String): String = {
+    val (baseDir, deltaDir) = appendDelta(s, d)
+    val tsDir = AnnIndex.tombstonesFor(s, baseDir,
+      AnnIndex.deleteSlice(AnnIndex.corpus(s, d)),
+      AnnIndex.shmDir(Tables.datasetTag(d) + "/ivfpq_tombstones"))
+    compactSegments(s, baseDir, Seq(deltaDir),
+      Seq(s.read.parquet(s"$tsDir/tombstones") -> Int.MaxValue),
+      AnnIndex.shmDir(Tables.datasetTag(d) + "/ivfpq_delete_compacted"))
+  }
+
+  /** Stream the 10% slice into composed delta segments against the
+    * frozen f4 base (no auto-maintain — q128 prices the INGEST, the
+    * fold has its own line) — f3's `streamIngestInto` on the f4
+    * artifact, through the same shared core.
+    */
+  private[ops] def streamIngestInto(s: SparkSession, d: String,
+      root: String): (String, Seq[String]) = {
+    GraftFunctions.register(s)
+    val baseDir = ensureAppendBase(s, d)
+    val centsCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+    val segs = AnnIndex.streamIngestCore(s, baseDir,
+      AnnIndex.batchSlice(AnnIndex.corpus(s, d)), root,
+      AnnIndex.StreamFiles, 0,
+      writeSegment = segmentWriter(None, centsCache),
+      maintainStep = (_, _, _, _, _) => ())
+    (baseDir, segs)
+  }
+
   // ---- registered queries ----------------------------------------------
+
+  private def census(s: SparkSession, rows: Seq[(String, Long)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("artifact", "n_rows").orderBy("artifact")
+  }
+
+  /** Absent artifact (empty segment) counts 0; any other failure
+    * propagates rather than surfacing as a count mismatch.
+    */
+  private def countOr0(s: SparkSession, p: String): Long =
+    try s.read.parquet(p).count()
+    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+
+  /** The composed conservation law, SQL-expressible: every corpus
+    * vector exactly once in the lists, trained tables at their
+    * configured sizes.
+    */
+  private val ConservationSql: String =
+    s"""SELECT 'ivf_centroids' AS artifact, CAST($K AS BIGINT) AS n_rows
+       |UNION ALL SELECT 'ivfpq_lists', count(*) FROM embeddings
+       |UNION ALL SELECT 'pq_codebook', CAST(${Mpq * Kpq} AS BIGINT)
+       |ORDER BY artifact""".stripMargin
+
+  /** Q111 — serve from the MIGRATED index: q110's f3 artifact converted
+    * one-pass by [[migrateFromF3]] (a one-time fixture), then the
+    * composed route→ADC→refine serve. The line proves the migration
+    * path's output is a first-class serving citizen — an operator
+    * upgrading an f3 fleet pays this serve plan afterwards.
+    * Approximate → rows-only driver check; IvfPqMigrateSpec pins the
+    * migrated artifact exactly equal to a fresh f4 build, IvfPqSpec
+    * pins the serve's recall floor and plan shape.
+    */
+  val q111: Q = Q("q111_ann_ivf_probe",
+    (s, d) => probeSegments(s, Seq(ensureMigrated(s, d)),
+      AnnIndex.defaultProbes(s, d)),
+    None)
+
+  /** Q112 — composed serve over the LIVE LSM state (base ∪ appended
+    * delta segment): the maskedUnion read path a serving index answers
+    * from between folds, priced at steady state (base and delta are
+    * fixtures). Approximate → rows-only; IvfPqSpec pins multi-segment
+    * serve equality and the per-segment cid pruning.
+    */
+  val q112: Q = Q("q112_ann_pq_probe",
+    (s, d) => {
+      val (b, delta) = ensureAppendState(s, d)
+      probeSegments(s, Seq(b, delta), AnnIndex.defaultProbes(s, d))
+    },
+    None)
+
+  /** Q113 — incremental composed append: the 10% batch assigned AND
+    * encoded against the frozen base's trained tables into one delta
+    * segment (no Lloyd, no training — [[appendSegment]]). Census
+    * oracled on conservation: base + delta cover the corpus exactly.
+    */
+  val q113: Q = Q(
+    "q113_ann_index_append",
+    (s, d) => {
+      val (baseDir, deltaDir) = appendDelta(s, d)
+      census(s, Seq(
+        ("ivf_centroids", countOr0(s, s"$baseDir/ivf_centroids")),
+        ("ivfpq_lists", countOr0(s, s"$baseDir/ivfpq_lists") +
+          countOr0(s, s"$deltaDir/ivfpq_lists")),
+        ("pq_codebook", countOr0(s, s"$baseDir/pq_codebook"))))
+    },
+    Some(ConservationSql))
+
+  /** Q127 — delta compaction on the composed artifact: touched lists
+    * merge through ONE exchange, untouched lists carry over file-level,
+    * nothing retrains ([[compactSegments]]). Conservation-oracled.
+    */
+  val q127: Q = Q(
+    "q127_ann_index_compact",
+    (s, d) => {
+      val dir = compact(s, d)
+      census(s, Seq("ivf_centroids", "ivfpq_lists", "pq_codebook")
+        .map(a => (a, s.read.parquet(s"$dir/$a").count())))
+    },
+    Some(ConservationSql))
+
+  /** Q128 — continuous composed ingest: the 10% slice streamed through
+    * the checkpointed micro-batch loop, each batch one composed delta
+    * segment against the frozen base ([[streamIngestInto]] — fresh run
+    * root per invocation, deleted after the census). Conservation-
+    * oracled across base + all streamed segments.
+    */
+  val q128: Q = Q(
+    "q128_ann_stream_ingest",
+    (s, d) => {
+      val base = AnnIndex.shmDir(Tables.datasetTag(d) + "/ivfpq_stream_runs")
+      Afs.mkdirs(base)
+      var n = streamRunSeq.incrementAndGet()
+      var attempts = 0
+      while (!Afs.createExclusive(s"$base/run-$n._CLAIM")) {
+        n = streamRunSeq.incrementAndGet(); attempts += 1
+        if (attempts >= AnnIndex.ClaimAttemptCap) throw new java.io.IOException(
+          s"stream-run claim loop lost $attempts consecutive claims under $base")
+      }
+      val root = s"$base/run-$n"
+      val rows = try {
+        val (baseDir, segs) = streamIngestInto(s, d, root)
+        Seq(
+          ("ivf_centroids", countOr0(s, s"$baseDir/ivf_centroids")),
+          ("ivfpq_lists", countOr0(s, s"$baseDir/ivfpq_lists") +
+            segs.map(g => countOr0(s, s"$g/ivfpq_lists")).sum),
+          ("pq_codebook", countOr0(s, s"$baseDir/pq_codebook")))
+      } finally { Afs.delete(root); Afs.delete(s"$root._CLAIM") }
+      census(s, rows)
+    },
+    Some(ConservationSql))
+
+  private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Q129 — tombstone deletes + delete-aware compaction on the composed
+    * artifact ([[compactWithDeletes]]): a delete is a write (tombstone
+    * records victim cids), the fold makes it physical with
+    * delta-bounded work. EXACT oracle: every survivor, no victim.
+    */
+  val q129: Q = Q(
+    "q129_ann_index_delete",
+    (s, d) => {
+      val dir = compactWithDeletes(s, d)
+      census(s, Seq("ivf_centroids", "ivfpq_lists", "pq_codebook")
+        .map(a => (a, s.read.parquet(s"$dir/$a").count())))
+    },
+    Some(s"""SELECT 'ivf_centroids' AS artifact, CAST($K AS BIGINT) AS n_rows
+            |UNION ALL SELECT 'ivfpq_lists', count(*)
+            |  FROM embeddings WHERE vec_id % 20 NOT IN (3, 10)
+            |UNION ALL SELECT 'pq_codebook', CAST(${Mpq * Kpq} AS BIGINT)
+            |ORDER BY artifact""".stripMargin))
+
+  /** Q130 — metadata-filtered composed serve: `label = 7` evaluates
+    * INSIDE the pruned codes scan (pre-filtering; nprobe widens per the
+    * IVF compensation rule — [[probeFiltered]]). Approximate →
+    * rows-only; IvfPqSpec pins predicate purity, the full k surface,
+    * the recall floor vs label-restricted exact truth, and the pushdown.
+    */
+  val q130: Q = Q(
+    "q130_ann_filtered_probe",
+    (s, d) => probeFiltered(s, d, col("label") === 7),
+    None)
+
+  /** Q131 — the DISTRIBUTED filtered composed serve: a corpus-sized
+    * probe frame served end-to-end as one lazy plan with the `label =
+    * 7` pre-filter riding every segment's codes scan
+    * ([[probeDistributed]] with attrFilter — the serve-matrix cell the
+    * registry didn't price before). Approximate → rows-only; IvfPqSpec
+    * pins distributed ≡ collected on filtered frames.
+    */
+  val q131: Q = Q(
+    "q131_ann_pq_filtered_probe",
+    (s, d) => {
+      val probes = AnnIndex.corpus(s, d)
+        .select((col("vec_id") + lit(10000000L)).as("pid"), col("e").as("pe"))
+      probeDistributed(s, d, probes, Some(col("label") === 7))
+    },
+    None)
+
+  /** Q132 — the fully-distributed composed serve at reindex scale: 5
+    * re-keyed corpus copies (larger than [[AnnIndex.MaxProbes]]) served
+    * through [[probeDistributed]] as one lazy plan, probes never
+    * materialized on the driver. Approximate → rows-only; IvfPqSpec
+    * pins result equality with the collected path and the
+    * no-LocalTableScan plan.
+    */
+  val q132: Q = Q(
+    "q132_ann_distributed_probe",
+    (s, d) => {
+      val reps = 5
+      val probes = AnnIndex.corpus(s, d)
+        .crossJoin(broadcast(s.range(reps).toDF("r")))
+        .select(((col("r") + 1) * lit(10000000L) + col("vec_id")).as("pid"),
+          col("e").as("pe"))
+      probeDistributed(s, d, probes)
+    },
+    None)
 
   /** Q133 — composed-index build, FORCED (the bench line prices the
     * build every run; the probe query adopts the result). Census-oracled
@@ -850,16 +1345,10 @@ object IvfPq {
     "q133_ann_ivfpq_build",
     (s, d) => {
       val dir = build(s, d, force = true)
-      import s.implicits._
-      Seq("ivf_centroids", "ivfpq_lists", "pq_codebook")
-        .map(a => (a, s.read.parquet(s"$dir/$a").count()))
-        .toDF("artifact", "n_rows")
-        .orderBy("artifact")
+      census(s, Seq("ivf_centroids", "ivfpq_lists", "pq_codebook")
+        .map(a => (a, s.read.parquet(s"$dir/$a").count())))
     },
-    Some(s"""SELECT 'ivf_centroids' AS artifact, CAST($K AS BIGINT) AS n_rows
-            |UNION ALL SELECT 'ivfpq_lists', count(*) FROM embeddings
-            |UNION ALL SELECT 'pq_codebook', CAST(${Mpq * Kpq} AS BIGINT)
-            |ORDER BY artifact""".stripMargin))
+    Some(ConservationSql))
 
   /** Q134 — composed serve: route nprobe lists, ADC within them only,
     * exact refine on the pool (see [[probeSegments]]). Approximate →
@@ -869,5 +1358,6 @@ object IvfPq {
     */
   val q134: Q = Q("q134_ann_ivfpq_probe", (s, d) => probe(s, d), None)
 
-  val queries: Seq[Q] = Seq(q133, q134)
+  val queries: Seq[Q] = Seq(q111, q112, q113, q127, q128, q129, q130,
+    q131, q132, q133, q134)
 }

@@ -162,9 +162,16 @@ object CryptoMeasure {
     * regardless of data volume, while the rewrite scales with the data.
     * One-shot timings (no warmup): rotation is an operational action, so
     * the cold cost is the honest cell.
+    *
+    * The rewrite number INCLUDES its pre-flip decrypt-verify (two full
+    * fingerprint scans of the new and source versions) and predecessor
+    * retirement — work the in-place path doesn't do (r13 ADVICE) — so
+    * the verify portion is ALSO measured standalone (the same
+    * fingerprint reads, re-run after the rotation) and reported as its
+    * own cell, letting the asymmetry be compared like-for-like.
     */
   private def rotationSeconds(spark: SparkSession, sfDir: String,
-      kmsUrl: String): (Double, Double) = {
+      kmsUrl: String): (Double, Double, Double) = {
     import graft.ops.{AnnIndex, IvfPq}
     val root = tmpDir("graft-ann-rotate-")
     try {
@@ -174,11 +181,19 @@ object CryptoMeasure {
       def time(run: () => Unit): Double = {
         val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
       }
-      val inPlace = time(() => IvfPq.rotateIndexKeysInPlace(
-        spark, s"$root/idx", kmsUrl, Some("INTERNAL")): Unit)
-      val rewrite = time(() => IvfPq.rotateIndexKeys(
-        spark, s"$root/idx", kmsUrl, Some("INTERNAL")): Unit)
-      (inPlace, rewrite)
+      var srcDir = ""
+      val inPlace = time(() => srcDir = IvfPq.rotateIndexKeysInPlace(
+        spark, s"$root/idx", kmsUrl, Some("INTERNAL")))
+      var newDir = ""
+      val rewrite = time(() => newDir = IvfPq.rotateIndexKeys(
+        spark, s"$root/idx", kmsUrl, Some("INTERNAL")))
+      val readOpts = EncryptionPolicy.readConfMap(kmsUrl, Some("INTERNAL"))
+      val verify = time(() =>
+        Seq("ivf_centroids", "pq_codebook", "ivfpq_lists").foreach { a =>
+          IvfPq.contentFingerprint(spark, s"$newDir/$a", readOpts): Unit
+          IvfPq.contentFingerprint(spark, s"$srcDir/$a", readOpts): Unit
+        })
+      (inPlace, rewrite, verify)
     } finally rm(root)
   }
 
@@ -199,7 +214,8 @@ object CryptoMeasure {
         kms.url, zstdLevel = 3)
       val (gcmSec, ctrSec) = cipherReadSeconds(spark, sfDir, lineitemPolicy, kms.url)
       val (annPlainSec, annGcmSec) = annServeSeconds(spark, sfDir, kms.url)
-      val (rotInPlaceSec, rotRewriteSec) = rotationSeconds(spark, sfDir, kms.url)
+      val (rotInPlaceSec, rotRewriteSec, rotVerifySec) =
+        rotationSeconds(spark, sfDir, kms.url)
 
       // --- KMS call counts per job (fresh server => clean counters) ---
       // KeyToolkit's KEK caches are JVM-STATIC (shared across sessions and
@@ -235,7 +251,10 @@ object CryptoMeasure {
           s""""ann_gcm_vs_plain":${fmt(annGcmSec / annPlainSec)},""" +
           s""""rotate_inplace_sec":${fmt(rotInPlaceSec)},""" +
           s""""rotate_rewrite_sec":${fmt(rotRewriteSec)},""" +
+          s""""rotate_rewrite_verify_sec":${fmt(rotVerifySec)},""" +
           s""""rewrite_vs_inplace":${fmt(rotRewriteSec / rotInPlaceSec)},""" +
+          s""""rewrite_vs_inplace_ex_verify":${
+            fmt(math.max(rotRewriteSec - rotVerifySec, 0.0) / rotInPlaceSec)},""" +
           s""""write_wrap_calls":${w1 - w0},""" +
           s""""read_unwrap_calls_restricted":${u1 - u0},""" +
           s""""read_unwrap_calls_tokenless_plaintext_col":${u2 - u1},""" +

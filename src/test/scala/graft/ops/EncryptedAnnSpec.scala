@@ -238,6 +238,136 @@ class EncryptedAnnSpec extends SparkTestBase {
       "rotation composition changed serve results")
   }
 
+  test("in-place rotation distributes over executors at wide k (1024+ partition dirs)") {
+    val kms = TestKmsServer.shared
+    val root = freshRoot("graft-ann-rotate-wide")
+    import graft.io.Afs
+    import spark.implicits._
+    // A synthetic composed artifact with 1024 inverted lists — the
+    // k=sqrt(n) posture the distributed rotation exists for (a serial
+    // driver loop here is 1026 sequential KMS+FS round-trips; r13
+    // verdict item 3). Every artifact is written external-material so
+    // each dir carries _KEY_MATERIAL_FOR_* sidecars.
+    val k = 1024
+    val policies = IvfPq.indexPoliciesFor(externalMaterial = true)
+    def wOpts(a: String) = graft.crypto.EncryptionPolicy.writeConfMap(
+      policies(a), kms.url, accessToken = None)
+    val vdir = s"$root/enc/v000001"
+    Seq(1, 2).map(i => (i, Seq(0.1 * i, 0.2 * i))).toDF("cid", "ce")
+      .coalesce(1).write.options(wOpts("ivf_centroids"))
+      .parquet(s"$vdir/ivf_centroids")
+    Seq((0, 0, Seq(0.5, 0.5), 0.5)).toDF("m", "code", "ce", "c2")
+      .coalesce(1).write.options(wOpts("pq_codebook"))
+      .parquet(s"$vdir/pq_codebook")
+    (0 until k).map(i =>
+        (i, i.toLong, i % 10, Seq(i % 64, (i + 1) % 64), 1.0, Seq(0.01 * i, 0.02 * i)))
+      .toDF("cid", "vec_id", "label", "codes", "qnorm", "e")
+      .repartition(col("cid"))
+      .write.partitionBy("cid").options(wOpts("ivfpq_lists"))
+      .parquet(s"$vdir/ivfpq_lists")
+    Afs.touch(s"$vdir/_SUCCESS")
+    Afs.writeString(s"$root/enc/CURRENT", "v000001")
+
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    def crc(f: java.io.File): Long = {
+      val c = new java.util.zip.CRC32()
+      c.update(java.nio.file.Files.readAllBytes(f.toPath)); c.getValue
+    }
+    def snap(pred: String => Boolean): Map[String, Long] =
+      walk(new java.io.File(vdir)).filter(f => pred(f.getName))
+        .map(f => f.getPath -> crc(f)).toMap
+    val dataBefore = snap(_.endsWith(".parquet"))
+    val sidecarsBefore = snap(_.startsWith("_KEY_MATERIAL_FOR_"))
+    assert(sidecarsBefore.size >= k,
+      s"expected >= $k sidecars, found ${sidecarsBefore.size}")
+
+    val out = IvfPq.rotateIndexKeysInPlace(spark, s"$root/enc", kms.url,
+      Some("INTERNAL"))
+    assert(out == vdir)
+    // Every sidecar rotated, every data file untouched, artifact still
+    // readable under the token — i.e. the distributed tasks rotated
+    // disjoint slices without losing or corrupting any dir.
+    val sidecarsAfter = snap(_.startsWith("_KEY_MATERIAL_FOR_"))
+    assert(sidecarsAfter.keySet == sidecarsBefore.keySet)
+    assert(sidecarsBefore.forall { case (p, c) => sidecarsAfter(p) != c },
+      "a partition dir's key material was left unrotated")
+    assert(snap(_.endsWith(".parquet")) == dataBefore,
+      "distributed in-place rotation must be metadata-only")
+    val n = spark.read
+      .options(graft.crypto.EncryptionPolicy.readConfMap(kms.url, Some("INTERNAL")))
+      .parquet(s"$vdir/ivfpq_lists")
+      .select("vec_id", "codes", "e").count()
+    assert(n == k)
+  }
+
+  test("rewrite rotation carries the _SEGMENTS manifest so stream-ingested readers survive") {
+    val kms = TestKmsServer.shared
+    val root = freshRoot("graft-ann-rotate-manifest")
+    val crypto = Some(IvfPq.IndexCrypto(kms.url, Some("INTERNAL")))
+    import spark.implicits._
+    def frame(ids: Seq[Long]) = ids
+      .map(i => (i, (0 until 64).map(j => math.sin(i * 11 + j * 5)), (i % 10).toInt))
+      .toDF("vec_id", "e", "label")
+    val base = IvfPq.buildFromEncrypted(spark, frame(0L until 150L),
+      s"$root/base", kms.url)
+    // Segment laid out as the ingest loop writes them: a bN dir holding
+    // the artifact directly, marked _COMPLETE (appendSegment publishes a
+    // versioned root, so its output is renamed into the loop's shape).
+    val segRoot = s"$root/segments"
+    val segV = IvfPq.appendSegment(spark, base, frame(150L until 170L),
+      s"$root/segtmp", crypto)
+    graft.io.Afs.mkdirs(segRoot)
+    assert(graft.io.Afs.rename(segV, s"$segRoot/b0"))
+    val seg = s"$segRoot/b0"
+    graft.io.Afs.touch(s"$seg/_COMPLETE")
+    // A fold with a manifest — the serving root of an auto-maintained
+    // stream-ingest loop (this is the only root such an index serves
+    // from, so rotating it must preserve the reader view).
+    val folded = IvfPq.maintainWithManifest(spark, base, Seq(seg),
+      s"$root/maint", alreadyFolded = Nil, crypto).dir
+    val manifest = graft.io.Afs.readString(s"$folded/_SEGMENTS")
+    assert(manifest.nonEmpty)
+    val rotated = IvfPq.rotateIndexKeys(spark, s"$root/maint", kms.url,
+      Some("INTERNAL"))
+    assert(rotated != folded)
+    // The manifest rode into the rotated version verbatim, so
+    // servingStateOf keeps resolving (fail-loud read) and still excludes
+    // the folded segment from the union set.
+    assert(graft.io.Afs.readString(s"$rotated/_SEGMENTS") == manifest,
+      "rotation dropped or altered the _SEGMENTS manifest")
+    val (servedBase, unfolded, already) =
+      AnnIndex.servingStateOf(base, segRoot, s"$root/maint")
+    assert(servedBase == rotated)
+    assert(unfolded.isEmpty, s"folded segment resurfaced as unfolded: $unfolded")
+    assert(already.nonEmpty)
+  }
+
+  test("the rotation verify fingerprint materializes every column, not just row counts") {
+    val root = freshRoot("graft-ann-fingerprint")
+    import spark.implicits._
+    // Same row count, one value changed inside a nested array column:
+    // count() cannot tell them apart (it is served from metadata and
+    // unwraps no column keys — the r13 ADVICE hole); the fingerprint
+    // must.
+    Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.0))).toDF("vec_id", "e")
+      .coalesce(1).write.parquet(s"$root/a")
+    Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0, 4.5))).toDF("vec_id", "e")
+      .coalesce(1).write.parquet(s"$root/b")
+    val (na, ha) = IvfPq.contentFingerprint(spark, s"$root/a", Map.empty)
+    val (nb, hb) = IvfPq.contentFingerprint(spark, s"$root/b", Map.empty)
+    assert(na == nb)
+    assert(ha != hb, "fingerprint blind to a column-value change")
+    // Column order must not matter (the rewrite re-selects canonically,
+    // but the fingerprint sorts names so the check is layout-proof).
+    Seq((Seq(1.0, 2.0), 1L), (Seq(3.0, 4.0), 2L)).toDF("e", "vec_id")
+      .coalesce(1).write.parquet(s"$root/a2")
+    val (_, ha2) = IvfPq.contentFingerprint(spark, s"$root/a2", Map.empty)
+    assert(ha2 == ha, "fingerprint sensitive to column order")
+  }
+
   test("a plaintext index upgrades to encrypted-at-rest through the same rotation path") {
     val kms = TestKmsServer.shared
     val root = freshRoot("graft-ann-encrypt-upgrade")

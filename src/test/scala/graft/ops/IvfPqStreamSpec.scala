@@ -93,6 +93,85 @@ class IvfPqStreamSpec extends SparkTestBase {
     assert(manifest.length == 4, s"manifest: ${manifest.mkString(",")}")
   }
 
+  test("deletes compose into the streaming ingest loop: masked before the fold, physical after, newer copies survive") {
+    import spark.implicits._
+    val root = freshRoot("graft-ivfpq-stream-del")
+    val ingestRoot = s"$root/ingest"
+    val baseIds = 0L until 64L
+    val ingestIds = 1000L until 1024L
+    val baseDir = IvfPq.buildFrom(spark, frame(baseIds), s"$root/base")
+
+    val baseVictim = 7L
+    @volatile var landedVictim = -1L   // an ingest id already landed when the delete fires
+    @volatile var futureVictim = -1L   // an ingest id NOT yet landed — its copy is NEWER than the tombstone
+    val hookErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val afterBatch = (ss: org.apache.spark.sql.SparkSession, id: Long) =>
+      try {
+        if (id == 1L) {
+          // b0 and b1 are committed; enqueue a delete for one base id,
+          // one landed ingest id, and one id that will only arrive in a
+          // LATER batch (the tombstone must not mask that newer copy —
+          // the LSM freshness rule).
+          // Segments are separate partitioned roots — load each and
+          // union (Spark rejects conflicting partition roots in one
+          // load, the maskedUnion rule).
+          val landed = Seq("b0", "b1")
+            .map(b => ss.read.parquet(s"$ingestRoot/segments/$b/ivfpq_lists")
+              .select("vec_id"))
+            .reduce(_ unionAll _).collect().map(_.getLong(0)).toSet
+          landedVictim = ingestIds.find(landed).get
+          futureVictim = ingestIds.find(i => !landed(i)).get
+          IvfPq.enqueueTombstones(ss, baseDir, ingestRoot,
+            frame(Seq(baseVictim, landedVictim, futureVictim))): Unit
+          // BEFORE any fold: the serve path must already mask the
+          // victims (a delete is visible the moment its tombstone's
+          // _COMPLETE lands).
+          Seq(baseVictim, landedVictim).foreach { v =>
+            val res = IvfPq.probeServing(ss, baseDir, ingestRoot,
+              Seq((v + 1000000L, vec(v))).toDF("pid", "pe")).collect()
+            if (res.exists(_.getLong(1) == v))
+              hookErrors.add(s"victim $v served after its tombstone landed"): Unit
+          }
+        }
+      } catch { case e: Throwable => hookErrors.add(s"hook threw: $e"): Unit }
+
+    val (finalBase, unfolded) = IvfPq.streamIngestWithMaintain(spark, baseDir,
+      frame(ingestIds), ingestRoot, nFiles = 4, every = 3,
+      afterBatch = afterBatch)
+    assert(hookErrors.isEmpty, s"in-stream violations: ${hookErrors.toArray.mkString(" | ")}")
+    assert(landedVictim > 0 && futureVictim > 0, "hook never fired at batch 1")
+
+    // The threshold fold consumed the tombstone: it is recorded in the
+    // manifest (no longer pending) and the drop is PHYSICAL in the fold.
+    val fold = AnnIndex.resolveVersion(s"$ingestRoot/maint")
+    assert(fold.isDefined, "no fold fired at every=3 over 4 batches")
+    val manifest = graft.io.Afs.readString(s"${fold.get}/_SEGMENTS")
+      .split("\n").filter(_.nonEmpty)
+    assert(manifest.exists(_.startsWith("ts:")),
+      s"fold did not record the consumed tombstone: ${manifest.mkString(",")}")
+    val (_, _, pending) = IvfPq.servingView(spark, baseDir, ingestRoot)
+    assert(pending.isEmpty, "tombstone still pending after the fold consumed it")
+
+    // Final live view: no ghost (deleted ids gone), no dup, and the
+    // future victim's copy SURVIVED its own older tombstone (it landed
+    // in a segment newer than the boundary).
+    val served = (Seq(finalBase) ++ unfolded)
+      .map(p => spark.read.parquet(s"$p/ivfpq_lists").select("vec_id"))
+      .reduce(_ unionAll _).collect().map(_.getLong(0)).toSeq
+    assert(served.size == served.distinct.size, "duplicate ids in the live view")
+    val expect = (baseIds.toSet - baseVictim) ++ (ingestIds.toSet - landedVictim)
+    assert(served.toSet == expect,
+      s"lost=${(expect -- served.toSet).take(5)} ghosts=${(served.toSet -- expect).take(5)}")
+    assert(served.contains(futureVictim),
+      "the tombstone masked a NEWER copy of its victim — recency boundary broken")
+    // And the serve path agrees: the deleted base id is gone, its probe
+    // still gets a full surface.
+    val res = IvfPq.probeServing(spark, baseDir, ingestRoot,
+      Seq((baseVictim + 1000000L, vec(baseVictim))).toDF("pid", "pe")).collect()
+    assert(res.length == AnnIndex.TopK)
+    assert(!res.exists(_.getLong(1) == baseVictim), "deleted id served post-fold")
+  }
+
   test("encrypted f4 stream-ingest: segments and folds land encrypted, serve under the token, denial gates") {
     import spark.implicits._
     val kms = TestKmsServer.shared

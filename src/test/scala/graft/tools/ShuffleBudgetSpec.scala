@@ -58,7 +58,12 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // too: on a cold /dev/shm (or after a FormatLevel bump) its build
     // would otherwise ride into the append's measured bytes (~10x the
     // steady-state ceiling).
-    "q113_ann_index_append")
+    "q113_ann_index_append",
+    // q111's f3->f4 migration output is a one-time dataset-keyed
+    // fixture (and builds the f3 source index when missing): ensure it
+    // so the sweep prices the steady-state SERVE, not the migration's
+    // corpus join + partitioned write.
+    "q111_ann_ivf_probe")
 
   private def measure(sfDir: String, names: Seq[String]): Map[String, Long] = {
     val qs = SparkEntry.queries
@@ -154,6 +159,20 @@ object ShuffleBudgetSpec {
     * entry was a copied q112 placeholder until this sweep; it now
     * carries its own measurement (466 KiB — LOWER than unfiltered q112,
     * the pushed pre-filter thins the scan side of the refine join).
+    *
+    * r14 (registry converged on f4): the re-pointed serve/lifecycle
+    * lines re-measured on the composed artifact — q112/q113/q127/q128/
+    * q129/q130 all land INSIDE their f3 ceilings (the composed fold
+    * moves one table instead of two; serves stay collected+pruned).
+    * The two distributed composed serves are the exception BY DESIGN:
+    * their deliberate repartition(cid) materializes each routed probe's
+    * M×K LUT exactly once (r13 — without it codegen recomputes the LUT
+    * per candidate, measured 3× the serve wall), so their exchange is
+    * PROBE-proportional (≈ nprobe × 4 KiB of LUT per probe row, lz4),
+    * never corpus-proportional: q132 20.7 MB at 5×-corpus probes, q131
+    * 11.0 MB at 1×-corpus filtered (FilteredNprobe doubles the routed
+    * rows). Those ceilings price the documented trade, not a leak —
+    * the same exchange a shuffle join on cid would need at scale.
     */
   val CeilingsSf001: Map[String, Long] = Map(
     "q01_filter_project" -> 65536L,
@@ -180,7 +199,7 @@ object ShuffleBudgetSpec {
     "q10_distinct_agg" -> 149410L,
     "q10b_approx_distinct" -> 1274954L,
     "q110_ann_index_build" -> 1880240L,
-    "q111_ann_ivf_probe" -> 65536L,
+    "q111_ann_ivf_probe" -> 131072L,
     "q112_ann_pq_probe" -> 706282L,
     "q113_ann_index_append" -> 87654L,
     "q114_ohlc_bars" -> 1493118L,
@@ -201,8 +220,8 @@ object ShuffleBudgetSpec {
     "q128_ann_stream_ingest" -> 121794L,
     "q129_ann_index_delete" -> 496912L,
     "q130_ann_filtered_probe" -> 65536L,
-    "q131_ann_pq_filtered_probe" -> 466482L,
-    "q132_ann_distributed_probe" -> 716932L,
+    "q131_ann_pq_filtered_probe" -> 22066686L,
+    "q132_ann_distributed_probe" -> 41473160L,
     // r13 composed IVF+PQ: the build's exchanges are the cid cluster
     // write + the assignment⋈codes join (measured 1.92 MB at sf0.01);
     // the probe moves only the pool + window partials (80 KB).
