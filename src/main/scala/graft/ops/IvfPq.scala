@@ -412,11 +412,33 @@ object IvfPq {
     * IvfPqSpec on plain, filtered, masked-multi-segment and
     * duplicate-pid frames, plus a no-LocalTableScan plan pin).
     */
+  /** `staticCidPrune` (r13 verdict item 6, OPT-IN — measured rejection
+    * as a default): collect the routed cid set (bounded by construction
+    * — at most K distinct values, the same bounded-collect discipline
+    * as every trainer) and statically prune BOTH list scans to it, like
+    * the collected path does. The price is one extra job materializing
+    * the routing stage before the serve plan re-derives it. Measured at
+    * sf0.1 (`tools.PruneMeasure`, quiet host, BASELINE §C15): on the
+    * one regime where pruning could pay — 10k probes over 2 distinct
+    * targets, routing to 12/16 lists — pruned 8.67 s vs unpruned
+    * 8.48 s (noise: the scoring JOIN on cid already drops every
+    * unrouted list's rows after the scan, so compute is identical and
+    * only scan bytes differ, which tmpfs serves for free); on the q132
+    * broad frame it costs its extra routing job outright (4.13 vs
+    * 3.69 s). Hence DEFAULT OFF. The flag earns its keep only where
+    * candidate-scan BYTES are the bottleneck — an IO-bound object-store
+    * deployment at corpus ≫ probes, where unpruned reads every list's
+    * codes pages and pruned reads nprobe-routed partitions only — which
+    * is why it ships as an option instead of being deleted. Equality
+    * with the unpruned plan and the partition-filter plan shape are
+    * spec-pinned (IvfPqSpec).
+    */
   private[graft] def probeDistributedSegments(s: SparkSession,
       roots: Seq[String], probeDf: DataFrame,
       tss: Seq[(DataFrame, Int)] = Nil,
       attrFilter: Option[Column] = None,
-      readOpts: Map[String, String] = Map.empty): DataFrame = {
+      readOpts: Map[String, String] = Map.empty,
+      staticCidPrune: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
     val nprobe = if (attrFilter.isDefined) FilteredNprobe else Nprobe
@@ -427,15 +449,35 @@ object IvfPq {
     val cbFlat: Array[Double] = Array.tabulate(Mpq * Kpq * Sub) { i =>
       val entry = i / Sub; cb((entry / Kpq, entry % Kpq))(i % Sub)
     }
-    // LAZY localCheckpoint: the ordinal is dealt once, at the frame's
-    // first materialization inside the serve's own action (both refine-
-    // join sides then read the same stored blocks), so plan-only
-    // consumers (.explain, plan pins) pay nothing. The checkpointed
-    // blocks are released by the ContextCleaner when the returned
-    // frame's plan is garbage-collected — per-call serve frames in a
-    // long-lived session free themselves between batches.
-    val probes = AnnIndex.probesWithOrdinal(probeDf).localCheckpoint(false)
+    // EAGER localCheckpoint: the ordinal is dealt once, here, before the
+    // serve plan is built, so both refine-join sides read the same
+    // stored blocks. It MUST be eager (r14, found by the lifecycle soak
+    // deadlocking under 4 concurrent serves + streaming): a lazy
+    // checkpoint materializes inside the serve's own action, where the
+    // main job and a broadcast-exchange child job race its
+    // post-job doCheckpoint — Spark's RDDCheckpointData companion lock
+    // is GLOBAL, and the observed AB-BA is exactly the known shape
+    // (broadcast thread holds the global lock in checkpoint() wanting
+    // the RDD's monitor in markCheckpointed(); dag-scheduler holds the
+    // RDD's monitor in getCacheLocs() wanting the global lock in
+    // checkpointRDD()). Eager materialization completes before the RDD
+    // is visible to any other job, so no concurrent doCheckpoint can
+    // exist. Cost: plan-only consumers (.explain, plan pins) now pay
+    // one probe-sized job — correctness over that micro-saving. Blocks
+    // are still released by the ContextCleaner when the returned
+    // frame's plan is garbage-collected.
+    val probes = AnnIndex.probesWithOrdinal(probeDf).localCheckpoint(true)
     val routed = AnnIndex.routeDistributed(s, probes, cents, nprobe)
+    // The opt-in static prune runs the routing stage once eagerly (the
+    // localCheckpoint'd probes make the re-derivation in the serve plan
+    // deterministic) and filters both scans below to the ≤K routed cids.
+    val cidPrune: Column =
+      if (!staticCidPrune) lit(true)
+      else {
+        val cids = routed.select("cid").distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        col("cid").isin(cids: _*)
+      }
     // lut[m*Kpq + code] = dot(pe_m, cb(m, code)) — the collected path's
     // driver loop as ONE codegen'd kernel ([[graft.functions.PqLutExpr]],
     // same j-ascending summation order so qcos is bit-identical between
@@ -458,7 +500,7 @@ object IvfPq {
       .repartition(col("cid"))
     val codes = AnnIndex.maskedUnion(s, roots, "ivfpq_lists",
       Seq(col("cid"), col("vec_id"), col("codes"), col("qnorm")), tss,
-      prep = df => df.filter(attrFilter.getOrElse(lit(true))),
+      prep = df => df.filter(cidPrune).filter(attrFilter.getOrElse(lit(true))),
       readOpts = readOpts)
     val scored = codes.join(probeSide, Seq("cid"))
       .filter(col("vec_id") =!= col("pid"))
@@ -471,7 +513,8 @@ object IvfPq {
       .filter(col("prank") <= Pool)
       .select(col("__pord"), col("pid"), col("vec_id"))
     val vecs = AnnIndex.maskedUnion(s, roots, "ivfpq_lists",
-      Seq(col("vec_id"), col("e")), tss, readOpts = readOpts)
+      Seq(col("vec_id"), col("e")), tss,
+      prep = df => df.filter(cidPrune), readOpts = readOpts)
     val wT = Window.partitionBy("__pord").orderBy(col("cos").desc, col("vec_id").asc)
     pool
       .join(probes.select(col("__pord"), col("pe")), Seq("__pord"))
@@ -488,9 +531,10 @@ object IvfPq {
     * every filtered serve).
     */
   def probeDistributed(s: SparkSession, d: String, probeDf: DataFrame,
-      attrFilter: Option[Column] = None): DataFrame =
+      attrFilter: Option[Column] = None,
+      staticCidPrune: Boolean = false): DataFrame =
     probeDistributedSegments(s, Seq(build(s, d)), probeDf,
-      attrFilter = attrFilter)
+      attrFilter = attrFilter, staticCidPrune = staticCidPrune)
 
   // ---- lifecycle -------------------------------------------------------
   //
@@ -758,7 +802,7 @@ object IvfPq {
     * fold (the fold records consumed ones as `ts:` manifest lines), in
     * enqueue order: (name, frame, boundary, enqueue-time base).
     */
-  private def pendingTombstones(s: SparkSession, root: String,
+  private[ops] def pendingTombstones(s: SparkSession, root: String,
       foldedTs: Set[String], crypto: Option[IndexCrypto])
       : Seq[(String, DataFrame, Int, String)] = {
     val tsRoot = s"$root/tsq"

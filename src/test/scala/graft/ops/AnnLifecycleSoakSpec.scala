@@ -85,6 +85,13 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
   case class Append(n: Int) extends Op
   case class Ingest(n: Int, files: Int) extends Op
   case class IngestMaint(n: Int, files: Int) extends Op
+  /** f4 only: auto-maintained stream-ingest with a DELETE enqueued
+    * mid-stream through [[IvfPq.enqueueTombstones]] (r13 verdict item
+    * 4) — files=1 leaves the tombstone pending (masked by the live
+    * view), files≥2 lets the next fold consume it physically; both
+    * paths must conserve.
+    */
+  case class IngestDelete(n: Int, files: Int, delSeed: Int) extends Op
   case class Delete(seed: Int, n: Int) extends Op
   case class Upsert(seed: Int, n: Int) extends Op
   case object Fold extends Op
@@ -190,6 +197,7 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
       assert(codes.size == codes.distinct.size && codes.toSet == st.live.keySet,
         "codes table does not match the live set after compaction")
       St(dir, Vector.empty, Vector.empty, st.live, st.nextId)
+    case _: IngestDelete => st // f4-only op (in-stream deletes need IvfPq's queue)
     case Maintain =>
       // The SELF-DECIDING fold: same conservation contract as Fold
       // whichever way the drift verdict goes, plus the routing table
@@ -413,7 +421,38 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
           == AnnIndex.readCentroids(spark, st.base).sortBy(_._1),
           "un-retrained f4 maintain touched the routing table")
       St(r.dir, Vector.empty, Vector.empty, st.live, st.nextId)
-    case _ => st // stream-ingest is f3 machinery (q128); not generated here
+    case _: Ingest | _: IngestMaint => st // f3-only spellings; f4 streams via IngestDelete
+    case IngestDelete(n, files, delSeed) =>
+      // Auto-maintained stream-ingest with a mid-stream DELETE (r13
+      // verdict item 4). Like f3's IngestMaint, the loop's folds absorb
+      // only their own root's bookkeeping, so the accumulated state
+      // folds first.
+      val st2 = if (st.segs.nonEmpty || st.tss.nonEmpty)
+        stepF4(st, Fold, root, 9000 + k) else st
+      val ids = st2.nextId until st2.nextId + n
+      val victims = pick(st2.live, delSeed, 2)
+      val ingestRoot = s"$root/op$k"
+      val (b, leftover) = IvfPq.streamIngestWithMaintain(spark, st2.base,
+        frame(ids.map(_ -> 0)), ingestRoot, files, every = 1,
+        afterBatch = (ss, id) =>
+          if (id == 0L && victims.nonEmpty)
+            IvfPq.enqueueTombstones(ss, st2.base, ingestRoot,
+              frame(victims.map(v => v -> st2.live(v)))): Unit)
+      // Reconstruct the live view: pending tombstones (files=1 — no
+      // fold ran after the enqueue) keep masking; consumed ones
+      // (files>=2) must already be physically dropped from the fold.
+      val fold = AnnIndex.resolveVersion(s"$ingestRoot/maint")
+      val foldedTs: Set[String] = fold.map(f =>
+        graft.io.Afs.readString(s"$f/_SEGMENTS").split("\n").toSeq
+          .filter(_.startsWith("ts:")).map(_.stripPrefix("ts:")).toSet)
+        .getOrElse(Set.empty)
+      val pend = IvfPq.pendingTombstones(spark, ingestRoot, foldedTs, None)
+        .map { case (nm, _, bnd, _) => (s"$ingestRoot/tsq/$nm", bnd) }
+      if (victims.nonEmpty && files >= 2)
+        assert(pend.isEmpty,
+          s"fold ran after the enqueue but left the tombstone pending")
+      St(b, leftover.toVector, pend.toVector,
+        st2.live ++ ids.map(_ -> 0) -- victims, st2.nextId + n)
   }
 
   private def serveCheckF4(st: St, what: String): Unit = {
@@ -462,12 +501,16 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
     } finally rmTree(root)
   }
 
-  test("f4 lifecycle: random {append,delete,upsert,compact,maintain} sequences hold every invariant, distributed ≡ collected") {
+  test("f4 lifecycle: random {append,delete,upsert,stream+in-stream-delete,compact,maintain} sequences hold every invariant, distributed ≡ collected") {
     baseDirF4: Unit
     val genOp: Gen[Op] = Gen.frequency(
       5 -> Gen.choose(1, 3).map(Append.apply),
       3 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 3)).map(t => Delete(t._1, t._2)),
       3 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Upsert(t._1, t._2)),
+      // n >= files so no micro-batch is empty (an empty batch skips the
+      // afterBatch hook, and the model assumes the enqueue fired).
+      2 -> Gen.zip(Gen.choose(4, 6), Gen.choose(1, 2), Gen.choose(0, 97))
+        .map(t => IngestDelete(t._1, t._2, t._3)),
       2 -> Gen.const(Fold),
       1 -> Gen.const(Maintain))
     val genOps = Gen.choose(2, 5).flatMap(Gen.listOfN(_, genOp))

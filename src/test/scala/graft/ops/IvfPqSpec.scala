@@ -122,6 +122,33 @@ class IvfPqSpec extends SparkTestBase {
       "distributed composed serve lost surface at 10k probes")
   }
 
+  test("opt-in static cid pruning: identical results, pruned partitions in the codes scan") {
+    val dir = IvfPq.build(spark, sfDir)
+    // A SELECTIVE frame — many probe rows, few distinct targets — the
+    // one regime where the extra routing job can pay: the routed set is
+    // a strict subset of the lists.
+    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
+    val sel = base.filter(col("vec_id") < 2)
+      .crossJoin(broadcast(spark.range(200L).toDF("r")))
+      .select((col("r") * lit(1000L) + col("vec_id")).as("pid"), col("e").as("pe"))
+    val pruned = IvfPq.probeDistributedSegments(spark, Seq(dir), sel,
+      staticCidPrune = true)
+    val plain = IvfPq.probeDistributedSegments(spark, Seq(dir), sel)
+    assert(rowSeq(pruned) == rowSeq(plain),
+      "static cid pruning changed distributed serve results")
+    // The pruned plan's scans carry a cid partition filter; 2 distinct
+    // probe vectors route to at most 2·Nprobe < K lists.
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid[^\\]]*(IN|INSET)".r
+      .findFirstIn(plan).isDefined,
+      s"no static cid partition filter in the pruned plan:\n${plan.take(4000)}")
+    val unprunedPlan = plain.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid[^\\]]*(IN|INSET)".r
+      .findFirstIn(unprunedPlan).isEmpty,
+      "the default (unpruned) distributed plan grew a cid partition filter — " +
+        "update this pin and the Scaladoc trade-off note together")
+  }
+
   test("distributed composed LSM serve ≡ collected: masks, boundaries and filters compose") {
     val root = freshRoot("graft-ivfpq-distlsm")
     val base = IvfPq.buildFrom(spark, vecsDf(0L until 200L), s"$root/idx")

@@ -182,22 +182,43 @@ class IvfPqStreamSpec extends SparkTestBase {
     val universe = (baseIds ++ ingestIds).toSet
     val baseDir = IvfPq.buildFromEncrypted(spark, frame(baseIds),
       s"$root/base", kms.url)
+    // A mid-stream DELETE rides the encrypted loop too: the tombstone's
+    // stored victim embedding must land encrypted (the
+    // `ivfpq_tombstones` policy) and the fold must consume it under the
+    // token.
+    val victim = 5L
     val (finalBase, unfolded) = IvfPq.streamIngestWithMaintain(spark, baseDir,
-      frame(ingestIds), s"$root/ingest", nFiles = 4, every = 2, crypto)
+      frame(ingestIds), s"$root/ingest", nFiles = 4, every = 2, crypto,
+      afterBatch = (ss, id) =>
+        if (id == 0L)
+          IvfPq.enqueueTombstones(ss, baseDir, s"$root/ingest",
+            frame(Seq(victim)), crypto): Unit)
     assert(unfolded.isEmpty, s"expected all segments folded, left: $unfolded")
+    // The tombstone itself is genuinely encrypted: a bare reader cannot
+    // materialize the stored victim embedding.
+    val tsDirs = graft.io.Afs.listNames(s"$root/ingest/tsq")
+      .filter(_.startsWith("t")).filterNot(_.endsWith("._CLAIM"))
+    assert(tsDirs.nonEmpty, "no tombstone segment landed")
+    intercept[Throwable] {
+      spark.read.parquet(s"$root/ingest/tsq/${tsDirs.head}/tombstones")
+        .select("e").collect()
+    }
     // Every landed artifact is genuinely encrypted: a bare reader cannot
     // materialize the protected columns of the fold (nor of a segment).
     intercept[Throwable] {
       spark.read.parquet(s"$finalBase/ivfpq_lists").select("e", "codes").collect()
     }
-    // Conservation under the token.
+    // Conservation under the token — the enqueued victim is physically
+    // gone (the fold consumed its encrypted tombstone), everything else
+    // exactly once.
+    val expect = universe - victim
     val readOpts = graft.crypto.EncryptionPolicy.readConfMap(kms.url, Some("INTERNAL"))
     val got = spark.read.options(readOpts).parquet(s"$finalBase/ivfpq_lists")
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(got.size == got.distinct.size, "encrypted fold duplicated ids")
-    assert(got.toSet == universe,
-      s"encrypted fold lost=${(universe -- got.toSet).take(5)} " +
-        s"ghosts=${(got.toSet -- universe).take(5)}")
+    assert(got.toSet == expect,
+      s"encrypted fold lost=${(expect -- got.toSet).take(5)} " +
+        s"ghosts=${(got.toSet -- expect).take(5)}")
     // Serve under the token: a streamed id is findable and top-1-exact.
     val probes = Seq((1007L + 1000000L, vec(1007L))).toDF("pid", "pe")
     val res = IvfPq.probeEncrypted(spark, Seq(finalBase), probes,
