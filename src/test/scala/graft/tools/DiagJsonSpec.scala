@@ -30,6 +30,18 @@ class DiagJsonSpec extends SparkTestBase {
     assert(node.get("read_unwrap_calls_restricted").asInt() == 3, line)
     assert(node.get("read_unwrap_calls_tokenless_plaintext_col").asInt() == 1, line)
     assert(node.get("lineitem_size_ratio").asDouble() < 1.2, line)
+    // Rotation asymmetry cells (r13 ADVICE: the rewrite number includes
+    // its decrypt-verify — the verify portion must be split out so the
+    // in-place comparison is like-for-like).
+    for (k <- Seq("rotate_inplace_sec", "rotate_rewrite_sec",
+        "rotate_rewrite_verify_sec", "rewrite_vs_inplace",
+        "rewrite_vs_inplace_ex_verify"))
+      assert(node.has(k), s"missing key $k in: $line")
+    assert(node.get("rotate_rewrite_verify_sec").asDouble() <
+      node.get("rotate_rewrite_sec").asDouble(),
+      s"verify portion exceeds the whole rewrite: $line")
+    assert(node.get("rewrite_vs_inplace_ex_verify").asDouble() <=
+      node.get("rewrite_vs_inplace").asDouble(), line)
   }
 
   test("annRecall emits parseable JSON with a measured recall per approximate path") {
