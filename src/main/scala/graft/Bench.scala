@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private object Diag {
+  private[graft] object Diag {
     import scala.jdk.CollectionConverters._
     import java.lang.management.ManagementFactory
     def compileMs: Long = ManagementFactory.getCompilationMXBean.getTotalCompilationTime
@@ -244,13 +244,34 @@ object Bench {
 
   private type QFn = (SparkSession, String) => org.apache.spark.sql.DataFrame
 
+  /** The retry rule's sample-adjudication predicate, extracted pure so
+    * BenchGateSpec can pin BOTH sensor arms against real kernel
+    * evidence (r14 verdict item 6 — every r14 adjudication rode the
+    * task≈cpu arm because the round never saw PSI > gate; the PSI arm
+    * needs its own demonstrated trip). A sample is "clean" (= its
+    * still-slow wall is plan-not-host evidence) iff its task-time is
+    * within 1.5× of cpu-time plus 2 s absolute slack AND the host
+    * pressure at the sample's own end was below the gate — CPU PSI
+    * avg10 when the kernel exposes it, else the loadavg captured inside
+    * the sample's window (never at adjudication time — r14 ADVICE).
+    */
+  private[graft] def sampleClean(taskS: Double, cpuS: Double,
+      psiEnd: Double, loadEnd: Double,
+      psiGate: Double, loadGate: Double): Boolean = {
+    val taskCpuOk = taskS <= 1.5 * cpuS + 2.0
+    val hostOk =
+      if (psiEnd >= 0) psiEnd < psiGate
+      else loadEnd >= 0 && loadEnd < loadGate
+    taskCpuOk && hostOk
+  }
+
   /** One timed execution, with the evidence the retry rule adjudicates
     * on: task-time vs cpu-time (a stalled sample has task ≫ cpu — tasks
     * held runnable-but-not-running cost task-time but no cpu-time) and
     * the CPU PSI at the measurement's end.
     */
   private final case class RunSample(wall: Double, diag: String,
-      taskS: Double, cpuS: Double, psiEnd: Double)
+      taskS: Double, cpuS: Double, psiEnd: Double, loadEnd: Double)
 
   /** One untimed pass over the selected queries in a single fresh
     * context, recording per-query (jobs fired, shuffle bytes written).
@@ -518,7 +539,7 @@ object Bench {
         // Drop persisted tables between queries — a leftover cache from a
         // dedup query measurably contaminates its successors.
         try spark.catalog.clearCache() catch { case _: Throwable => () }
-        RunSample(if (ok) dt else -1.0, diag, taskS, cpuS, psi)
+        RunSample(if (ok) dt else -1.0, diag, taskS, cpuS, psi, ld)
       }
       // SHARED groups are timed TWICE — forward order, then reverse —
       // keeping each query's MINIMUM (r10 verdict item 1): the solo rule
@@ -580,15 +601,14 @@ object Bench {
       // A sample adjudicates (is "clean") when its own task/cpu evidence
       // shows no stall — task-time within 1.5x of cpu-time plus 2s of
       // absolute slack for scheduling overhead on sub-second queries —
-      // and the host's PSI at its end is below the gate (PSI unavailable
-      // falls back to the loadavg gate).
-      def cleanSample(r: RunSample): Boolean = {
-        val taskCpuOk = r.taskS <= 1.5 * r.cpuS + 2.0
-        val hostOk =
-          if (r.psiEnd >= 0) r.psiEnd < psiGate
-          else (try Diag.load1.toDouble catch { case _: Throwable => -1.0 }) < loadGate
-        taskCpuOk && hostOk
-      }
+      // and the host's PSI at its end is below the gate. On no-PSI
+      // kernels the fallback is the loadavg CAPTURED AT THE SAMPLE'S
+      // OWN END inside timedRun (r14 ADVICE): adjudication may run
+      // minutes after the 'prior' sample (settle-waits, retries), and a
+      // verdict read from host state at adjudication time would judge
+      // the sample by evidence from the wrong window.
+      def cleanSample(r: RunSample): Boolean =
+        sampleClean(r.taskS, r.cpuS, r.psiEnd, r.loadEnd, psiGate, loadGate)
       // Splice extra fields into a per-query diag object; a malformed
       // diag (not brace-terminated) is left untouched rather than
       // corrupting the whole artifact's JSON (r12 ADVICE).

@@ -62,11 +62,17 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  // IVF sizing: q23e's measured rationale (16 lists × 6 probed, 4 Lloyd
-  // steps — BASELINE §C7). At 100 TB, k grows ∝ sqrt(n), nprobe stays
-  // the recall/cost knob.
+  // IVF sizing: q23e's measured rationale (16 lists, 4 Lloyd steps —
+  // BASELINE §C7). At 100 TB, k grows ∝ sqrt(n), nprobe stays the
+  // recall/cost knob. Nprobe moved 6 → 8 in r15 WITH the IVFADC
+  // residual encoding (tools.RecallMeasure, sf0.1): residual codes
+  // saturate the routing ceiling exactly (serve 0.740 = ceiling(6)
+  // 0.740, where raw codes lost ~0.02 to quantization), so past r15 the
+  // recall knob is routing, not encoding — ceiling(8) measured 0.840,
+  // and the composed serve lands on it. The price is the knob's honest
+  // one: candidate volume 8/16 of the routed codes instead of 6/16.
   val K = 16
-  val Nprobe = 6
+  val Nprobe = 8
   val LloydSteps = 4
   val TopK = 5
 
@@ -81,7 +87,8 @@ object AnnIndex {
 
   /** The embeddings corpus in index form: (vec_id, e: array<double>,
     * label). The label rides into the inverted lists as an inline
-    * FILTERABLE ATTRIBUTE (see [[ivfProbeFiltered]]): a predicate on it
+    * FILTERABLE ATTRIBUTE (the [[IvfPq.probeSegments]] `attrFilter`
+    * rule): a predicate on it
     * evaluates during the pruned list scan itself — pre-filtering — so
     * a filtered probe never joins back to the corpus.
     */
@@ -267,12 +274,17 @@ object AnnIndex {
 
   /** Index FORMAT level: part of the on-disk root, so a code change to
     * the artifact schema (f2: inverted lists carry the inline `label`
-    * attribute; f3: pq_codes carry it too) can never adopt a fixture
-    * written by the previous format — `Tables.datasetTag` keys on the DATA, not the code.
+    * attribute; f3: pq_codes carry it too; f5: composed `ivfpq_lists`
+    * encode RESIDUALS — [[pqEncodeResidual]] — so pre-residual fixtures,
+    * whose codes/codebook/qnorm live in the raw-vector space, must never
+    * be adopted; "f4" is skipped as a level name because it already
+    * names the composed ARTIFACT format throughout the docs) can never
+    * adopt a fixture written by the previous format —
+    * `Tables.datasetTag` keys on the DATA, not the code.
     * Bumping the level orphans the old root; [[shmDir]] sweeps stale
     * format dirs so /dev/shm never accumulates across bumps.
     */
-  val FormatLevel = "f3"
+  val FormatLevel = "f5"
 
   /** Root for persisted index artifacts. Overridable for cluster
     * deployments (`-Dgraft.ann.root=hdfs://…/ann` or an `s3a://` URI —
@@ -334,7 +346,8 @@ object AnnIndex {
 
   /** Retirement age floor: a version older than the predecessor is
     * deleted only once its `_SUCCESS` is at least this old (r11 verdict
-    * item 4 — two quick flips, e.g. [[maintain]]'s fold-then-retrain,
+    * item 4 — two quick flips, e.g. [[IvfPq.maintain]]'s
+    * fold-then-retrain,
     * used to retire the version a reader resolved just before the FIRST
     * flip; the grace bounds every reader whose scan finishes inside it,
     * the Iceberg snapshot-expiration discipline). The price is
@@ -537,7 +550,7 @@ object AnnIndex {
     * vec_id hash partitioning (only the narrow id→label side moves), so
     * denormalizing the attribute into the codes costs one small-side
     * shuffle at WRITE time and buys filtered PQ probes a pure pushed
-    * predicate at serve time ([[pqProbeFiltered]]).
+    * predicate at serve time (the f4 filtered serve).
     */
   private def encodePq(src: DataFrame, cb: DataFrame): DataFrame =
     pqEncode(src, cb)
@@ -558,6 +571,72 @@ object AnnIndex {
           x => x.getField("code")).as("codes"),
         sqrt(sum(GraftFunctions.dotProduct(col("ce"), col("ce")))).as("qnorm"))
 
+  /** The per-row residual frame an IVFADC build trains on: (vec_id,
+    * e := e − centroid(cid)) for an assigned (vec_id, e, cid, …) frame.
+    * The broadcast side is the O(k·dim) routing table — the same table
+    * every assignment join already broadcasts.
+    */
+  private[ops] def residualFrame(assigned: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    assigned.join(broadcast(cents.toDF("cid", "cv")), Seq("cid"))
+      .select(col("vec_id"),
+        zip_with(col("e"), col("cv"), (a, b) => a - b).as("e"))
+  }
+
+  /** RESIDUAL ADC encoding — the IVFADC discipline (the public IVF+PQ
+    * design: Jégou/Douze/Schmid, "Product Quantization for Nearest
+    * Neighbor Search", §IV): quantize `e − centroid(cid)` instead of the
+    * raw vector, which concentrates the codebook's entire budget on
+    * within-list variance (the between-list variance is already carried
+    * by the cid itself). Input is an assigned (vec_id, e, cid) frame;
+    * `cb` must have been trained on [[residualFrame]] output. Returns
+    * (vec_id, codes, qnorm) where `qnorm` is the norm of the FULL
+    * reconstruction `centroid(cid) + decode(codes)` — the value the ADC
+    * cosine divides by, exactly as the raw encoding stores the norm of
+    * its own reconstruction. Serve-side, the quantized dot product
+    * decomposes as dot(p, centroid(cid)) + Σ_m lut[m][code_m]: the first
+    * term is the per-(probe, routed-list) bias [[IvfPq]]'s serve paths
+    * add, the second is the unchanged LUT scan over the residual
+    * codebook.
+    */
+  private[ops] def pqEncodeResidual(src: DataFrame,
+      cents: Seq[(Int, Seq[Double])], cb: DataFrame): DataFrame = {
+    val s = src.sparkSession
+    import s.implicits._
+    // Slice residual AND centroid per subspace in one pass: `sv` is the
+    // residual slice the argmin quantizes, `cs` the centroid slice the
+    // reconstruction adds back for qnorm.
+    val sliced = src.join(broadcast(cents.toDF("cid", "cv")), Seq("cid"))
+      .select(col("vec_id"),
+        explode(array((0 until Mpq).map { m =>
+          struct(lit(m).as("m"),
+            zip_with(slice(col("e"), m * Sub + 1, Sub),
+              slice(col("cv"), m * Sub + 1, Sub), (a, b) => a - b).as("sv"),
+            slice(col("cv"), m * Sub + 1, Sub).as("cs"))
+        }: _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"),
+        col("s.cs").as("cs"))
+    // pqAssign's argmin + tie-break, carrying the winning code's centroid
+    // and the row's centroid slice through to the reconstruction.
+    sliced.join(broadcast(cb), Seq("m"))
+      .withColumn("d2",
+        col("c2") - lit(2.0) * GraftFunctions.dotProduct(col("sv"), col("ce")))
+      .groupBy("vec_id", "m")
+      .agg(
+        min_by(struct(col("code"), col("ce")),
+          struct(col("d2"), col("code"))).as("best"),
+        first(col("cs")).as("cs"))
+      .withColumn("rv", zip_with(col("cs"), col("best.ce"), (a, b) => a + b))
+      .groupBy("vec_id")
+      .agg(
+        transform(array_sort(collect_list(
+            struct(col("m"), col("best.code").as("code")))),
+          x => x.getField("code")).as("codes"),
+        sqrt(sum(GraftFunctions.dotProduct(col("rv"), col("rv")))).as("qnorm"))
+  }
+
   /** Build (or adopt) the index for this dataset, returning the CURRENT
     * complete version dir. Synchronized via computeIfAbsent per JVM (the
     * Layout/Multimodal fixture rule); `force` drops the cache entry and
@@ -576,12 +655,6 @@ object AnnIndex {
     })
   }
 
-  /** Adopt an existing index for this dataset or build one (probe-query
-    * entry point — a serve path must not fail just because it probed
-    * before the first build ran in this JVM).
-    */
-  private def ensure(s: SparkSession, d: String): String = build(s, d, force = false)
-
   // ---- explicit-frame entry points (lifecycle soak / spec surface) ----
   //
   // The registered queries run against the dataset-keyed fixtures above;
@@ -597,26 +670,6 @@ object AnnIndex {
   private[ops] def buildFrom(s: SparkSession, emb: DataFrame, root: String): String = {
     GraftFunctions.register(s)
     publishVersion(root)(vdir => writeIndex(s, emb, vdir))
-  }
-
-  /** Publish one delta segment for an explicit batch against the frozen
-    * index at `baseDir`.
-    */
-  private[ops] def appendSegment(s: SparkSession, baseDir: String,
-      batch: DataFrame, root: String): String = {
-    GraftFunctions.register(s)
-    publishVersion(root)(writeDeltaSegment(s, baseDir, batch, _))
-  }
-
-  /** Publish a compacted fold of explicit segments and (tombstone,
-    * recency boundary) masks — the general LSM fold behind every
-    * compaction flavor.
-    */
-  private[ops] def compactAll(s: SparkSession, baseDir: String,
-      deltaDirs: Seq[String], tss: Seq[(DataFrame, Int)],
-      outRoot: String): String = {
-    GraftFunctions.register(s)
-    publishVersion(outRoot)(compactInto(s, baseDir, deltaDirs, tss, _))
   }
 
   private[ops] def readCentroids(s: SparkSession, dir: String,
@@ -674,23 +727,6 @@ object AnnIndex {
     rows.map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
   }
 
-  /** Shared IVF serve core: route each collected probe against the
-    * centroid table driver-side, then ONE statically partition-pruned
-    * scan of the probed inverted lists across the given segment roots,
-    * scored in place and top-k'd per probe. Tombstone frames (vec_id, …)
-    * mask deleted vectors BEFORE ranking (left-anti joins the optimizer
-    * broadcasts — tombstone sets are delete-sized, never corpus-sized),
-    * so a deleted vector can neither appear in results nor displace a
-    * live one from the top-k. The LSM sequencing rule: a tombstone masks
-    * only segments OLDER than itself — each tombstone carries its own
-    * recency boundary `(frame, maskRoots)`: it masks exactly the roots
-    * at index < maskRoots (roots are listed base-first, oldest to
-    * newest). A delete masks everything (`Int.MaxValue`); an upsert's
-    * tombstone must NOT mask the newer segment carrying the replacement
-    * copy of the same vec_id, so its boundary sits just below that
-    * segment. N tombstones with N distinct boundaries compose (the
-    * interleaved delete/upsert histories the lifecycle soak generates).
-    */
   /** Probe→list routing, k-thresholded like assignment ([[assignCids]]):
     * at ≤ [[LiteralAssignMaxK]] the (−cos, cid) top-nprobe runs
     * driver-side — O(probes·k·dim) over inputs both bounded by
@@ -755,9 +791,9 @@ object AnnIndex {
     * (the r10 composition bug). `prep` runs per segment BEFORE the mask
     * and the select, so cid pruning / attribute pre-filters reach each
     * segment's parquet scan. The single owner of the read-side masking
-    * idiom, shared by [[ivfServe]] and [[pqProbeSegments]]
-    * ([[compactInto]]'s write-side fold keeps its own `anti` because
-    * its mask set also feeds touched-list resolution).
+    * idiom behind the f4 serve paths ([[foldPartitionedArtifact]]'s
+    * write-side fold keeps its own `anti` because its mask set also
+    * feeds touched-list resolution).
     */
   private[ops] def maskedUnion(s: SparkSession, roots: Seq[String], sub: String,
       sel: Seq[Column], tss: Seq[(DataFrame, Int)],
@@ -770,247 +806,7 @@ object AnnIndex {
       m.fold(seg)(mm => seg.join(mm, Seq("vec_id"), "left_anti").select(sel: _*))
     }.reduce(_ unionAll _)
 
-  private def ivfServe(s: SparkSession, listRoots: Seq[String],
-      cents: Seq[(Int, Seq[Double])],
-      probes: Seq[(Long, Seq[Double])],
-      tombstones: Seq[(DataFrame, Int)] = Nil,
-      attrFilter: Option[Column] = None,
-      nprobe: Int = Nprobe): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val routed: Seq[(Int, Long, Seq[Double], Int)] = routeProbes(s, probes, cents, nprobe)
-    val neededCids = routed.map(_._4).distinct.sorted
-    val probeDf = {
-      import s.implicits._
-      routed.toDF("__ord", "probe_id", "pe", "cid")
-    }
-    // Segments are separate partitioned roots — load each and union
-    // (Spark rejects conflicting partition roots in one load); the cid
-    // partition filter prunes each segment's directories independently,
-    // and the attribute pre-filter rides the raw scan (pushed into the
-    // parquet read of the pruned lists — never a post-top-k cut, which
-    // would return fewer than k, nor a corpus join).
-    val lists = maskedUnion(s, listRoots, "ivf_assignments",
-      Seq(col("cid"), col("vec_id"), col("e")), tombstones,
-      prep = df => df.filter(col("cid").isin(neededCids: _*))
-        .filter(attrFilter.getOrElse(lit(true))))
-    // Rank per probe ROW (__ord), not per probe id: duplicate pids in a
-    // batch each get their own full top-k, identical to the distributed
-    // path's per-ordinal ranking (r12 ADVICE).
-    val wT = Window.partitionBy("__ord").orderBy(col("cos").desc, col("vec_id").asc)
-    lists.join(broadcast(probeDf), Seq("cid"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", GraftFunctions.cosineSim(col("e"), col("pe")))
-      .withColumn("rnk", row_number().over(wT).cast("long"))
-      .filter(col("rnk") <= TopK)
-      .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
-        round(col("cos"), 4).as("cosine"))
-      .orderBy("probe_id", "rnk")
-  }
 
-  /** Q111 serve path: probe routing driver-side against the persisted
-    * routing table (same (−cos, cid) tie-break as the trainer), then ONE
-    * statically partition-pruned scan of the probed inverted lists,
-    * scored in place with the codegen'd cosine kernel. Reads
-    * nprobe-of-K partitions — the explain carries the cid-IN partition
-    * filter (pinned by AnnIndexSpec).
-    */
-  def ivfProbe(s: SparkSession, d: String): DataFrame =
-    ivfProbe(s, d, defaultProbes(s, d))
-
-  /** Parameterized IVF serve (r9 verdict item 2): any (id, vector)
-    * probe frame against this dataset's persisted index.
-    */
-  def ivfProbe(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
-    GraftFunctions.register(s)
-    val dir = ensure(s, d)
-    ivfServe(s, Seq(dir), readCentroids(s, dir), collectProbes(probeDf))
-  }
-
-  /** Bound on how many MaxProbes-sized batches [[ivfProbeBatched]] puts
-    * into ONE union plan: beyond it the plan would balloon (64+ union
-    * branches), so larger frames switch to the internal spill loop —
-    * each batch re-planned independently at constant plan size, results
-    * landing in a spill dir returned as one scan (r10 verdict item 4).
-    * The call serves any probe-frame size either way.
-    */
-  val MaxBatches = 64
-
-  private val probeSpillSeq = new java.util.concurrent.atomic.AtomicLong()
-  private val streamRunSeq = new java.util.concurrent.atomic.AtomicLong()
-
-  /** One sweep per (JVM, spill key): prior RUNS' leftovers go, but dirs
-    * written by prior calls in THIS JVM survive — a lazily-evaluated
-    * over-cap result frame stays readable after later over-cap calls
-    * (r11 ADVICE: the per-call sweep silently emptied any earlier
-    * call's returned DataFrame the moment a new over-cap call ran).
-    * Per-call dirs are tiny (top-k rows per probe), so within-JVM
-    * accumulation is bounded by the run itself; the startup sweep is
-    * the same discipline as Bench.sweepLocalDirs.
-    */
-  private val sweptSpillKeys = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def spillRoot(spillKey: String): String =
-    sweptSpillKeys.computeIfAbsent(spillKey, k => {
-      val base = shmDir(k)
-      Afs.listStatus(base).foreach(st => Afs.delete(st.getPath.toString))
-      base
-    })
-
-  /** Probe frames LARGER than MaxProbes, served by batching — the
-    * "split into batches" contract of [[collectProbes]] made
-    * executable: the frame is cut into ⌈n/MaxProbes⌉ driver-bounded
-    * batches (each collect is ≤ MaxProbes rows by construction), each
-    * batch routes and prunes independently. Up to [[MaxBatches]]
-    * batches the per-batch results union into one plan; beyond that the
-    * call loops internally — one independently planned job per batch
-    * into a spill dir, returned as a single scan — so ANY probe-frame
-    * size serves with constant plan size. Per-batch work is identical
-    * to [[ivfProbe]]; nothing about the index or the scans changes.
-    */
-  def ivfProbeBatched(s: SparkSession, d: String, probeDf: DataFrame): DataFrame =
-    ivfProbeBatched(s, d, probeDf, None)
-
-  /** Filtered × batched — the remaining cell of the serve matrix: any
-    * probe-frame size against a metadata predicate, each batch served
-    * under q130's widened-nprobe pre-filter.
-    */
-  def ivfProbeBatched(s: SparkSession, d: String, probeDf: DataFrame,
-      attrFilter: Option[Column]): DataFrame = {
-    GraftFunctions.register(s)
-    val dir = ensure(s, d)
-    val cents = readCentroids(s, dir)
-    probeBatched(s, probeDf, "probe_spill", MaxBatches)(ps =>
-      ivfServe(s, Seq(dir), cents, ps, attrFilter = attrFilter,
-        nprobe = if (attrFilter.isDefined) FilteredNprobe else Nprobe))
-  }
-
-  /** PQ twin of [[ivfProbeBatched]]: any probe-frame size against the
-    * persisted codes, through the same rank-sliced batching driver.
-    */
-  def pqProbeBatched(s: SparkSession, d: String, probeDf: DataFrame): DataFrame =
-    pqProbeBatchedCap(s, d, probeDf, MaxBatches)
-
-  /** Filtered × batched on the PQ side: the lossless codes-scan
-    * pre-filter ([[pqProbeFiltered]]) per batch, any frame size.
-    */
-  def pqProbeBatched(s: SparkSession, d: String, probeDf: DataFrame,
-      attrFilter: Option[Column]): DataFrame =
-    pqProbeBatchedCap(s, d, probeDf, MaxBatches, attrFilter)
-
-  /** Spec hook: the same call with a lowered union-plan cap, so the
-    * spill loop is exercisable without a 65k-probe fixture (the
-    * production-scale spill path is pinned on the IVF side at 67k).
-    */
-  private[ops] def pqProbeBatchedCap(s: SparkSession, d: String,
-      probeDf: DataFrame, unionCap: Int,
-      attrFilter: Option[Column] = None): DataFrame = {
-    GraftFunctions.register(s)
-    val dir = ensure(s, d)
-    val cb = readCodebook(s, dir)
-    val codes = s.read.parquet(s"$dir/pq_codes")
-    val filtered = attrFilter.fold(codes)(codes.filter)
-    probeBatched(s, probeDf, "pq_probe_spill", unionCap)(ps =>
-      pqServe(s, corpus(s, d), cb, filtered, ps))
-  }
-
-  /** Shared batching driver behind both probe families. EXACT batch
-    * slicing by rank (an id-modulo split could overfill a batch on a
-    * skewed id space and trip the per-batch cap): one window pass over
-    * the probe frame — probe-sized, never corpus-sized — gives each
-    * batch at most MaxProbes rows by construction. Up to `unionCap`
-    * batches union into one plan; beyond that, the internal spill loop
-    * (r10 verdict item 4): each batch is re-planned and executed
-    * INDEPENDENTLY — plan size constant no matter how many batches —
-    * its top-k rows landing in a spill dir returned as ONE scan. Each
-    * call spills into its own dir; PRIOR RUNS' leftovers are swept once
-    * per JVM at first use ([[spillRoot]]), never per call — so over-cap
-    * result frames from earlier calls in this JVM stay readable however
-    * lazily a caller consumes them.
-    */
-  private def probeBatched(s: SparkSession, probeDf: DataFrame,
-      spillKey: String, unionCap: Int)(
-      serveOne: Seq[(Long, Seq[Double])] => DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("pid")
-    val keyed = normalizeProbes(probeDf)
-      .withColumn("batch", ((row_number().over(w) - 1) / MaxProbes).cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = keyed.count()
-      val batches = math.max(((n + MaxProbes - 1) / MaxProbes).toInt, 1)
-      def serveBatch(b: Int): DataFrame =
-        serveOne(collectProbes(keyed.filter(col("batch") === b).select("pid", "pe")))
-      if (batches <= unionCap)
-        (0 until batches).map(serveBatch).reduce(_ unionAll _)
-          .orderBy("probe_id", "rnk")
-      else {
-        val out = s"${spillRoot(spillKey)}/call-${probeSpillSeq.incrementAndGet()}"
-        (0 until batches).foreach { b =>
-          serveBatch(b).write
-            .mode(if (b == 0) "overwrite" else "append").parquet(out)
-        }
-        s.read.parquet(out).orderBy("probe_id", "rnk")
-      }
-    } finally keyed.unpersist(): Unit
-  }
-
-  /** FULLY-DISTRIBUTED IVF serve (r11 verdict item 3): the probe frame
-    * stays a DataFrame end-to-end — routing, candidate generation and
-    * ranking are all one lazy plan with NO driver materialization of
-    * probes at any size, removing [[probeBatched]]'s serial per-batch
-    * driver round-trips from the scale path (a 10⁷-probe reindex-scoring
-    * job is one Spark job here, vs 10⁴ sequential collects there).
-    *
-    * Routing is k-thresholded like every other assignment site:
-    *
-    *   - at k ≤ [[LiteralAssignMaxK]] the per-probe top-nprobe lists are
-    *     ONE array expression over the centroid literals
-    *     (sort the (−cos, cid) structs, slice nprobe, explode) — no
-    *     join, no exchange, evaluated inside the probe scan stage with
-    *     the same tie-break as [[routeDriver]];
-    *   - beyond it the probes cross the broadcast routing-table frame
-    *     and a per-ordinal aggregate collects, sorts and slices the
-    *     top-nprobe (negsim, cid) entries — ONE linear pipeline (the
-    *     ordinal is nondeterministic, so it is never recomputed across
-    *     a self-join), with map-side partial aggregation so the
-    *     exchange carries each probe's k narrow structs plus its
-    *     vector once, never the k-fold expansion.
-    *
-    * Candidates are ONE scan of the inverted lists joined to the routed
-    * probes on cid. Unlike the batched path there is no STATIC cid
-    * pruning (the probed set is not known at plan time) — the honest
-    * trade-off between the two serve shapes: a probe frame large enough
-    * to need this path touches essentially every list anyway, so there
-    * is nothing to prune, while a small or selective batch should keep
-    * using [[ivfProbe]]/[[ivfProbeBatched]], whose collected routing
-    * buys a pruned scan. Join parallelism is ∝ the number of probed
-    * lists, i.e. ∝ k — at the bench's K=16 the demo-scale constant, at
-    * §9's k=√n≈32k genuinely wide. Ranking partitions by probe ordinal
-    * (probe-count-wide). Per-probe results are identical to
-    * [[ivfProbe]]/[[ivfProbeBatched]] (pinned by AnnIndexSpec at 10k+
-    * probes); duplicate probe ids serve per-row, like [[routeJoin]].
-    */
-  def ivfProbeDistributed(s: SparkSession, d: String, probeDf: DataFrame,
-      attrFilter: Option[Column] = None): DataFrame = {
-    GraftFunctions.register(s)
-    val dir = ensure(s, d)
-    ivfDistributedCore(s, Seq(dir), readCentroids(s, dir), probeDf, Nil, attrFilter)
-  }
-
-  /** Distributed serve over an LSM state — segment roots (base first)
-    * with per-tombstone recency boundaries, the [[ivfProbeSegments]]
-    * composition on the end-to-end-DataFrame path: every cell of the
-    * serve matrix (filtered × masked × multi-segment) is available at
-    * reindex scale with zero probe materialization.
-    */
-  private[graft] def ivfProbeDistributedSegments(s: SparkSession,
-      roots: Seq[String], probeDf: DataFrame,
-      tss: Seq[(String, Int)] = Nil,
-      attrFilter: Option[Column] = None): DataFrame = {
-    GraftFunctions.register(s)
-    ivfDistributedCore(s, roots, readCentroids(s, roots.head), probeDf,
-      tss.map { case (p, b) => s.read.parquet(s"$p/tombstones") -> b },
-      attrFilter)
-  }
 
   /** Normalized probe frame with the per-ROW serve ordinal appended —
     * the distributed serve paths' input shape. The ordinal is
@@ -1064,38 +860,6 @@ object AnnIndex {
         .select("__pord", "pid", "pe", "cid")
     }
 
-  private def ivfDistributedCore(s: SparkSession, roots: Seq[String],
-      cents: Seq[(Int, Seq[Double])], probeDf: DataFrame,
-      tss: Seq[(DataFrame, Int)], attrFilter: Option[Column]): DataFrame = {
-    val nprobe = if (attrFilter.isDefined) FilteredNprobe else Nprobe
-    import org.apache.spark.sql.expressions.Window
-    val probes = probesWithOrdinal(probeDf)
-    val routed: DataFrame = routeDistributed(s, probes, cents, nprobe)
-    val lists = maskedUnion(s, roots, "ivf_assignments",
-      Seq(col("cid"), col("vec_id"), col("e")), tss,
-      prep = df => df.filter(attrFilter.getOrElse(lit(true))))
-    val wT = Window.partitionBy("__pord").orderBy(col("cos").desc, col("vec_id").asc)
-    lists.join(routed, Seq("cid"))
-      .filter(col("vec_id") =!= col("pid"))
-      .withColumn("cos", GraftFunctions.cosineSim(col("e"), col("pe")))
-      .withColumn("rnk", row_number().over(wT).cast("long"))
-      .filter(col("rnk") <= TopK)
-      .select(col("pid").as("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
-        round(col("cos"), 4).as("cosine"))
-  }
-
-  /** Metadata-FILTERED IVF serve: top-k among only the vectors matching
-    * `attrFilter` (a predicate over the inline list attributes —
-    * currently `label`). This is PRE-filtering, the production
-    * vector-search shape: the attribute was denormalized into the
-    * inverted lists at WRITE time precisely so the predicate evaluates
-    * inside the pruned list scan — no corpus join, no post-top-k cut
-    * that could return fewer than k, and parquet row-group stats skip
-    * non-matching chunks. Post-filtering (top-k first, filter after)
-    * under-fills results at exactly the selectivities where filtering
-    * matters; a serve-time join back to the corpus re-introduces the
-    * corpus-sized input the index exists to avoid.
-    */
   /** Filtered probes WIDEN the probe set (2×, capped at K): a selective
     * predicate thins every probed list, so holding nprobe constant
     * starves the candidate pool at exactly the selectivities filtering
@@ -1105,71 +869,6 @@ object AnnIndex {
     */
   val FilteredNprobe: Int = math.min(K, Nprobe * 2)
 
-  def ivfProbeFiltered(s: SparkSession, d: String, attrFilter: Column,
-      probeDf: DataFrame): DataFrame = {
-    GraftFunctions.register(s)
-    val dir = ensure(s, d)
-    ivfServe(s, Seq(dir), readCentroids(s, dir), collectProbes(probeDf),
-      attrFilter = Some(attrFilter), nprobe = FilteredNprobe)
-  }
-
-  def ivfProbeFiltered(s: SparkSession, d: String, attrFilter: Column): DataFrame =
-    ivfProbeFiltered(s, d, attrFilter, defaultProbes(s, d))
-
-  /** Q112 serve path: ADC over the persisted codes. Each probe's M×K
-    * lookup table of subvector dot products is precomputed driver-side
-    * (O(M·K·sub) per probe) and shipped flat; a corpus row's quantized
-    * dot product is then M array lookups — one scan of the codes table
-    * broadcast-joined with the probes, no training, no reconstruction
-    * join. The 256-per-probe pool re-ranks exactly against the true
-    * embeddings (q23f's refine discipline).
-    */
-  def pqProbe(s: SparkSession, d: String): DataFrame =
-    pqProbe(s, d, defaultProbes(s, d))
-
-  /** Parameterized PQ serve (r9 verdict item 2): any (id, vector) probe
-    * frame, ADC-scored against this dataset's persisted codes.
-    */
-  def pqProbe(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
-    GraftFunctions.register(s)
-    val dir = ensure(s, d)
-    pqServe(s, corpus(s, d), readCodebook(s, dir),
-      s.read.parquet(s"$dir/pq_codes"), collectProbes(probeDf))
-  }
-
-  /** Metadata-FILTERED PQ serve — [[ivfProbeFiltered]]'s twin over the
-    * codes table. Unlike IVF (where a filter thins the probed lists, so
-    * nprobe widens 2× to compensate), PQ pre-filtering is LOSSLESS: ADC
-    * scans every codes row anyway, so filtering the scan first means the
-    * refine pool is exactly the top-[[Pool]] *matching* candidates — no
-    * starvation at any selectivity, no compensation knob, and recall vs
-    * the filter-restricted exact truth equals unfiltered PQ recall
-    * (quantization error is the only approximation either way). The
-    * predicate evaluates on the inline `label` column written into
-    * `pq_codes` at index time, so it pushes into the parquet scan
-    * (row-group stats skip non-matching chunks) — no corpus join, no
-    * post-top-k cut that could return fewer than k.
-    */
-  def pqProbeFiltered(s: SparkSession, d: String, attrFilter: Column,
-      probeDf: DataFrame): DataFrame = {
-    GraftFunctions.register(s)
-    val dir = ensure(s, d)
-    pqServe(s, corpus(s, d), readCodebook(s, dir),
-      s.read.parquet(s"$dir/pq_codes").filter(attrFilter),
-      collectProbes(probeDf))
-  }
-
-  def pqProbeFiltered(s: SparkSession, d: String, attrFilter: Column): DataFrame =
-    pqProbeFiltered(s, d, attrFilter, defaultProbes(s, d))
-
-  /** Shared PQ serve core over an explicit codes frame (the segment
-    * composition / tombstone masking happens in the caller): ADC LUTs
-    * driver-side, M-lookup scoring over the codes, exact refine against
-    * `emb` — the caller supplies the true-embedding source (the dataset
-    * corpus for the registered queries; the segments' own stored
-    * vectors for lifecycle serving, so upserted ids refine against
-    * their replacement embeddings, never a stale corpus row).
-    */
   /** The collected O(M·K·sub) ADC codebook — bounded by construction,
     * loaded ONCE per serve call site (the batched driver reuses it
     * across every batch instead of re-collecting per batch).
@@ -1180,54 +879,7 @@ object AnnIndex {
       .select(col("m"), col("code"), col("ce"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
 
-  private def pqServe(s: SparkSession, emb: DataFrame,
-      cb: Map[(Int, Int), Seq[Double]],
-      codes: DataFrame, probes: Seq[(Long, Seq[Double])]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Flat LUT per probe: lut[m*K + code] = dot(pe_m, centroid(m, code)).
-    // Rows lead with the probe's batch ordinal so ranking below is per
-    // probe ROW — duplicate pids rank independently (r12 ADVICE).
-    val probeLut: Seq[(Int, Long, Seq[Double], Seq[Double], Double)] =
-      probes.zipWithIndex.map { case ((pid, pe), ord) =>
-        val lut = for (m <- 0 until Mpq; code <- 0 until Kpq) yield {
-          val ce = cb((m, code)); val off = m * Sub
-          var acc = 0.0; var i = 0
-          while (i < Sub) { acc += pe(off + i) * ce(i); i += 1 }
-          acc
-        }
-        val pnorm = math.sqrt(pe.map(x => x * x).sum)
-        (ord, pid, pe, lut, pnorm)
-      }
-    val lutDf = {
-      import s.implicits._
-      probeLut.toDF("__ord", "probe_id", "pe", "lut", "pnorm")
-    }
-    // qdot = Σ_m lut[m*K + codes[m]] — the codegen'd ADC kernel
-    // ([[graft.functions.AdcDotExpr]]); qcos against the stored
-    // reconstructed norm ranks the pool.
-    val scored = codes.join(broadcast(lutDf), col("vec_id") =!= col("probe_id"))
-      .withColumn("qdot", GraftFunctions.adcDot(col("lut"), col("codes"), Kpq))
-      .withColumn("qcos", col("qdot") / (col("pnorm") * col("qnorm")))
-    val wPool = Window.partitionBy("__ord").orderBy(col("qcos").desc, col("vec_id").asc)
-    val pool = scored
-      .withColumn("prank", row_number().over(wPool))
-      .filter(col("prank") <= Pool)
-      .select(col("__ord"), col("probe_id"), col("vec_id"), col("pe"))
-    val wT = Window.partitionBy("__ord").orderBy(col("cos").desc, col("vec_id").asc)
-    // Unhinted exact-refine join (q23f's r8 discipline): the corpus side
-    // carries accurate scan stats — broadcast at bench scale, shuffled
-    // fallback beyond the threshold.
-    pool
-      .join(emb, Seq("vec_id"))
-      .withColumn("cos", GraftFunctions.cosineSim(col("e"), col("pe")))
-      .withColumn("rnk", row_number().over(wT).cast("long"))
-      .filter(col("rnk") <= TopK)
-      .select(col("probe_id"), col("vec_id").as("nbr_id"), col("rnk"),
-        round(col("cos"), 4).as("cosine"))
-      .orderBy("probe_id", "rnk")
-  }
-
-  // ---- incremental append (base + delta segments) ---------------------
+  // ---- lifecycle slices (shared by the f4 lifecycle queries) ----------
 
   /** The 90/10 ingest split the append lifecycle exercises: the base
     * index is trained on vec_id % 10 != 0; the "newly arrived" batch is
@@ -1236,123 +888,8 @@ object AnnIndex {
   private[ops] def baseSlice(df: DataFrame): DataFrame = df.filter(pmod(col("vec_id"), lit(10)) =!= 0)
   private[ops] def batchSlice(df: DataFrame): DataFrame = df.filter(pmod(col("vec_id"), lit(10)) === 0)
 
-  /** The base index over the 90% slice — a one-time dataset-keyed
-    * fixture (markered like build()): the append query must price the
-    * APPEND, not a rebuild.
-    */
-  private def ensureAppendBase(s: SparkSession, d: String): String = {
-    GraftFunctions.register(s)
-    val key = Tables.datasetTag(d) + "/append_base"
-    built.computeIfAbsent(key, key => {
-      val root = shmDir(key)
-      currentVersion(root).getOrElse(
-        publishVersion(root)(vdir => writeIndex(s, baseSlice(corpus(s, d)), vdir)))
-    })
-  }
+  // ---- LSM fold core (shared with the f4 lifecycle) -------------------
 
-  /** Append the batch as a DELTA SEGMENT against the FROZEN base index:
-    * assignment against the existing centroids and encoding against the
-    * existing codebook are pure scan-stage argmins — no Lloyd, no
-    * training, one pass over the batch only (the LSM-style lifecycle a
-    * serving index runs between rebuild/compactions; SURVEY §9). The
-    * delta lands in its own artifact dir (overwrite — idempotent per
-    * run, base never mutated); readers union base + delta, and
-    * partition pruning applies to both segments' cid dirs.
-    */
-  /** Write one delta segment under `vdir`: assignment against the base
-    * index's centroids and encoding against its codebook — pure
-    * scan-stage argmins over the batch, nothing retrains. The shared
-    * write body behind [[appendDelta]] and [[upsert]].
-    */
-  private def writeDeltaSegment(s: SparkSession, baseDir: String,
-      batch: DataFrame, vdir: String): Unit = {
-    val cents = readCentroids(s, baseDir)
-    val cb = s.read.parquet(s"$baseDir/pq_codebook")
-    assignCids(batch, cents)
-      .select(col("cid"), col("vec_id"), col("label"), col("e"))
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$vdir/ivf_assignments")
-    encodePq(batch, cb)
-      .write.mode("overwrite").parquet(s"$vdir/pq_codes")
-  }
-
-  def appendDelta(s: SparkSession, d: String): (String, String) = {
-    val baseDir = ensureAppendBase(s, d)
-    val deltaRoot = shmDir(Tables.datasetTag(d) + "/append_delta")
-    val batch = batchSlice(corpus(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Delta segments publish through the same pointer-flip discipline
-    // as full builds: the append re-runs per q113 invocation and a
-    // probe adopting the delta mid-rewrite must never see a partial
-    // segment.
-    val deltaDir = try
-      publishVersion(deltaRoot)(writeDeltaSegment(s, baseDir, batch.toDF(), _))
-    finally { batch.unpersist(): Unit }
-    (baseDir, deltaDir)
-  }
-
-  /** IVF serve over the appended (base ∪ delta) index — q111's routing
-    * and pruning, with the list scan reading both segments.
-    */
-  def ivfProbeAppended(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val (baseDir, deltaDir) = appendDelta(s, d)
-    ivfServe(s, Seq(baseDir, deltaDir), readCentroids(s, baseDir),
-      collectProbes(defaultProbes(s, d)))
-  }
-
-  // ---- delta compaction (r9 verdict item 3) ---------------------------
-
-  /** Fold the delta segment into the base index (the LSM compaction the
-    * append lifecycle needs: repeated appends accumulate segments and
-    * files per inverted list, shrinking the pruning benefit). The work
-    * is bounded by the DELTA, not the corpus:
-    *
-    *   - touched lists (the delta's cids — a bounded ≤K driver collect)
-    *     are merged base+delta and rewritten through ONE exchange on
-    *     cid, restoring one file per list;
-    *   - UNTOUCHED base lists are carried over as raw file copies — no
-    *     scan, no shuffle (at 100 TB: a pure object-store copy/link);
-    *   - centroids and codebook copy unchanged (nothing retrains);
-    *   - pq_codes segments concatenate file-level (the codes table is
-    *     not cid-pruned; merging its parquet files needs no scan).
-    *
-    * Publishes an immutable compacted version under its own root via
-    * the pointer-flip discipline; base and delta stay untouched, so
-    * q113's append pricing and in-flight readers are unaffected.
-    */
-  def compact(s: SparkSession, d: String): String = {
-    val (baseDir, deltaDir) = appendDelta(s, d)
-    val root = shmDir(Tables.datasetTag(d) + "/append_compacted")
-    publishVersion(root)(compactInto(s, baseDir, Seq(deltaDir), Nil, _))
-  }
-
-  /** Fold ANY number of delta segments (q113 appends, q128 streamed
-    * micro-batch segments, upsert replacement segments) and ANY number
-    * of tombstone frames into one physical index under `vdir` — the
-    * shared compaction core behind [[compact]], [[compactWithDeletes]],
-    * [[compactUpsert]] and [[compactSegmentRoots]]:
-    *
-    *   - touched lists = every delta's cids ∪ the tombstones' recorded
-    *     cids (bounded ≤K collects); merged base+deltas, tombstones
-    *     anti-joined out, ONE exchange on cid, one file per list;
-    *   - untouched base lists carry over file-level (correct because a
-    *     tombstoned vector's list is touched by construction — the
-    *     tombstone recorded its victim's cid at write time);
-    *   - codes: without tombstones a pure file-level concat (prefix per
-    *     segment — no scan); with tombstones one anti-join filter pass
-    *     over the 32×-compressed table;
-    *   - trained artifacts copy unchanged from the base;
-    *   - the LSM sequencing rule rides through: each tombstone carries
-    *     its own recency boundary `(frame, maskBelow)` and masks exactly
-    *     the segments at index < maskBelow, where the base is segment 0
-    *     and delta i (oldest first) is segment i+1. A delete is the
-    *     newest write and masks everything (`Int.MaxValue`); an upsert's
-    *     tombstone is older than its replacement segment and must not
-    *     mask it. Arbitrary interleavings of the two compose — the
-    *     histories the lifecycle soak generates.
-    */
   /** Masks applying to a segment's recency position, anti-joined out
     * with the canonical column order RE-SELECTED after the using-column
     * join (it reorders the key first, and segment frames union
@@ -1366,9 +903,9 @@ object AnnIndex {
       .fold(df)(m => df.join(m, Seq("vec_id"), "left_anti").select(sel: _*))
 
   /** Fold ONE cid-partitioned artifact across base + segments under the
-    * LSM recency-boundary rule — the shared core behind [[compactInto]]
-    * (f3 `ivf_assignments`) and [[IvfPq.compactSegments]] (f4
-    * `ivfpq_lists`), so a fix to the fold discipline lands once (review
+    * LSM recency-boundary rule — the shared core behind
+    * [[IvfPq.compactSegments]] and every f4 fold, so a fix to the fold
+    * discipline lands once (review
     * r13): touched lists = segments' cids ∪ tombstones' recorded cids
     * (bounded ≤K collects); touched merge base+segments with masks
     * anti-joined out through ONE exchange on cid; untouched base lists
@@ -1410,64 +947,7 @@ object AnnIndex {
     touched
   }
 
-  private def compactInto(s: SparkSession, baseDir: String,
-      deltaDirs: Seq[String], tss: Seq[(DataFrame, Int)],
-      vdir: String): Unit = {
-    foldPartitionedArtifact(s, baseDir, deltaDirs, tss, "ivf_assignments",
-      Seq("cid", "vec_id", "label", "e"), sortInPartitions = false, vdir): Unit
-    val anti = lsmAnti(tss) _
-    Afs.copyTree(s"$baseDir/ivf_centroids", s"$vdir/ivf_centroids")
-    Afs.copyTree(s"$baseDir/pq_codebook", s"$vdir/pq_codebook")
-    if (tss.nonEmpty) {
-      val codeCols = Seq(col("vec_id"), col("codes"), col("qnorm"), col("label"))
-      val baseCodes = anti(
-        s.read.parquet(s"$baseDir/pq_codes").select(codeCols: _*), 0, codeCols)
-      val deltaCodes = deltaDirs.zipWithIndex
-        .map { case (p, i) =>
-          anti(s.read.parquet(s"$p/pq_codes").select(codeCols: _*), i + 1, codeCols)
-        }
-        .reduceOption(_ unionAll _)
-      deltaCodes.fold(baseCodes)(baseCodes.unionAll)
-        .write.mode("overwrite").parquet(s"$vdir/pq_codes")
-    } else {
-        val codesOut = s"$vdir/pq_codes"
-        Afs.mkdirs(codesOut)
-        (("base" -> s"$baseDir/pq_codes") +:
-          deltaDirs.zipWithIndex.map { case (p, i) => s"d$i" -> s"$p/pq_codes" })
-          .foreach { case (pfx, src) =>
-            Afs.listStatus(src)
-              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-              .foreach(st => Afs.copyFile(st.getPath.toString,
-                s"$codesOut/$pfx-${st.getPath.getName}"))
-          }
-    }
-  }
-
-  /** Compact explicit segment roots (the streamed-ingest read side)
-    * into a pointer-flipped version under `outRoot` — proves q128's
-    * accumulated micro-batch segments fold through the SAME compaction
-    * the append lifecycle uses.
-    */
-  private[ops] def compactSegmentRoots(s: SparkSession, baseDir: String,
-      segDirs: Seq[String], outRoot: String): String =
-    publishVersion(outRoot)(compactInto(s, baseDir, segDirs, Nil, _))
-
-  /** IVF serve over the COMPACTED index — one segment root again (spec
-    * use: recall must hold and the scan must read a single root).
-    */
-  def ivfProbeCompacted(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val dir = compactedOrCompact(s, d)
-    ivfServe(s, Seq(dir), readCentroids(s, dir),
-      collectProbes(defaultProbes(s, d)))
-  }
-
-  private def compactedOrCompact(s: SparkSession, d: String): String = {
-    val root = shmDir(Tables.datasetTag(d) + "/append_compacted")
-    currentVersion(root).getOrElse(compact(s, d))
-  }
-
-  // ---- deletes (tombstone segments) ------------------------------------
+  // ---- tombstone segments (the f4 delete queries' write side) ----------
 
   /** The deterministic delete set the lifecycle queries exercise: 10%
     * of the corpus, split across BOTH segments — vec_id % 20 == 3 lives
@@ -1477,23 +957,6 @@ object AnnIndex {
     */
   private[ops] def deleteSlice(df: DataFrame): DataFrame =
     df.filter(pmod(col("vec_id"), lit(20)).isin(3, 10))
-
-  /** Record deletes as a TOMBSTONE SEGMENT — the LSM delete discipline:
-    * a delete is a WRITE, nothing in the index mutates. Each tombstone
-    * row carries (vec_id, cid), the cid resolved against the base
-    * centroids at delete time, so compaction later knows exactly which
-    * inverted lists are dirtied WITHOUT scanning any of them (the
-    * distinct-cid collect is bounded by K). Published via the same
-    * pointer-flip discipline as every other segment: a reader adopting
-    * tombstones mid-rewrite never sees a partial set. Serve paths mask
-    * against the tombstones ([[ivfProbeLive]]); [[compactWithDeletes]]
-    * makes the drop physical.
-    */
-  def writeTombstones(s: SparkSession, d: String): (String, String, String) = {
-    val (baseDir, deltaDir) = appendDelta(s, d)
-    val root = shmDir(Tables.datasetTag(d) + "/tombstones")
-    (baseDir, deltaDir, tombstonesFor(s, baseDir, deleteSlice(corpus(s, d)), root))
-  }
 
   /** Publish a tombstone segment for `victims` (vec_id, e, …) under
     * `outRoot`: each victim's cid is resolved from its STORED embedding
@@ -1509,152 +972,6 @@ object AnnIndex {
         .select(col("vec_id"), col("cid"))
         .coalesce(1).write.mode("overwrite").parquet(s"$vdir/tombstones")
     }
-  }
-
-  /** IVF serve over the LIVE view (base ∪ delta) minus tombstones — the
-    * pre-compaction read path: deleted vectors are masked before
-    * ranking, so they never appear as neighbors nor displace live ones.
-    */
-  def ivfProbeLive(s: SparkSession, d: String): DataFrame =
-    ivfProbeLive(s, d, defaultProbes(s, d))
-
-  def ivfProbeLive(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
-    GraftFunctions.register(s)
-    val (baseDir, deltaDir, tsDir) = writeTombstones(s, d)
-    ivfServe(s, Seq(baseDir, deltaDir), readCentroids(s, baseDir),
-      collectProbes(probeDf),
-      tombstones = Seq(s.read.parquet(s"$tsDir/tombstones") -> Int.MaxValue))
-  }
-
-  /** PQ serve over the LIVE view: the codes scan unions base + delta
-    * segments and the tombstone mask is a left-anti join applied BEFORE
-    * ADC scoring — a deleted vector never enters the candidate pool, so
-    * it can't reach the exact-refine stage either.
-    */
-  def pqProbeLive(s: SparkSession, d: String): DataFrame =
-    pqProbeLive(s, d, defaultProbes(s, d))
-
-  def pqProbeLive(s: SparkSession, d: String, probeDf: DataFrame): DataFrame = {
-    GraftFunctions.register(s)
-    val (baseDir, deltaDir, tsDir) = writeTombstones(s, d)
-    val codes = s.read.parquet(s"$baseDir/pq_codes", s"$deltaDir/pq_codes")
-      .join(s.read.parquet(s"$tsDir/tombstones").select(col("vec_id")),
-        Seq("vec_id"), "left_anti")
-    pqServe(s, corpus(s, d), readCodebook(s, baseDir), codes,
-      collectProbes(probeDf))
-  }
-
-  /** PQ serve across explicit segment roots (base first, oldest to
-    * newest) with per-tombstone recency boundaries — the PQ twin of
-    * [[ivfProbeSegments]]. Both the codes scan and the exact-refine
-    * embedding source are built from the segments themselves under the
-    * same masks, so the refine stage sees exactly the live copies.
-    */
-  private[ops] def pqProbeSegments(s: SparkSession, d: String,
-      roots: Seq[String], probeDf: DataFrame = null,
-      tss: Seq[(String, Int)] = Nil,
-      attrFilter: Option[Column] = None): DataFrame = {
-    GraftFunctions.register(s)
-    val probes = Option(probeDf).getOrElse(defaultProbes(s, d))
-    val tsFrames = tss.map { case (p, b) =>
-      s.read.parquet(s"$p/tombstones") -> b
-    }
-    // The attribute filter applies inside each segment's codes scan
-    // exactly as in the single-root path (lossless for ADC —
-    // [[pqProbeFiltered]]).
-    val codes = maskedUnion(s, roots, "pq_codes",
-      Seq(col("vec_id"), col("codes"), col("qnorm")), tsFrames,
-      prep = df => df.filter(attrFilter.getOrElse(lit(true))))
-    pqServe(s,
-      maskedUnion(s, roots, "ivf_assignments",
-        Seq(col("vec_id"), col("e")), tsFrames),
-      readCodebook(s, roots.head),
-      codes,
-      collectProbes(probes))
-  }
-
-  /** UPSERT = delete(old) + append(new), composed from the existing
-    * segment kinds — the LSM update discipline: a tombstone masks the
-    * stored copy (cid resolved from the OLD embedding's deterministic
-    * assignment, fetched from the updates' `old_e` column), and the new
-    * embedding lands as a delta segment assigned against the frozen
-    * index. A live probe then sees EXACTLY ONE copy per vec_id — the
-    * new one — because the tombstone masks only segments OLDER than the
-    * replacement (the LSM sequencing rule; serve and compaction both
-    * honor the boundary). Nothing retrains. `updates` columns:
-    * (vec_id, e [new], label, old_e [stored]). Returns
-    * (indexDir, segmentDir, tombstoneDir) for the serve/compact paths.
-    */
-  def upsert(s: SparkSession, d: String, updates: DataFrame,
-      root: String): (String, String, String) = {
-    GraftFunctions.register(s)
-    val dir = ensure(s, d)
-    val tsDir = tombstonesFor(s, dir,
-      updates.select(col("vec_id"), col("old_e").as("e")), s"$root/tombstones")
-    val segDir = publishVersion(s"$root/segment")(
-      writeDeltaSegment(s, dir, updates.select("vec_id", "e", "label"), _))
-    (dir, segDir, tsDir)
-  }
-
-  /** Fold an upsert (replacement segment + its tombstones) into one
-    * physical index: the tombstone drops the OLD copies only
-    * (`tsMaskDeltas = false` — the replacement segment is newer than
-    * its tombstone), so the fold conserves the corpus exactly: one old
-    * copy out, one new copy in, per upserted id.
-    */
-  private[ops] def compactUpsert(s: SparkSession, baseDir: String,
-      segDir: String, tsDir: String, outRoot: String): String = {
-    val ts = s.read.parquet(s"$tsDir/tombstones")
-    publishVersion(outRoot)(
-      // Boundary 1: the upsert's tombstone masks only the base (segment
-      // 0) — its replacement segment is newer and must survive the fold.
-      compactInto(s, baseDir, Seq(segDir), Seq(ts -> 1), _))
-  }
-
-  /** Delete-aware compaction: fold delta AND tombstones into a fresh
-    * physical index. Work is bounded by what the writes dirtied, never
-    * by the corpus:
-    *
-    *   - touched lists = delta cids ∪ tombstone cids (two bounded ≤K
-    *     driver collects — the tombstone segment RECORDED its cids at
-    *     delete time precisely so no list scan is needed here);
-    *     they are merged base+delta, anti-joined against the tombstones
-    *     and rewritten through ONE exchange on cid (a uniform delete
-    *     touches every list — the honest worst case; a localized delete
-    *     rewrites only its lists);
-    *   - untouched base lists carry over as raw file copies (no scan —
-    *     at 100 TB an object-store copy/link), correct BECAUSE every
-    *     tombstoned vector's list is touched by construction;
-    *   - pq_codes are rewritten through one anti-join filter pass — the
-    *     codes table is the 32×-compressed corpus (n·(M+8) bytes), so
-    *     its rewrite is the cheap path even at 10^9 vectors, and a
-    *     physical drop beats carrying a read-side mask forever;
-    *   - centroids and codebook copy unchanged (nothing retrains;
-    *     deletion never warrants re-clustering until a full rebuild).
-    *
-    * Publishes an immutable version under its own root; base, delta and
-    * tombstones stay untouched for in-flight readers.
-    */
-  def compactWithDeletes(s: SparkSession, d: String): String = {
-    val (baseDir, deltaDir, tsDir) = writeTombstones(s, d)
-    val ts = s.read.parquet(s"$tsDir/tombstones")
-    val root = shmDir(Tables.datasetTag(d) + "/delete_compacted")
-    publishVersion(root)(compactInto(s, baseDir, Seq(deltaDir), Seq(ts -> Int.MaxValue), _))
-  }
-
-  /** IVF serve over the delete-compacted index: ONE segment root, NO
-    * tombstone mask — the drop is physical, which is exactly what the
-    * spec asserts (no deleted id can appear because none is stored).
-    */
-  def ivfProbeDeleteCompacted(s: SparkSession, d: String): DataFrame =
-    ivfProbeDeleteCompacted(s, d, defaultProbes(s, d))
-
-  def ivfProbeDeleteCompacted(s: SparkSession, d: String,
-      probeDf: DataFrame): DataFrame = {
-    GraftFunctions.register(s)
-    val root = shmDir(Tables.datasetTag(d) + "/delete_compacted")
-    val dir = currentVersion(root).getOrElse(compactWithDeletes(s, d))
-    ivfServe(s, Seq(dir), readCentroids(s, dir), collectProbes(probeDf))
   }
 
   // ---- retrain trigger (r10 verdict item 5) ---------------------------
@@ -1697,7 +1014,7 @@ object AnnIndex {
 
   /** The check over a frame that ALREADY carries its `cid` — the stored
     * inverted lists are exactly such a frame, so a caller holding them
-    * ([[maintain]]) skips the re-assignment pass entirely: the monitor
+    * ([[IvfPq.maintain]]) skips the re-assignment pass entirely: the monitor
     * reduces to one O(k·dim) aggregate over data it just wrote.
     */
   private[ops] def retrainCheckAssigned(s: SparkSession, indexDir: String,
@@ -1734,47 +1051,13 @@ object AnnIndex {
     } finally assigned.unpersist(): Unit
   }
 
-  /** A [[maintain]] outcome: the published CURRENT dir, the drift
+  /** An [[IvfPq.maintain]] outcome: the published CURRENT dir, the drift
     * evidence the decision used, and whether a retrain actually ran.
     */
   final case class MaintainResult(
       dir: String, report: RetrainReport, retrained: Boolean)
 
-  /** One SELF-DECIDING maintenance pass over a served LSM state — the
-    * composed lifecycle the trigger exists for:
-    *
-    *   1. fold base + delta segments + tombstones into a fresh physical
-    *      root ([[compactInto]] — delta-bounded work) and PUBLISH it:
-    *      readers get the folded index immediately, whatever the drift
-    *      verdict turns out to be;
-    *   2. run the drift monitor over the fold's own stored assignments
-    *      ([[retrainCheckAssigned]] — no re-assignment pass, one
-    *      O(k·dim) aggregate over rows step 1 just wrote);
-    *   3. when it fires, retrain from the folded live set and publish
-    *      the rebuild behind the same CURRENT pointer (second flip —
-    *      the predecessor fold survives one publish for in-flight
-    *      readers, the [[publishVersion]] rule).
-    *
-    * The undrifted steady state therefore pays compaction + one
-    * aggregate and NEVER retrains; churn that moved the centroids pays
-    * the rebuild exactly when BASELINE §C12's pricing says it is worth
-    * it. Inputs stay untouched either way.
-    */
-  private[ops] def maintain(s: SparkSession, baseDir: String,
-      deltaDirs: Seq[String], tss: Seq[(DataFrame, Int)],
-      outRoot: String): MaintainResult = {
-    GraftFunctions.register(s)
-    val folded = publishVersion(outRoot)(compactInto(s, baseDir, deltaDirs, tss, _))
-    val lists = s.read.parquet(s"$folded/ivf_assignments")
-    val rep = retrainCheckAssigned(s, folded, lists)
-    if (!rep.recommend) MaintainResult(folded, rep, retrained = false)
-    else MaintainResult(
-      publishVersion(outRoot)(writeIndex(s,
-        lists.select(col("vec_id"), col("e"), col("label")), _)),
-      rep, retrained = true)
-  }
-
-  // ---- continuous ingest (Structured Streaming micro-batch deltas) ----
+  // ---- continuous ingest core (Structured Streaming micro-batches) ----
 
   /** Source files the ingest stream is split into — with
     * `maxFilesPerTrigger = 1` each file is one micro-batch, so the
@@ -1783,86 +1066,9 @@ object AnnIndex {
     */
   val StreamFiles = 3
 
-  /** Continuous ingest: the "newly arriving" 10% slice replayed through
-    * a checkpointed Structured Streaming job, each micro-batch landing
-    * as its OWN delta segment against the FROZEN base index via
-    * `foreachBatch` — q113's append discipline made continuous:
-    *
-    *   - assignment against the base centroids and encoding against the
-    *     base codebook are pure scan-stage argmins over the BATCH only
-    *     (no Lloyd, no training, nothing corpus-sized moves);
-    *   - each segment write is keyed by batchId and `overwrite` — the
-    *     canonical idempotent foreachBatch sink, so checkpoint replay
-    *     after a crash rewrites the same segment instead of duplicating
-    *     it, and a finished checkpoint makes re-runs no-ops;
-    *   - a `_COMPLETE` marker lands after BOTH artifacts: readers union
-    *     only complete segments, so a probe during ingest sees each
-    *     segment atomically (the streaming analogue of the version
-    *     pointer flip);
-    *   - segments accumulate until [[compact]] folds them — the full
-    *     LSM serving lifecycle: build → serve → stream-ingest → compact.
-    *
-    * Returns (baseDir, complete segment dirs). Idempotent per `root`:
-    * the checkpoint remembers processed files across invocations.
-    */
-  private[ops] def streamIngestInto(s: SparkSession, d: String,
-      root: String): (String, Seq[String]) = {
-    GraftFunctions.register(s)
-    val baseDir = ensureAppendBase(s, d)
-    (baseDir, streamIngestFrames(s, baseDir, batchSlice(corpus(s, d)), root))
-  }
-
-  /** The ingest core over an EXPLICIT source frame: split into `nFiles`
-    * source files, stream each as one checkpointed micro-batch into its
-    * own delta segment against the frozen index at `baseDir`. Returns
-    * the complete segment dirs in batch (LSM recency) order. The soak's
-    * stream op and [[streamIngestInto]] share this body.
-    *
-    * `autoMaintainEvery` > 0 wires [[maintain]] INTO the ingest loop
-    * (r12 verdict item 5): after each committed micro-batch, once that
-    * many not-yet-folded segments have accumulated, the loop folds them
-    * (current fold ∨ base, plus the unfolded segments) into a fresh
-    * version under `root/maint` behind the usual CURRENT pointer —
-    * including the drift check and its conditional retrain. Each fold
-    * version carries a `_SEGMENTS` manifest (written BEFORE its
-    * `_SUCCESS`, so it is atomic with the version) naming every segment
-    * it contains; [[servingStateOf]] composes the reader view from it.
-    * A reader is consistent under any interleaving: it resolves ONE
-    * immutable fold, reads THAT fold's manifest, and unions the complete
-    * segments the manifest excludes — newer segments only ever ADD.
-    * Folding runs between micro-batches on the single stream thread, so
-    * it never races a segment writer; retirement grace protects readers
-    * holding the previous fold, as everywhere else.
-    */
-  private[ops] def streamIngestFrames(s: SparkSession, baseDir: String,
-      src: DataFrame, root: String, nFiles: Int = StreamFiles,
-      autoMaintainEvery: Int = 0): Seq[String] = {
-    GraftFunctions.register(s)
-    // Trained tables cached per artifact base: re-read only when a fold's
-    // retrain actually moved the serving base (the once-read f3 behavior,
-    // keyed so auto-maintain re-resolution stays cheap).
-    val centsCache =
-      new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
-    streamIngestCore(s, baseDir, src, root, nFiles, autoMaintainEvery,
-      writeSegment = (ss, df, artifactBase, seg) => {
-        val batchCents =
-          centsCache.computeIfAbsent(artifactBase, b => readCentroids(ss, b))
-        assignCids(df, batchCents)
-          .select(col("cid"), col("vec_id"), col("label"), col("e"))
-          .repartition(col("cid"))
-          .write.mode("overwrite").partitionBy("cid")
-          .parquet(s"$seg/ivf_assignments")
-        val cb = ss.read.parquet(s"$artifactBase/pq_codebook")
-        encodePq(df, cb)
-          .write.mode("overwrite").parquet(s"$seg/pq_codes")
-      },
-      maintainStep = (ss, curBase, unfolded, maintRoot, already) =>
-        maintainWithManifest(ss, curBase, unfolded, maintRoot, already): Unit)
-  }
-
-  /** The FORMAT-AGNOSTIC checkpointed ingest loop behind
-    * [[streamIngestFrames]] (f3) and [[IvfPq.streamIngestWithMaintain]]
-    * (f4) — extracted so the streaming discipline (checkpoint-replay
+  /** The checkpointed ingest loop behind
+    * [[IvfPq.streamIngestWithMaintain]] — extracted in r13 so the
+    * streaming discipline (checkpoint-replay
     * idempotence, `_COMPLETE` markers, no-data-batch suppression,
     * serial-thread auto-maintain, manifest-composed reader views) lands
     * once and cannot drift between the formats (review r13).
@@ -1990,70 +1196,6 @@ object AnnIndex {
     }
   }
 
-  /** [[maintain]] plus a `_SEGMENTS` manifest stamped into every version
-    * it publishes (fold and conditional retrain alike), landing BEFORE
-    * the version's `_SUCCESS` — the auto-maintain bookkeeping the ingest
-    * loop and [[servingStateOf]] share.
-    */
-  private[ops] def maintainWithManifest(s: SparkSession, baseDir: String,
-      segDirs: Seq[String], outRoot: String,
-      alreadyFolded: Seq[String]): MaintainResult = {
-    GraftFunctions.register(s)
-    val name = (p: String) => new org.apache.hadoop.fs.Path(p).getName
-    val manifest = (alreadyFolded ++ segDirs.map(name)).mkString("\n")
-    def stamp(vdir: String): Unit = Afs.writeString(s"$vdir/_SEGMENTS", manifest)
-    val folded = publishVersion(outRoot) { v =>
-      compactInto(s, baseDir, segDirs, Nil, v); stamp(v)
-    }
-    val lists = s.read.parquet(s"$folded/ivf_assignments")
-    val rep = retrainCheckAssigned(s, folded, lists)
-    if (!rep.recommend) MaintainResult(folded, rep, retrained = false)
-    else MaintainResult(
-      publishVersion(outRoot) { v =>
-        writeIndex(s, lists.select(col("vec_id"), col("e"), col("label")), v)
-        stamp(v)
-      },
-      rep, retrained = true)
-  }
-
-  /** Continuous ingest WITH the maintenance loop wired in: stream `src`
-    * as micro-batch segments against the frozen `baseDir`, auto-folding
-    * every `every` unfolded segments (see [[streamIngestFrames]]).
-    * Returns the post-stream reader view: (serving base — the latest
-    * fold, or `baseDir` if none fired — and the unfolded segments to
-    * union with it).
-    */
-  private[ops] def streamIngestWithMaintain(s: SparkSession, baseDir: String,
-      src: DataFrame, root: String, nFiles: Int,
-      every: Int): (String, Seq[String]) = {
-    streamIngestFrames(s, baseDir, src, root, nFiles, autoMaintainEvery = every): Unit
-    val (b, unfolded, _) = servingStateOf(baseDir, s"$root/segments", s"$root/maint")
-    (b, unfolded)
-  }
-
-  /** IVF serve across explicit segment roots (base first, oldest to
-    * newest), with any number of (tombstone dir, recency boundary)
-    * masks and an optional probe frame — the spec/soak read path over
-    * streamed / deleted / upserted, not-yet-compacted indexes.
-    */
-  private[ops] def ivfProbeSegments(s: SparkSession, d: String,
-      roots: Seq[String], probeDf: DataFrame = null,
-      tss: Seq[(String, Int)] = Nil, nprobe: Int = Nprobe,
-      attrFilter: Option[Column] = None): DataFrame = {
-    GraftFunctions.register(s)
-    val probes = Option(probeDf).getOrElse(defaultProbes(s, d))
-    ivfServe(s, roots, readCentroids(s, roots.head), collectProbes(probes),
-      tombstones = tss.map { case (p, b) =>
-        s.read.parquet(s"$p/tombstones") -> b
-      },
-      attrFilter = attrFilter,
-      // Filtered serving composes with the LSM state under the same
-      // widening rule as the single-root path (q130's rationale) —
-      // widening only: a caller's explicit wider nprobe wins.
-      nprobe = if (attrFilter.isDefined) math.max(nprobe, FilteredNprobe)
-               else nprobe)
-  }
-
   /** The CURRENT complete version for this dataset, resolved from disk
     * exactly as a foreign JVM would (no builder cache) — the spec's
     * concurrent-reader hook.
@@ -2091,219 +1233,17 @@ object AnnIndex {
             |UNION ALL SELECT 'pq_codes', count(*) FROM embeddings
             |ORDER BY artifact""".stripMargin))
 
-  /** Q111 — IVF serve from the persisted index (no Lloyd, no training:
-    * routing table collect + pruned list scan only). Approximate →
-    * rows-only driver check; AnnIndexSpec pins recall at q23e's floor
-    * and pins the partition-pruned scan shape.
-    */
-  val q111: Q = Q("q111_ann_ivf_probe", (s, d) => ivfProbe(s, d), None)
-
-  /** Q112 — PQ serve from the persisted index (ADC scoring + exact
-    * refine; the corpus-sided input is the compressed codes table).
-    * Approximate → rows-only driver check; AnnIndexSpec pins recall at
-    * q23f's floor.
-    */
-  val q112: Q = Q("q112_ann_pq_probe", (s, d) => pqProbe(s, d), None)
-
-  /** Q113 — incremental index append: the 10% batch is assigned against
-    * the FROZEN base index (no Lloyd, one batch pass) into a delta
-    * segment; the census reads back the appended index and is oracled
-    * on conservation — base + delta must cover the corpus exactly, and
-    * the trained artifacts keep their configured sizes (nothing
-    * retrained, nothing dropped). The bench line prices the APPEND:
-    * the base is a one-time fixture, the delta rebuilds every run.
-    */
-  val q113: Q = Q(
-    "q113_ann_index_append",
-    (s, d) => {
-      val (baseDir, deltaDir) = appendDelta(s, d)
-      // Absent-artifact (= empty segment) reads count 0; any OTHER
-      // failure — corrupt segment, IO error — must propagate, not
-      // surface later as an inscrutable conservation-count mismatch.
-      def n(path: String): Long =
-        try s.read.parquet(path).count()
-        catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-      import s.implicits._
-      Seq(
-        ("ivf_assignments",
-          n(s"$baseDir/ivf_assignments") + n(s"$deltaDir/ivf_assignments")),
-        ("ivf_centroids", n(s"$baseDir/ivf_centroids")),
-        ("pq_codebook", n(s"$baseDir/pq_codebook")),
-        ("pq_codes", n(s"$baseDir/pq_codes") + n(s"$deltaDir/pq_codes")))
-        .toDF("artifact", "n_rows")
-        .orderBy("artifact")
-    },
-    Some(s"""SELECT 'ivf_assignments' AS artifact, count(*) AS n_rows FROM embeddings
-            |UNION ALL SELECT 'ivf_centroids', CAST($K AS BIGINT)
-            |UNION ALL SELECT 'pq_codebook', CAST(${Mpq * Kpq} AS BIGINT)
-            |UNION ALL SELECT 'pq_codes', count(*) FROM embeddings
-            |ORDER BY artifact""".stripMargin))
-
-  /** Q127 — delta compaction: fold the append delta back into the base
-    * (one exchange over delta + touched lists, raw carry-over for the
-    * rest — see [[compact]]), then census the compacted index. Oracled
-    * on the same conservation law as q110/q113: compaction must neither
-    * drop nor duplicate a vector, and the trained artifacts keep their
-    * configured sizes (nothing retrains). The bench line prices the
-    * COMPACTION: base and delta are fixtures by the time it runs, the
-    * merge re-runs every invocation.
-    */
-  val q127: Q = Q(
-    "q127_ann_index_compact",
-    (s, d) => {
-      val dir = compact(s, d)
-      import s.implicits._
-      Seq("ivf_assignments", "ivf_centroids", "pq_codebook", "pq_codes")
-        .map(a => (a, s.read.parquet(s"$dir/$a").count()))
-        .toDF("artifact", "n_rows")
-        .orderBy("artifact")
-    },
-    Some(s"""SELECT 'ivf_assignments' AS artifact, count(*) AS n_rows FROM embeddings
-            |UNION ALL SELECT 'ivf_centroids', CAST($K AS BIGINT)
-            |UNION ALL SELECT 'pq_codebook', CAST(${Mpq * Kpq} AS BIGINT)
-            |UNION ALL SELECT 'pq_codes', count(*) FROM embeddings
-            |ORDER BY artifact""".stripMargin))
-
-  /** Q128 — continuous ingest: the 10% slice streamed through a
-    * checkpointed foreachBatch job in [[StreamFiles]] micro-batches,
-    * each landing as its own delta segment against the frozen base
-    * (see [[streamIngestInto]]); the census covers base + all streamed
-    * segments and is oracled on the same conservation law as
-    * q113/q127 — streaming ingest must neither drop nor duplicate a
-    * vector, and nothing retrains. The bench line prices the INGEST:
-    * each invocation streams into a fresh run root (fresh checkpoint),
-    * deleted after the eager census so /dev/shm never accumulates.
-    */
-  val q128: Q = Q(
-    "q128_ann_stream_ingest",
-    (s, d) => {
-      val base = shmDir(Tables.datasetTag(d) + "/stream_runs")
-      Afs.mkdirs(base)
-      // Unique run root by claim marker — the same exclusive-create
-      // primitive version allocation uses (portable where
-      // createTempDirectory is local-only).
-      var n = streamRunSeq.incrementAndGet()
-      var attempts = 0
-      while (!Afs.createExclusive(s"$base/run-$n._CLAIM")) {
-        n = streamRunSeq.incrementAndGet(); attempts += 1
-        // Same bounded-loop rule as publishVersion's claim loop.
-        if (attempts >= ClaimAttemptCap) throw new java.io.IOException(
-          s"stream-run claim loop lost $attempts consecutive claims under $base")
-      }
-      val root = s"$base/run-$n"
-      val rows = try {
-        val (baseDir, segs) = streamIngestInto(s, d, root)
-        // Same narrowing as q113's census: only an absent artifact
-        // (AnalysisException) counts as empty; real failures propagate.
-        def n(p: String): Long =
-          try s.read.parquet(p).count()
-          catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-        Seq(
-          ("ivf_assignments",
-            n(s"$baseDir/ivf_assignments") + segs.map(g => n(s"$g/ivf_assignments")).sum),
-          ("ivf_centroids", n(s"$baseDir/ivf_centroids")),
-          ("pq_codebook", n(s"$baseDir/pq_codebook")),
-          ("pq_codes",
-            n(s"$baseDir/pq_codes") + segs.map(g => n(s"$g/pq_codes")).sum))
-      } finally { Afs.delete(root); Afs.delete(s"$root._CLAIM") }
-      import s.implicits._
-      rows.toDF("artifact", "n_rows").orderBy("artifact")
-    },
-    Some(s"""SELECT 'ivf_assignments' AS artifact, count(*) AS n_rows FROM embeddings
-            |UNION ALL SELECT 'ivf_centroids', CAST($K AS BIGINT)
-            |UNION ALL SELECT 'pq_codebook', CAST(${Mpq * Kpq} AS BIGINT)
-            |UNION ALL SELECT 'pq_codes', count(*) FROM embeddings
-            |ORDER BY artifact""".stripMargin))
-
-  /** Q129 — tombstone deletes + delete-aware compaction: 10% of the
-    * corpus (split across base AND delta segments) is deleted via a
-    * tombstone segment (see [[writeTombstones]] — a delete is a write;
-    * the segment records each victim's cid so compaction knows its
-    * dirty lists without scanning any), then [[compactWithDeletes]]
-    * makes the drop physical. The census reads the compacted index and
-    * the oracle is EXACT: every surviving vector and no deleted one, in
-    * both the lists and the codes; trained artifacts keep their
-    * configured sizes (deletion never retrains). The bench line prices
-    * tombstone write + delete-compaction; base and delta are fixtures.
-    */
-  val q129: Q = Q(
-    "q129_ann_index_delete",
-    (s, d) => {
-      val dir = compactWithDeletes(s, d)
-      import s.implicits._
-      Seq("ivf_assignments", "ivf_centroids", "pq_codebook", "pq_codes")
-        .map(a => (a, s.read.parquet(s"$dir/$a").count()))
-        .toDF("artifact", "n_rows")
-        .orderBy("artifact")
-    },
-    Some(s"""SELECT 'ivf_assignments' AS artifact, count(*) AS n_rows
-            |  FROM embeddings WHERE vec_id % 20 NOT IN (3, 10)
-            |UNION ALL SELECT 'ivf_centroids', CAST($K AS BIGINT)
-            |UNION ALL SELECT 'pq_codebook', CAST(${Mpq * Kpq} AS BIGINT)
-            |UNION ALL SELECT 'pq_codes', count(*)
-            |  FROM embeddings WHERE vec_id % 20 NOT IN (3, 10)
-            |ORDER BY artifact""".stripMargin))
-
-  /** Q130 — metadata-filtered ANN serve: top-k among vectors with
-    * `label = 7` only (~10% selectivity), pre-filtered inside the
-    * pruned list scan (see [[ivfProbeFiltered]]). Approximate →
-    * rows-only driver check; AnnIndexSpec pins that every neighbor
-    * matches the predicate, that the surface stays full (k results per
-    * probe — post-filtering would under-fill), the recall floor vs the
-    * label-restricted exact truth, and the filter's pushdown into the
-    * list scan.
-    */
-  val q130: Q = Q(
-    "q130_ann_filtered_probe",
-    (s, d) => ivfProbeFiltered(s, d, col("label") === 7),
-    None)
-
-  /** Q131 — the PQ twin of q130: top-k among `label = 7` vectors only,
-    * pre-filtered inside the codes scan via the inline attribute (see
-    * [[pqProbeFiltered]] — lossless for PQ, so no nprobe-style widening
-    * exists or is needed). Approximate → rows-only driver check;
-    * AnnIndexSpec pins predicate purity, full surface, the recall floor
-    * vs the label-restricted exact truth, and the filter's pushdown
-    * into the codes scan.
-    */
-  val q131: Q = Q(
-    "q131_ann_pq_filtered_probe",
-    (s, d) => pqProbeFiltered(s, d, col("label") === 7),
-    None)
-
-  /** Q132 — the fully-distributed serve path priced as a registered
-    * query: a probe frame of 5 re-keyed corpus copies (LARGER than
-    * [[MaxProbes]] — the reindex-scoring shape the path exists for)
-    * served through [[ivfProbeDistributed]] as one lazy plan, probes
-    * never materialized on the driver (tiny/selective batches keep the
-    * pruned collected path). Approximate → rows-only driver check;
-    * AnnIndexSpec pins result equality with the batched path at 10k
-    * probes and the no-LocalTableScan plan.
-    */
-  val q132: Q = Q(
-    "q132_ann_distributed_probe",
-    (s, d) => {
-      val reps = 5
-      val probes = corpus(s, d)
-        .crossJoin(broadcast(s.range(reps).toDF("r")))
-        .select(((col("r") + 1) * lit(10000000L) + col("vec_id")).as("pid"),
-          col("e").as("pe"))
-      ivfProbeDistributed(s, d, probes)
-    },
-    None)
-
   /** Registered: ONLY the f3 build (q110) — it is the migration source
     * [[IvfPq.migrateFromF3]] converts (and q111 prices serving the
     * conversion's output). Every other ANN registry line converged on
-    * the composed f4 format in r14 (r13 verdict item 2): the q111–q132
-    * names are now registered by [[IvfPq.queries]] against the at-scale
-    * artifact. The f3 Q vals above and the f3 serve/lifecycle code in
-    * this file are QUARANTINED, not deleted: they are the
-    * spec-pinned reference implementations (AnnIndexSpec,
-    * AnnLifecycleSoakSpec, AnnRetrainSpec pin recall floors, plan
-    * shapes, LSM semantics and race behavior on them) and the
-    * migration-support surface — they are no longer priced by the
-    * bench and must not grow new features; new work lands on IvfPq.
+    * the composed f4 format in r14 (r13 verdict item 2) and the f3
+    * serve/LSM quarantine was DELETED in r15 (r14 verdict item 5):
+    * this file now carries only what q110, the migration path, and the
+    * f4 lifecycle share — trainers, encoders, version publication, the
+    * fold core, probe routing/collection, the ingest loop, and the
+    * retrain monitor. Their spec pins moved to the f4 twins
+    * (IvfPqSpec/IvfPqStreamSpec/AnnRetrainSpec/AnnLifecycleSoakSpec).
+    * New work lands on IvfPq.
     */
   val queries: Seq[Q] = Seq(q110)
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *   - `codes`/`qnorm` — the 32x-compressed PQ representation the ADC
   *     scoring stage scans;
   *   - `label` — the inline filterable attribute (predicates evaluate
-  *     inside the pruned scan, the [[AnnIndex.ivfProbeFiltered]] rule);
+  *     inside the pruned scan — pre-filter, never a post-top-k cut);
   *   - `e` — the stored true vector the exact-refine stage reads.
   *
   * plus the two O(k)/O(M·K) trained tables (`ivf_centroids`,
@@ -37,8 +37,8 @@ import org.apache.spark.sql.functions._
   *     path could never prune). The raw-vector copy itself remains BY
   *     DESIGN — the refine pool must read the segments' own stored
   *     vectors so upserted ids refine against their replacement
-  *     embeddings, never a stale corpus row (the [[AnnIndex
-  *     .pqProbeSegments]] rule).
+  *     embeddings, never a stale corpus row (the r12 lifecycle-serve
+  *     rule).
   *
   * Lifecycle: the full LSM composition is supported — delta segments
   * ([[appendSegment]]) assign+encode against the frozen base artifacts,
@@ -65,20 +65,57 @@ object IvfPq {
   private val ListCols: Seq[String] =
     Seq("cid", "vec_id", "label", "codes", "qnorm", "e")
 
+  // ---- PQ encoding mode (r14 verdict item 1: IVFADC) ---------------------
+
+  /** Marker file naming the artifact's PQ encoding space, written next
+    * to `ivfpq_lists`. Present with value `residual` → codes/codebook/
+    * qnorm live in the residual space (`e − centroid(cid)`,
+    * [[AnnIndex.pqEncodeResidual]]) and the serve paths add the
+    * per-(probe, routed-list) `dot(probe, centroid)` bias. ABSENT →
+    * raw-vector encoding, bias zero — which is exactly what
+    * [[migrateFromF3]]'s output is (f3 codes are raw by construction, and
+    * a one-pass migration must not re-encode), so a migrated index
+    * serves bit-correctly with no format flag day. Segments inherit the
+    * base's mode at encode time ([[segmentWriter]]/[[appendSegment]]);
+    * folds and rotations carry the marker verbatim like the trained
+    * tables.
+    */
+  private val PqModeFile = "_PQ_MODE"
+
+  private[ops] def residualMode(dir: String): Boolean =
+    Afs.exists(s"$dir/$PqModeFile") &&
+      Afs.readString(s"$dir/$PqModeFile").trim == "residual"
+
+  private def markResidual(dir: String): Unit =
+    Afs.writeString(s"$dir/$PqModeFile", "residual")
+
+  private def copyMode(from: String, to: String): Unit =
+    if (Afs.exists(s"$from/$PqModeFile"))
+      Afs.copyFile(s"$from/$PqModeFile", s"$to/$PqModeFile")
+
   // ---- build -----------------------------------------------------------
 
   /** Train + write the composed index for `embFrame` under `dir` (an
     * unpublished version dir — [[AnnIndex.publishVersion]] owns marker
-    * and pointer). Trainers are f3's verbatim ([[AnnIndex.trainIvf]],
-    * [[AnnIndex.trainPqCodebook]]); the one corpus-sized write joins the
-    * cid assignment with the code encoding on vec_id and clusters by cid
+    * and pointer). Trainers are f3's ([[AnnIndex.trainIvf]],
+    * [[AnnIndex.trainPqCodebook]]) with one IVFADC difference (r14
+    * verdict item 1): by default the PQ codebook is trained on — and the
+    * codes encode — the per-row RESIDUAL `e − centroid(cid)`
+    * ([[AnnIndex.pqEncodeResidual]]), which concentrates the quantizer's
+    * whole budget on within-list variance at identical code bytes; the
+    * [[PqModeFile]] marker records the space so every serve path scores
+    * it correctly. `residual = false` reproduces the raw-vector encoding
+    * (the f3-compatible space a migration lands in — IvfPqMigrateSpec's
+    * cross-check hook). The one corpus-sized write joins the cid
+    * assignment with the code encoding on vec_id and clusters by cid
     * before the partitioned write (one exchange, one file per list —
     * the q110 small-files rule). Lists sort by vec_id within each
     * partition so row-group stats support id-ranged reads.
     */
   private[ops] def writeComposed(s: SparkSession, embFrame: DataFrame,
       dir: String,
-      writeOptsFor: String => Map[String, String] = _ => Map.empty): Unit = {
+      writeOptsFor: String => Map[String, String] = _ => Map.empty,
+      residual: Boolean = true): Unit = {
     val emb = embFrame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val centroids = AnnIndex.trainIvf(emb, K, LloydSteps)
@@ -89,15 +126,23 @@ object IvfPq {
       centDf.coalesce(1).write.mode("overwrite")
         .options(writeOptsFor("ivf_centroids"))
         .parquet(s"$dir/ivf_centroids")
-      val cb = AnnIndex.trainPqCodebook(s, emb, AnnIndex.pqSliced(emb))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = AnnIndex.assignCids(emb, centroids)
+      val trainFrame =
+        if (!residual) emb
+        else AnnIndex.residualFrame(assigned, centroids)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        cb.coalesce(1).write.mode("overwrite")
-          .options(writeOptsFor("pq_codebook"))
-          .parquet(s"$dir/pq_codebook")
-        writeLists(AnnIndex.assignCids(emb, centroids), cb,
-          s"$dir/ivfpq_lists", writeOptsFor("ivfpq_lists"))
-      } finally cb.unpersist(): Unit
+        val cb = AnnIndex.trainPqCodebook(s, trainFrame, AnnIndex.pqSliced(trainFrame))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          cb.coalesce(1).write.mode("overwrite")
+            .options(writeOptsFor("pq_codebook"))
+            .parquet(s"$dir/pq_codebook")
+          writeLists(assigned, cb, if (residual) Some(centroids) else None,
+            s"$dir/ivfpq_lists", writeOptsFor("ivfpq_lists"))
+          if (residual) markResidual(dir)
+        } finally cb.unpersist(): Unit
+      } finally if (residual) trainFrame.unpersist(): Unit
     } finally emb.unpersist(): Unit
   }
 
@@ -119,15 +164,19 @@ object IvfPq {
       .parquet(out)
 
   /** One composed-list write for a frame already carrying `cid` —
-    * shared by full builds and delta segments.
+    * shared by full builds and delta segments. `residCents` defined →
+    * residual (IVFADC) encoding against those centroids; None → raw.
     */
-  private def writeLists(assigned: DataFrame, cb: DataFrame, out: String,
-      writeOpts: Map[String, String] = Map.empty): Unit =
-    writeListRows(
-      assigned.join(
-        AnnIndex.pqEncode(assigned.select(col("vec_id"), col("e")), cb),
-        Seq("vec_id")),
-      out, writeOpts)
+  private def writeLists(assigned: DataFrame, cb: DataFrame,
+      residCents: Option[Seq[(Int, Seq[Double])]], out: String,
+      writeOpts: Map[String, String] = Map.empty): Unit = {
+    val enc = residCents match {
+      case Some(cents) => AnnIndex.pqEncodeResidual(
+        assigned.select(col("vec_id"), col("e"), col("cid")), cents, cb)
+      case None => AnnIndex.pqEncode(assigned.select(col("vec_id"), col("e")), cb)
+    }
+    writeListRows(assigned.join(enc, Seq("vec_id")), out, writeOpts)
+  }
 
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -150,11 +199,14 @@ object IvfPq {
   }
 
   /** Build the composed index for an explicit (vec_id, e, label) frame
-    * under `root` — the lifecycle/spec entry point.
+    * under `root` — the lifecycle/spec entry point. `residual = false`
+    * builds in the raw-vector space (what [[migrateFromF3]] output is —
+    * the migrate spec's cross-check hook).
     */
-  private[graft] def buildFrom(s: SparkSession, emb: DataFrame, root: String): String = {
+  private[graft] def buildFrom(s: SparkSession, emb: DataFrame, root: String,
+      residual: Boolean = true): String = {
     GraftFunctions.register(s)
-    AnnIndex.publishVersion(root)(writeComposed(s, emb, _))
+    AnnIndex.publishVersion(root)(writeComposed(s, emb, _, residual = residual))
   }
 
   // ---- encrypted artifacts (r12 verdict item 3) -------------------------
@@ -262,12 +314,18 @@ object IvfPq {
   private[graft] def probeSegments(s: SparkSession, roots: Seq[String],
       probeDf: DataFrame, tss: Seq[(DataFrame, Int)] = Nil,
       attrFilter: Option[Column] = None,
-      readOpts: Map[String, String] = Map.empty): DataFrame = {
+      readOpts: Map[String, String] = Map.empty,
+      nprobeOverride: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(s)
-    val nprobe = if (attrFilter.isDefined) FilteredNprobe else Nprobe
+    // The override is a measurement hook (AnnRetrainSpec probes at
+    // nprobe=1, where a routing-boundary split is sharpest); production
+    // callers take the default pair.
+    val nprobe = nprobeOverride.getOrElse(
+      if (attrFilter.isDefined) FilteredNprobe else Nprobe)
     val cents = AnnIndex.readCentroids(s, roots.head, readOpts)
     val cb = AnnIndex.readCodebook(s, roots.head, readOpts)
+    val residual = residualMode(roots.head)
     val probes = AnnIndex.collectProbes(probeDf)
     val routed = AnnIndex.routeProbes(s, probes, cents, nprobe)
     val neededCids = routed.map(_._4).distinct.sorted
@@ -288,11 +346,24 @@ object IvfPq {
     // (one row per (ord, cid)) and the fat per-probe LUTs (one row per
     // probe) — duplicating each probe's Mpq·Kpq-double LUT once per
     // routed cid would make the broadcast nprobe-fold larger for
-    // nothing.
+    // nothing. Residual mode rides the pair with its `cbias` =
+    // dot(probe, centroid(cid)): the reconstruction is centroid +
+    // decoded residual, so the quantized dot decomposes as this bias
+    // plus the unchanged LUT sum (ascending-index loop, matching the
+    // distributed path's dot_product kernel bit-for-bit).
+    val centMap = cents.toMap
+    def biasOf(pe: Seq[Double], cid: Int): Double =
+      if (!residual) 0.0
+      else {
+        val cv = centMap(cid)
+        var acc = 0.0; var i = 0
+        while (i < cv.length) { acc += pe(i) * cv(i); i += 1 }
+        acc
+      }
     val routedPairs = {
       import s.implicits._
-      routed.map { case (ord, pid, _, cid) => (ord, pid, cid) }
-        .toDF("__ord", "probe_id", "cid")
+      routed.map { case (ord, pid, pe, cid) => (ord, pid, cid, biasOf(pe, cid)) }
+        .toDF("__ord", "probe_id", "cid", "cbias")
     }
     val lutDf = {
       import s.implicits._
@@ -310,7 +381,8 @@ object IvfPq {
     val scored = codes.join(broadcast(routedPairs), Seq("cid"))
       .filter(col("vec_id") =!= col("probe_id"))
       .join(broadcast(lutDf), Seq("__ord"))
-      .withColumn("qdot", GraftFunctions.adcDot(col("lut"), col("codes"), Kpq))
+      .withColumn("qdot",
+        GraftFunctions.adcDot(col("lut"), col("codes"), Kpq) + col("cbias"))
       .withColumn("qcos", col("qdot") / (col("pnorm") * col("qnorm")))
     val wPool = Window.partitionBy("__ord").orderBy(col("qcos").desc, col("vec_id").asc)
     val pool = scored
@@ -433,6 +505,13 @@ object IvfPq {
     * with the unpruned plan and the partition-filter plan shape are
     * spec-pinned (IvfPqSpec).
     */
+  /** Wall seconds of the LAST distributed serve's eager probe
+    * checkpoint (the extra probe-sized job the r14 deadlock fix costs)
+    * — read by the bench diag right after a timed serve to attribute
+    * the serve wall. Measurement plumbing, not serving state.
+    */
+  @volatile private[graft] var lastCheckpointSec: Double = 0.0
+
   private[graft] def probeDistributedSegments(s: SparkSession,
       roots: Seq[String], probeDf: DataFrame,
       tss: Seq[(DataFrame, Int)] = Nil,
@@ -465,8 +544,14 @@ object IvfPq {
     // exist. Cost: plan-only consumers (.explain, plan pins) now pay
     // one probe-sized job — correctness over that micro-saving. Blocks
     // are still released by the ContextCleaner when the returned
-    // frame's plan is garbage-collected.
+    // frame's plan is garbage-collected. The materialization wall is
+    // recorded in [[lastCheckpointSec]] so the bench diag can attribute
+    // how much of a distributed-serve wall is this extra probe-sized
+    // job (r14 verdict item 3 — q132's wall moved when the checkpoint
+    // went eager, and the attribution must be measurable, not argued).
+    val ckptT0 = System.nanoTime()
     val probes = AnnIndex.probesWithOrdinal(probeDf).localCheckpoint(true)
+    lastCheckpointSec = (System.nanoTime() - ckptT0) / 1e9
     val routed = AnnIndex.routeDistributed(s, probes, cents, nprobe)
     // The opt-in static prune runs the routing stage once eagerly (the
     // localCheckpoint'd probes make the re-derivation in the serve plan
@@ -491,12 +576,34 @@ object IvfPq {
     // reindex scale the exchange is free: it is exactly the
     // hashpartitioning a shuffle join on cid requires, so the join
     // reuses it instead of adding its own.
-    val probeSide = routed
+    // Residual mode: the per-(probe row, routed list) bias is
+    // dot(pe, centroid(cid)), computed with the same ascending-index
+    // kernel as the collected path's driver loop so qcos stays
+    // bit-identical between the paths. k-thresholded like every other
+    // centroid-table consumer: at demo k the table is a LITERAL MAP
+    // baked into the expression (no join, no LocalTableScan — the
+    // probes-stay-distributed plan pin); past [[AnnIndex
+    // .LiteralAssignMaxK]] it becomes the broadcast routing table every
+    // high-k assignment already ships once per job. Raw mode adds a 0.0
+    // literal, exactly as the collected path does.
+    val residual = residualMode(roots.head)
+    val routedBias =
+      if (!residual) routed.withColumn("cbias", lit(0.0))
+      else if (cents.size <= AnnIndex.LiteralAssignMaxK)
+        routed.withColumn("cbias", GraftFunctions.dotProduct(col("pe"),
+          element_at(typedLit(cents.toMap), col("cid"))))
+      else {
+        val centDf = { import s.implicits._; cents.toDF("cid", "cv") }
+        routed.join(broadcast(centDf), Seq("cid"))
+          .withColumn("cbias", GraftFunctions.dotProduct(col("pe"), col("cv")))
+      }
+    val probeSide = routedBias
       .withColumn("lut",
         GraftFunctions.pqLut(col("pe"), lit(cbFlat), Kpq, Sub))
       .withColumn("pnorm",
         sqrt(GraftFunctions.dotProduct(col("pe"), col("pe"))))
-      .select(col("__pord"), col("pid"), col("cid"), col("lut"), col("pnorm"))
+      .select(col("__pord"), col("pid"), col("cid"), col("lut"), col("pnorm"),
+        col("cbias"))
       .repartition(col("cid"))
     val codes = AnnIndex.maskedUnion(s, roots, "ivfpq_lists",
       Seq(col("cid"), col("vec_id"), col("codes"), col("qnorm")), tss,
@@ -504,7 +611,8 @@ object IvfPq {
       readOpts = readOpts)
     val scored = codes.join(probeSide, Seq("cid"))
       .filter(col("vec_id") =!= col("pid"))
-      .withColumn("qdot", GraftFunctions.adcDot(col("lut"), col("codes"), Kpq))
+      .withColumn("qdot",
+        GraftFunctions.adcDot(col("lut"), col("codes"), Kpq) + col("cbias"))
       .withColumn("qcos", col("qdot") / (col("pnorm") * col("qnorm")))
       .select(col("__pord"), col("pid"), col("vec_id"), col("qcos"))
     val wPool = Window.partitionBy("__pord").orderBy(col("qcos").desc, col("vec_id").asc)
@@ -569,6 +677,10 @@ object IvfPq {
     * index at `baseDir`: cid assignment against the base centroids and
     * code encoding against the base codebook are pure scan-stage argmins
     * over the batch — no Lloyd, no training (q113's append discipline).
+    * The segment inherits the base's PQ encoding space (residual bases
+    * encode the batch's residuals against the SAME frozen centroids the
+    * base codebook was trained on) and carries the mode marker so the
+    * composed artifact set never mixes spaces.
     */
   private[ops] def appendSegment(s: SparkSession, baseDir: String,
       batch: DataFrame, root: String,
@@ -577,8 +689,11 @@ object IvfPq {
     AnnIndex.publishVersion(root) { vdir =>
       val cents = AnnIndex.readCentroids(s, baseDir, rOpts(crypto))
       val cb = s.read.options(rOpts(crypto)).parquet(s"$baseDir/pq_codebook")
+      val residual = residualMode(baseDir)
       writeLists(AnnIndex.assignCids(batch, cents), cb,
+        if (residual) Some(cents) else None,
         s"$vdir/ivfpq_lists", wOpts(crypto, "ivfpq_lists"))
+      if (residual) markResidual(vdir)
     }
   }
 
@@ -601,11 +716,12 @@ object IvfPq {
         rOpts(crypto), wOpts(crypto, "ivfpq_lists")): Unit
       Afs.copyTree(s"$baseDir/ivf_centroids", s"$vdir/ivf_centroids")
       Afs.copyTree(s"$baseDir/pq_codebook", s"$vdir/pq_codebook")
+      copyMode(baseDir, vdir)
     }
   }
 
   /** The drift-triggered maintenance pass over a composed LSM state —
-    * [[AnnIndex.maintain]]'s three steps on the f4 artifact: fold and
+    * three steps on the f4 artifact: fold and
     * publish; drift-check the fold's own stored assignments (no
     * re-assignment pass); retrain from the folded live set behind the
     * same CURRENT pointer only when the monitor fires.
@@ -634,42 +750,38 @@ object IvfPq {
     * bookkeeping, over the same [[AnnIndex.servingStateOf]] reader view.
     *
     * `tsPending` (r13 verdict item 4) folds enqueued tombstone segments
-    * ([[enqueueTombstones]]) physically, under the LSM recency-boundary
-    * rule: each entry is (name, frame(vec_id, cid, e), boundary,
-    * enqueue-time base) and masks exactly the fold positions < boundary
-    * in [base] ++ segDirs. Consumed tombstones are recorded in the
-    * manifest as `ts:<name>` lines so the reader view stops masking
-    * them (the fold made the drop physical). A tombstone whose
-    * enqueue-time base is NOT this fold's base (a retrain moved the
-    * centroid space in between — only possible for an out-of-loop
-    * enqueue racing a fold) has stale recorded cids; its victims'
-    * stored embeddings re-resolve against the current base, so the
-    * touched-list set stays exact and no victim can ghost through an
-    * untouched-list carry-over.
+    * ([[enqueueTombstones]]) physically: each pending tombstone's
+    * identity-recorded coverage resolves to an exact (mask, boundary)
+    * against THIS fold's [base] ++ segDirs ordering via
+    * [[resolveTombstoneMask]] — stale-base tombstones (an out-of-loop
+    * enqueue racing an interleaved fold) re-resolve victim cids against
+    * the current centroids and exempt re-adds the interleaved fold
+    * absorbed, so no newer upsert is ever physically dropped and no
+    * victim can ghost through an untouched-list carry-over. Consumed
+    * tombstones are recorded in the manifest as `ts:<name>` lines so
+    * the reader view stops masking them (the fold made the drop
+    * physical).
     */
   private[ops] def maintainWithManifest(s: SparkSession, baseDir: String,
       segDirs: Seq[String], outRoot: String, alreadyFolded: Seq[String],
       crypto: Option[IndexCrypto] = None,
-      tsPending: Seq[(String, DataFrame, Int, String)] = Nil): AnnIndex.MaintainResult = {
+      tsPending: Seq[PendingTombstone] = Nil,
+      segRoot: String = ""): AnnIndex.MaintainResult = {
     GraftFunctions.register(s)
     val name = (p: String) => new org.apache.hadoop.fs.Path(p).getName
     val manifest = (alreadyFolded ++ segDirs.map(name) ++
-      tsPending.map("ts:" + _._1)).mkString("\n")
+      tsPending.map("ts:" + _.name)).mkString("\n")
     def stamp(vdir: String): Unit = Afs.writeString(s"$vdir/_SEGMENTS", manifest)
-    val tss: Seq[(DataFrame, Int)] = tsPending.map { case (_, df, bnd, tsBase) =>
-      val resolved =
-        if (tsBase == baseDir) df.select(col("vec_id"), col("cid"))
-        else AnnIndex.assignCids(df.select(col("vec_id"), col("e")),
-          AnnIndex.readCentroids(s, baseDir, rOpts(crypto)))
-          .select(col("vec_id"), col("cid"))
-      (resolved, bnd)
-    }
+    val tss: Seq[(DataFrame, Int)] = tsPending.map(ts =>
+      resolveTombstoneMask(s, baseDir, segDirs, segRoot, ts, crypto,
+        needCids = true))
     val folded = AnnIndex.publishVersion(outRoot) { v =>
       AnnIndex.foldPartitionedArtifact(s, baseDir, segDirs, tss,
         "ivfpq_lists", ListCols, sortInPartitions = true, v,
         rOpts(crypto), wOpts(crypto, "ivfpq_lists")): Unit
       Afs.copyTree(s"$baseDir/ivf_centroids", s"$v/ivf_centroids")
       Afs.copyTree(s"$baseDir/pq_codebook", s"$v/pq_codebook")
+      copyMode(baseDir, v)
       stamp(v)
     }
     val lists = s.read.options(rOpts(crypto)).parquet(s"$folded/ivfpq_lists")
@@ -715,9 +827,36 @@ object IvfPq {
         b => AnnIndex.readCentroids(ss, b, rOpts(crypto)))
       val cb = ss.read.options(rOpts(crypto))
         .parquet(s"$artifactBase/pq_codebook")
+      val residual = residualMode(artifactBase)
       writeLists(AnnIndex.assignCids(df, cents), cb,
+        if (residual) Some(cents) else None,
         s"$seg/ivfpq_lists", wOpts(crypto, "ivfpq_lists"))
+      if (residual) markResidual(seg)
     }
+
+  /** Land ONE complete delta segment under an ingest root's
+    * `segments/` dir without the streaming loop — the batch caller's
+    * spelling of what each micro-batch does: encode against the CURRENT
+    * serving base's trained tables, mark `_COMPLETE` last. `segName`
+    * must follow the `b<n>` batch-order convention (segment order is
+    * LSM recency order). This is also the race-spec's hook: it lets a
+    * test interleave out-of-loop enqueues, folds, and segment landings
+    * deterministically.
+    */
+  private[ops] def landSegment(s: SparkSession, baseDir: String,
+      root: String, segName: String, batch: DataFrame,
+      crypto: Option[IndexCrypto] = None): String = {
+    GraftFunctions.register(s)
+    val (artifactBase, _, _) =
+      AnnIndex.servingStateOf(baseDir, s"$root/segments", s"$root/maint")
+    val seg = s"$root/segments/$segName"
+    Afs.delete(s"$seg/_COMPLETE")
+    segmentWriter(crypto,
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]())(
+      s, batch, artifactBase, seg)
+    Afs.touch(s"$seg/_COMPLETE")
+    seg
+  }
 
   private[ops] def streamIngestWithMaintain(s: SparkSession, baseDir: String,
       src: DataFrame, root: String, nFiles: Int, every: Int,
@@ -737,7 +876,12 @@ object IvfPq {
         val foldedTs = already.filter(_.startsWith("ts:"))
           .map(_.stripPrefix("ts:")).toSet
         maintainWithManifest(ss, curBase, unfolded, maintRoot, already,
-          crypto, pendingTombstones(ss, root, foldedTs, crypto)): Unit
+          crypto, pendingTombstones(ss, root, foldedTs, crypto),
+          segRoot = s"$root/segments"): Unit
+        // Every fold is also the GC point: consumed tombstone dirs and
+        // absorbed segment dirs past grace are dead weight (r14 verdict
+        // item 4 — a long-running ingest root must stay bounded).
+        gcIngestRoot(ss, root, baseDir, crypto)
       },
       afterBatch = afterBatch): Unit
     val (b, unfolded, _) =
@@ -754,10 +898,9 @@ object IvfPq {
     * CURRENT serving base (so the next fold knows its dirty lists
     * without scanning any) plus their stored embedding (so a fold whose
     * base moved in between — a retrain — can re-resolve instead of
-    * trusting a stale cid), and a recency BOUNDARY = 1 + the number of
-    * complete unfolded segments at enqueue time: the tombstone masks
-    * the serving base and every segment already landed, and nothing
-    * that lands after it — so a later micro-batch re-adding the same
+    * trusting a stale cid), and its COVERAGE: the tombstone masks the
+    * serving base and every segment already landed, and nothing that
+    * lands after it — so a later micro-batch re-adding the same
     * vec_id (an upsert) serves its fresh copy, the standard LSM
     * sequencing rule. A delete is a WRITE: nothing in the index
     * mutates, the serve path masks ([[servingView]]) until the next
@@ -765,17 +908,30 @@ object IvfPq {
     * `_COMPLETE` lands last, so a reader never sees a partial
     * tombstone; with `crypto` the victims' embeddings are encrypted
     * under the `ivfpq_tombstones` policy like every other derived form.
-    * Call between folds (the in-loop [[AnnIndex.streamIngestCore]]
-    * `afterBatch` hook runs on the stream thread, which serializes by
-    * construction); an out-of-loop enqueue racing a fold is still safe
-    * — worst case its base is stale and the next fold re-resolves.
+    *
+    * The tombstone's coverage is recorded by IDENTITY, never by
+    * position (r14 ADVICE): `_BASE` names the serving base and `_SEGS`
+    * names the complete unfolded segments at enqueue time — exactly the
+    * state the delete logically precedes. A positional boundary (the
+    * pre-r15 encoding) goes stale the moment an intervening fold
+    * reshapes the [base] ++ segments ordering: positions 1..b-1 of the
+    * NEW ordering can be segments that landed long after the enqueue,
+    * and masking them physically dropped a newer upsert of the same
+    * vec_id. [[resolveTombstoneMask]] translates the identity record
+    * into an exact mask against whatever ordering the consuming fold or
+    * reader view sees. Call between folds (the in-loop
+    * [[AnnIndex.streamIngestCore]] `afterBatch` hook runs on the stream
+    * thread, which serializes by construction); an out-of-loop enqueue
+    * racing a fold stays exact — the resolver re-derives cids against
+    * the moved base, and the [[resolveTombstoneMask]] ordering
+    * contracts guarantee (fail-loud) that nothing newer than the
+    * delete is ever masked.
     */
   def enqueueTombstones(s: SparkSession, baseDir: String, root: String,
       victims: DataFrame, crypto: Option[IndexCrypto] = None): String = {
     GraftFunctions.register(s)
     val (curBase, unfolded, _) =
       AnnIndex.servingStateOf(baseDir, s"$root/segments", s"$root/maint")
-    val boundary = 1 + unfolded.size
     val tsRoot = s"$root/tsq"
     Afs.mkdirs(tsRoot)
     var n = tsSeq.incrementAndGet()
@@ -792,19 +948,27 @@ object IvfPq {
       .coalesce(1).write.mode("overwrite")
       .options(wOpts(crypto, "ivfpq_tombstones"))
       .parquet(s"$dir/tombstones")
-    Afs.writeString(s"$dir/_BOUNDARY", boundary.toString)
+    val name = (p: String) => new org.apache.hadoop.fs.Path(p).getName
+    Afs.writeString(s"$dir/_SEGS", unfolded.map(name).mkString("\n"))
     Afs.writeString(s"$dir/_BASE", curBase)
     Afs.touch(s"$dir/_COMPLETE")
     dir
   }
 
+  /** A complete, not-yet-consumed tombstone segment: its queue name,
+    * the (vec_id, cid, e) victim frame, and its enqueue-time coverage —
+    * serving base + unfolded segment NAMES (see [[enqueueTombstones]]).
+    */
+  private[ops] final case class PendingTombstone(name: String,
+      frame: DataFrame, segNames: Set[String], base: String)
+
   /** Complete tombstone segments under `root/tsq` not yet consumed by a
     * fold (the fold records consumed ones as `ts:` manifest lines), in
-    * enqueue order: (name, frame, boundary, enqueue-time base).
+    * enqueue order.
     */
   private[ops] def pendingTombstones(s: SparkSession, root: String,
       foldedTs: Set[String], crypto: Option[IndexCrypto])
-      : Seq[(String, DataFrame, Int, String)] = {
+      : Seq[PendingTombstone] = {
     val tsRoot = s"$root/tsq"
     Afs.listStatus(tsRoot)
       .filter(st => st.isDirectory && Afs.exists(s"${st.getPath}/_COMPLETE"))
@@ -812,11 +976,165 @@ object IvfPq {
       .map(_.getPath.toString)
       .filterNot(p => foldedTs.contains(new org.apache.hadoop.fs.Path(p).getName))
       .map { p =>
-        (new org.apache.hadoop.fs.Path(p).getName,
+        PendingTombstone(
+          new org.apache.hadoop.fs.Path(p).getName,
           s.read.options(rOpts(crypto)).parquet(s"$p/tombstones"),
-          Afs.readString(s"$p/_BOUNDARY").trim.toInt,
+          Afs.readString(s"$p/_SEGS").split("\n").filter(_.nonEmpty).toSet,
           Afs.readString(s"$p/_BASE").trim)
       }
+  }
+
+  /** Segment names a fold manifest records (its `ts:` lines are
+    * tombstones, not segments); an absent manifest — the original build
+    * base — contains none.
+    */
+  private def manifestSegs(dir: String): Set[String] =
+    if (!Afs.exists(s"$dir/_SEGMENTS")) Set.empty[String]
+    else Afs.readString(s"$dir/_SEGMENTS").split("\n")
+      .filter(n => n.nonEmpty && !n.startsWith("ts:")).toSet
+
+  /** Translate a pending tombstone's enqueue-time coverage into an
+    * exact (mask frame, recency boundary) against the CURRENT
+    * [baseDir] ++ segDirs ordering — the r14 ADVICE fix: coverage is
+    * segment IDENTITY, never position.
+    *
+    *   - '''Segments''': masked iff named in the tombstone's `_SEGS` —
+    *     always a PREFIX of the batch-ordered segDirs (segments land
+    *     serially and folds consume prefixes; enforced fail-loud), so
+    *     the identity set translates losslessly to the positional
+    *     boundary [[AnnIndex.maskedUnion]]/lsmAnti expect. A segment
+    *     that landed after the enqueue is NEVER masked, whatever
+    *     position it now occupies.
+    *   - '''Base''': always covered (position 0 — the enqueue-time
+    *     base's content is inside every later fold). When the base
+    *     MOVED since the enqueue (an out-of-loop enqueue racing a
+    *     fold), recorded cids are re-resolved from the victims' stored
+    *     embeddings against the current centroids (`needCids`, fold
+    *     path only — a retrain may have moved the space).
+    *
+    * Two ordering contracts make the identity translation exact, and
+    * their violation is detected and FAILED LOUD rather than repaired:
+    *
+    *   1. ''Folds snapshot segments BEFORE listing tombstones'' (the
+    *      loop's `maintainStep` order) — so a fold that missed a
+    *      tombstone absorbed only segments complete before that
+    *      tombstone's enqueue-time listing, i.e. segments the tombstone
+    *      already covers.
+    *   2. ''A re-add of a deleted vec_id lands only after the covering
+    *      tombstone's `_COMPLETE`'' (the upsert pairing discipline the
+    *      lifecycle soak exercises) — so a post-enqueue re-add can
+    *      never be absorbed by a fold that missed the tombstone.
+    *
+    * Under the contracts, every segment an interleaved fold absorbed
+    * without consuming this tombstone is covered by it, so masking the
+    * moved base masks exactly the victims' OLD copies and nothing
+    * newer. If an absorbed-but-uncovered segment exists AND holds a
+    * victim's vec_id, the old and new copies are already merged inside
+    * the base with row provenance gone — no mask can drop one and keep
+    * the other, so the resolver throws instead of silently un-deleting
+    * (keeping both = duplicate) or blanket-masking (dropping the
+    * fresher copy — the r14 ADVICE bug). The check reads exactly those
+    * absorbed segments' ids from `segRoot`; the dirs are
+    * grace-protected ([[gcIngestRoot]] sweeps only past
+    * [[AnnIndex.RetireGraceMs]] and never under a pending tombstone),
+    * the same in-flight-reader contract as version retirement.
+    */
+  private[ops] def resolveTombstoneMask(s: SparkSession, baseDir: String,
+      segDirs: Seq[String], segRoot: String, ts: PendingTombstone,
+      crypto: Option[IndexCrypto], needCids: Boolean): (DataFrame, Int) = {
+    val name = (p: String) => new org.apache.hadoop.fs.Path(p).getName
+    val prefix = segDirs.takeWhile(p => ts.segNames.contains(name(p)))
+    require(segDirs.drop(prefix.size).forall(p => !ts.segNames.contains(name(p))),
+      s"tombstone ${ts.name} covers a non-prefix of the current segment " +
+        s"order (${segDirs.map(name).mkString(",")} vs ${ts.segNames
+          .mkString(",")}) — the serial segment-landing invariant broke")
+    val boundary = 1 + prefix.size
+    val frame =
+      if (ts.base == baseDir) ts.frame
+      else {
+        // A retired enqueue-time base would make manifestSegs read ∅ —
+        // indistinguishable from "the original build base" — and every
+        // segment the base EVER absorbed would wrongly count as
+        // post-enqueue, exempting long-deleted victims that re-appear
+        // in any old segment. Grace protects the dir; a violation must
+        // fail loud, not quietly un-delete.
+        require(Afs.exists(ts.base),
+          s"tombstone ${ts.name}'s enqueue-time base ${ts.base} was " +
+            "retired before the tombstone was consumed — RetireGraceMs " +
+            "must exceed the enqueue-to-fold window")
+        val resolved =
+          if (!needCids) ts.frame
+          else AnnIndex.assignCids(ts.frame.select(col("vec_id"), col("e")),
+            AnnIndex.readCentroids(s, baseDir, rOpts(crypto)))
+        val absorbedUncovered =
+          (manifestSegs(baseDir) -- manifestSegs(ts.base) -- ts.segNames)
+            .toSeq.sorted
+        if (absorbedUncovered.nonEmpty) {
+          // Contract check (scaladoc above): legal under contract 1
+          // only for segments that raced the enqueue's own listing —
+          // and then contract 2 guarantees none holds a victim id. A
+          // victim id here means merged old+new copies: unrecoverable,
+          // fail loud.
+          val segIds = absorbedUncovered.map { n =>
+            val p = s"$segRoot/$n/ivfpq_lists"
+            require(Afs.exists(p),
+              s"tombstone ${ts.name} predates a fold that absorbed segment " +
+                s"$n, already swept — RetireGraceMs must exceed the " +
+                "enqueue-to-fold window")
+            s.read.options(rOpts(crypto)).parquet(p).select(col("vec_id"))
+          }.reduce(_ unionAll _)
+          val merged = resolved.join(segIds, Seq("vec_id"), "left_semi")
+            .select("vec_id").limit(5).collect().map(_.get(0))
+          require(merged.isEmpty,
+            s"tombstone ${ts.name}: victim ids ${merged.mkString(",")} were " +
+              s"re-added in segments (${absorbedUncovered.mkString(",")}) a " +
+              "fold absorbed without consuming the tombstone — the " +
+              "re-add-after-delete pairing discipline (re-add lands only " +
+              "after the tombstone's _COMPLETE) was violated; old and new " +
+              "copies are merged and cannot be separated")
+        }
+        resolved
+      }
+    (frame.select(
+      (col("vec_id") +: (if (needCids) Seq(col("cid")) else Nil)): _*),
+      boundary)
+  }
+
+  /** Bounded-garbage sweep for a live ingest root (r14 verdict item 4):
+    * once a fold has consumed a tombstone (a `ts:` line in the CURRENT
+    * fold's manifest) or absorbed a segment (its name in that
+    * manifest), the dir under `tsq/` / `segments/` is dead weight —
+    * readers resolve the fold and never look at it again — EXCEPT for
+    * (a) in-flight readers that resolved the pre-fold view, covered by
+    * the same [[AnnIndex.RetireGraceMs]] window as version retirement,
+    * and (b) a pending stale-base tombstone's contract check, which
+    * must read absorbed segments ([[resolveTombstoneMask]]) — so the
+    * sweep additionally refuses to run while ANY tombstone is pending.
+    * Small files are the 100 TB operational tax: without this sweep a
+    * long-running ingest root accumulates one dead dir per consumed
+    * batch and per consumed delete, without bound. Runs at every fold
+    * (the loop's `maintainStep`); callers owning out-of-loop roots can
+    * invoke it at their own cadence.
+    */
+  private[ops] def gcIngestRoot(s: SparkSession, root: String,
+      baseDir: String, crypto: Option[IndexCrypto] = None): Unit = {
+    val (_, _, already) =
+      AnnIndex.servingStateOf(baseDir, s"$root/segments", s"$root/maint")
+    val foldedTs = already.filter(_.startsWith("ts:"))
+      .map(_.stripPrefix("ts:")).toSet
+    if (pendingTombstones(s, root, foldedTs, crypto).nonEmpty) return
+    val foldedSegs = already.filterNot(_.startsWith("ts:")).toSet
+    val now = System.currentTimeMillis()
+    def ripe(p: String): Boolean = Afs.exists(s"$p/_COMPLETE") &&
+      Afs.mtime(s"$p/_COMPLETE").forall(t => now - t >= AnnIndex.RetireGraceMs)
+    Afs.listStatus(s"$root/segments")
+      .filter(st => st.isDirectory && foldedSegs.contains(st.getPath.getName))
+      .map(_.getPath.toString).filter(ripe)
+      .foreach(Afs.delete)
+    Afs.listStatus(s"$root/tsq")
+      .filter(st => st.isDirectory && foldedTs.contains(st.getPath.getName))
+      .map(_.getPath.toString).filter(ripe)
+      .foreach { p => Afs.delete(p); Afs.delete(s"$p._CLAIM") }
   }
 
   /** The full reader view of an ingest root: (serving base — latest
@@ -834,8 +1152,13 @@ object IvfPq {
       AnnIndex.servingStateOf(baseDir, s"$root/segments", s"$root/maint")
     val foldedTs = already.filter(_.startsWith("ts:"))
       .map(_.stripPrefix("ts:")).toSet
+    // Identity-resolved masks (r14 ADVICE): a pending tombstone whose
+    // base moved (fold raced the enqueue) must not transiently mask
+    // segments that landed after it — the reader view applies the same
+    // exact translation (and contract checks) the consuming fold will.
     val pend = pendingTombstones(s, root, foldedTs, crypto)
-      .map { case (_, df, bnd, _) => (df.select(col("vec_id")), bnd) }
+      .map(ts => resolveTombstoneMask(s, b, unfolded, s"$root/segments",
+        ts, crypto, needCids = false))
     (b, unfolded, pend)
   }
 
@@ -1009,6 +1332,10 @@ object IvfPq {
       // their roots separately if the interval matters.
       if (Afs.exists(s"$cur/_SEGMENTS"))
         Afs.copyFile(s"$cur/_SEGMENTS", s"$vdir/_SEGMENTS")
+      // The PQ-mode marker is part of the artifact's meaning (which
+      // space the codes/qnorm live in) — a rotation that dropped it
+      // would silently flip a residual index to raw scoring.
+      copyMode(cur, vdir)
       // Verify ALL THREE artifacts before the flip, through FRESH
       // unwraps (the read-side KEK cache would otherwise satisfy this
       // from pre-rotation entries): every rewrite must decrypt and hold
@@ -1062,8 +1389,12 @@ object IvfPq {
     * partition dirs independently — per-dir rotations touch disjoint
     * sidecar files and parquet-mr's KEK caches are concurrent, so the
     * only coordination needed is the JVM-wide cache flush at the
-    * boundaries (kept; in local mode tasks share this JVM, on a
-    * cluster each executor simply starts cold). Rotation wall becomes
+    * boundaries — executed in EVERY participating JVM: the driver
+    * flushes at both ends, and each task flushes its executor's caches
+    * before rotating (r14 ADVICE — an executor reused across two
+    * rotations would otherwise re-wrap with KEKs warm from the previous
+    * one, TTL-bounded but violating fresh-KEK-per-rotation). Rotation
+    * wall becomes
     * O(k / cores) — pinned at k ≥ 1024 by EncryptedAnnSpec's
     * wide-partition case.
     */
@@ -1085,6 +1416,14 @@ object IvfPq {
     val slices = math.max(1,
       math.min(dirs.size, s.sparkContext.defaultParallelism))
     s.sparkContext.parallelize(dirs, slices).foreachPartition { it =>
+      // Flush THIS JVM's KeyToolkit caches before rotating: on a
+      // cluster the executor that minted KEKs during a previous
+      // rotation still holds warm write-cache entries, and re-wrapping
+      // with them would hand two rotations the same KEK (r14 ADVICE —
+      // the driver-side boundary flush below never reaches executor
+      // JVMs; in local mode this is a harmless double flush).
+      org.apache.parquet.crypto.keytools.KeyToolkit
+        .removeCacheEntriesForAllTokens()
       val taskConf = org.apache.spark.graft.HadoopConfSer.unwrap(confSer)
       it.foreach(d => org.apache.parquet.crypto.keytools.KeyToolkit
         .rotateMasterKeys(d, taskConf))
@@ -1181,6 +1520,21 @@ object IvfPq {
     compactSegments(s, baseDir, Seq(deltaDir),
       Seq(s.read.parquet(s"$tsDir/tombstones") -> Int.MaxValue),
       AnnIndex.shmDir(Tables.datasetTag(d) + "/ivfpq_delete_compacted"))
+  }
+
+  /** The multi-segment MASKED serve state as a reusable fixture —
+    * (append base, fresh delta, delete-slice tombstone frame) — the
+    * ScaleDiag `ann_dist_lsm` pricing cell's input (the serve-matrix
+    * dimension q132's single-root line doesn't cover).
+    */
+  private[graft] def distLsmFixture(s: SparkSession, d: String)
+      : (String, String, DataFrame) = {
+    val (baseDir, deltaDir) = appendDelta(s, d)
+    val tsDir = AnnIndex.tombstonesFor(s, baseDir,
+      AnnIndex.deleteSlice(AnnIndex.corpus(s, d))
+        .select(col("vec_id"), col("e")),
+      AnnIndex.shmDir(Tables.datasetTag(d) + "/ivfpq_distlsm_ts"))
+    (baseDir, deltaDir, s.read.parquet(s"$tsDir/tombstones"))
   }
 
   /** Stream the 10% slice into composed delta segments against the

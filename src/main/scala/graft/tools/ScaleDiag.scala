@@ -50,15 +50,6 @@ object ScaleDiag {
     if (siblings.contains(f.getPath)) siblings else siblings :+ benchSfDir
   }
 
-  /** The distributed LSM serve shape PRICED (r12 verdict item 6):
-    * [[graft.ops.AnnIndex.ivfProbeDistributedSegments]] over the
-    * dataset's real multi-segment masked state (append base + delta +
-    * delete tombstones — the q113/q129 fixtures) with q132's
-    * reindex-scale probe frame (5 re-keyed corpus copies, larger than
-    * MaxProbes, never materialized on the driver). Warm run then one
-    * timed steady-state run, the BASELINE §C cell for "every serve
-    * shape priced". Guarded by Bench like the other diag lines.
-    */
   /** The reindex-scale probe frame shared by every distributed-serve
     * pricing site (here and ShuffleBudgetSpec): `reps` re-keyed copies
     * of the corpus, pids offset past any real vec_id so the
@@ -73,21 +64,34 @@ object ScaleDiag {
         col("e").as("pe"))
   }
 
+  /** The distributed LSM serve shape PRICED (r12 verdict item 6;
+    * re-pointed to the composed format in r15 when the f3 serve
+    * quarantine was deleted): [[graft.ops.IvfPq.probeDistributedSegments]]
+    * over the dataset's real multi-segment MASKED state (f4 append base
+    * + fresh delta + delete tombstones — the q113/q129 fixtures) with
+    * q132's reindex-scale probe frame (5 re-keyed corpus copies, larger
+    * than MaxProbes, never materialized on the driver). q132 prices the
+    * single-root distributed serve; this cell adds the segment-union +
+    * tombstone-mask dimension at the same probe scale. Warm run then
+    * one timed steady-state run, the BASELINE §C cell for "every serve
+    * shape priced". Guarded by Bench like the other diag lines.
+    */
   def annDistLsm(spark: SparkSession, benchSfDir: String): String = {
-    import graft.ops.AnnIndex
-    val (baseDir, deltaDir, tsDir) = AnnIndex.writeTombstones(spark, benchSfDir)
+    import graft.ops.IvfPq
+    val (baseDir, deltaDir, ts) = IvfPq.distLsmFixture(spark, benchSfDir)
     val probes = reindexProbes(spark, benchSfDir, 5)
     val nProbes = probes.count()
-    def run(): Unit = AnnIndex.ivfProbeDistributedSegments(spark,
-        Seq(baseDir, deltaDir), probes, Seq(tsDir -> Int.MaxValue))
+    def run(): Unit = IvfPq.probeDistributedSegments(spark,
+        Seq(baseDir, deltaDir), probes, Seq(ts -> Int.MaxValue))
       .write.format("noop").mode("overwrite").save()
     run() // warm: fixtures, codegen, page cache
     val t0 = System.nanoTime()
     run()
     val sec = (System.nanoTime() - t0) / 1e9
+    val ckpt = IvfPq.lastCheckpointSec
     val sf = new java.io.File(benchSfDir).getName
-    f"""{"metric":"ann_dist_lsm","probe_sec":$sec%.3f,"n_probes":$nProbes,""" +
-      s""""segments":2,"masked":true,"sf":"$sf"}"""
+    f"""{"metric":"ann_dist_lsm","probe_sec":$sec%.3f,"ckpt_sec":$ckpt%.3f,""" +
+      s""""n_probes":$nProbes,"segments":2,"masked":true,"format":"f4","sf":"$sf"}"""
   }
 
   /** The distributed COMPOSED serve priced (r13): [[graft.ops.IvfPq
@@ -110,9 +114,13 @@ object ScaleDiag {
     val t0 = System.nanoTime()
     run()
     val sec = (System.nanoTime() - t0) / 1e9
+    // The eager probe-checkpoint's share of the serve wall (r14 verdict
+    // item 3): q132's wall moved when the r14 deadlock fix made the
+    // checkpoint eager; this cell makes the attribution a measured fact.
+    val ckpt = IvfPq.lastCheckpointSec
     val sf = new java.io.File(benchSfDir).getName
-    f"""{"metric":"ann_dist_ivfpq","probe_sec":$sec%.3f,"n_probes":$nProbes,""" +
-      s""""sf":"$sf"}"""
+    f"""{"metric":"ann_dist_ivfpq","probe_sec":$sec%.3f,"ckpt_sec":$ckpt%.3f,""" +
+      s""""n_probes":$nProbes,"sf":"$sf"}"""
   }
 
   /** Measured ANN recall at the BENCH scale factor (round-4 verdict #8):

@@ -123,93 +123,6 @@ class AnnAssignSpec extends SparkTestBase {
       "duplicate-pid rows routed differently between the paths")
   }
 
-  test("duplicate probe ids serve per-ROW on collected and distributed paths alike") {
-    // r12 ADVICE: the collected serve used to window by probe_id and
-    // merge duplicate pids into one top-k while the distributed path
-    // ranked per ordinal. Both must now emit a FULL top-k per probe ROW,
-    // and the multisets must agree.
-    import spark.implicits._
-    val root = new java.io.File(
-      if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-      else sys.props("java.io.tmpdir"), "graft-ann-duppid")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(root)
-    try {
-      val cs = cents(16, 8)
-      val corpus = corpusDf(400, 8)
-      AnnIndex.joinAssignCids(corpus, cs)
-        .select(col("cid"), col("vec_id"), col("label"), col("e"))
-        .repartition(col("cid"))
-        .write.partitionBy("cid").parquet(s"$root/ivf_assignments")
-      cs.toDF("cid", "ce").write.parquet(s"$root/ivf_centroids")
-      // Four probe rows, ALL pid 7, each a different vector.
-      val probes = (0 until 4)
-        .map(i => (7L, (0 until 8).map(j => math.sin(i * 17 + j * 5))))
-        .toDF("pid", "pe")
-      def rows(df: DataFrame): Seq[(Long, Long, Long, Double)] =
-        df.collect().map(r =>
-          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-          .toSeq.sorted
-      val collected = rows(AnnIndex.ivfProbeSegments(spark, sfDir,
-        Seq(root.toString), probes))
-      val dist = rows(AnnIndex.ivfProbeDistributedSegments(spark,
-        Seq(root.toString), probes))
-      assert(collected.size == 4 * AnnIndex.TopK,
-        s"collected serve merged duplicate pids (${collected.size} rows)")
-      assert(dist == collected,
-        "duplicate-pid serving diverged between collected and distributed paths")
-    } finally rm(root)
-  }
-
-  test("distributed serving at k=1024 matches the collected serve (the aggregate routing branch)") {
-    // The k > LiteralAssignMaxK distributed-routing branch, end-to-end
-    // over real written artifacts: a synthetic 1024-list index (lists +
-    // routing table written from explicit centroids), probed through
-    // BOTH paths — the collected serve (routeJoin) and the distributed
-    // serve (per-ordinal aggregate). The probe frame carries a shuffle
-    // in its lineage, the order-instability shape under which a
-    // recomputed nondeterministic ordinal would misjoin vectors to
-    // another probe's routed lists (caught by review in r12; this is
-    // its regression pin).
-    import spark.implicits._
-    val root = new java.io.File(
-      if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-      else sys.props("java.io.tmpdir"), "graft-ann-distk1024")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(root)
-    try {
-      val cs = cents(1024, 8)
-      // 3000 vectors over 1024 lists (~3/list): the routed nprobe lists
-      // hold enough candidates that surfaces mostly fill — the pin is
-      // EQUALITY between the paths, candidate-starved or not.
-      val corpus = corpusDf(3000, 8)
-      AnnIndex.joinAssignCids(corpus, cs)
-        .select(col("cid"), col("vec_id"), col("label"), col("e"))
-        .repartition(col("cid"))
-        .write.partitionBy("cid").parquet(s"$root/ivf_assignments")
-      cs.toDF("cid", "ce").write.parquet(s"$root/ivf_centroids")
-      val probes = corpusDf(40, 8).repartition(3)
-        .select(col("vec_id").as("pid"), col("e").as("pe"))
-      def rows(df: DataFrame): Set[(Long, Long, Long, Double)] =
-        df.collect().map(r =>
-          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-      val collected = rows(AnnIndex.ivfProbeSegments(spark, sfDir,
-        Seq(root.toString), probes))
-      val dist = rows(AnnIndex.ivfProbeDistributedSegments(spark,
-        Seq(root.toString), probes))
-      assert(collected.size >= 30 * AnnIndex.TopK,
-        s"fixture starved the surface (${collected.size} rows)")
-      assert(dist === collected,
-        "distributed k=1024 routing diverged from the collected serve")
-    } finally rm(root)
-  }
-
   test("synthetic k=1024 Lloyd training completes on the join path") {
     val emb = corpusDf(2048, 8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

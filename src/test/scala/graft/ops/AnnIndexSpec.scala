@@ -2,27 +2,17 @@ package graft.ops
 
 import graft.SparkTestBase
 
-/** The materialized-index serve paths (q110/q111/q112) at bench scale:
-  * the probe-only queries must deliver the SAME recall floors as their
-  * inline-build counterparts (q23e IVF 0.68, q23f PQ 0.90 — the
-  * AnnRecallFloorSpec gates), from artifacts on disk, without re-running
-  * any training. Also pins the serve-path plan shape: the IVF probe's
-  * list scan is statically partition-pruned to the probed cids, and the
-  * PQ probe's corpus-sided input is the compressed codes table, not the
-  * embeddings.
+/** What remains on the f3 side after the r15 quarantine deletion (r14
+  * verdict item 5): the q110 build (the migration source) and the
+  * format-agnostic version-publication machinery — marker-idempotent
+  * builds, claim-by-exclusive-create allocation, retire-after-two with
+  * grace, pointer-fallback resolution, Hadoop-FS scheme transparency,
+  * and the live concurrent-reader closure. Serve/LSM pins live on the
+  * f4 twins (IvfPqSpec / IvfPqStreamSpec / AnnLifecycleSoakSpec).
   */
 class AnnIndexSpec extends SparkTestBase {
 
-  private val benchSf = "/root/testdata/sf0.1"
-
-  private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-    df.select("probe_id", "nbr_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-
-  private lazy val exactTopk: Set[(Long, Long)] =
-    topkSet(Similarity.q23.fn(spark, benchSf))
-
-  test("q110 build is idempotent-by-marker; probes adopt a forced rebuild") {
+  test("q110 build is idempotent-by-marker; a forced rebuild republishes adoptable artifacts") {
     val dir = AnnIndex.build(spark, sfDir, force = true)
     val marker = new java.io.File(dir, "_SUCCESS")
     assert(marker.exists(), "build must leave a _SUCCESS marker")
@@ -31,372 +21,16 @@ class AnnIndexSpec extends SparkTestBase {
     assert(AnnIndex.build(spark, sfDir) === dir)
     assert(marker.lastModified() === stamp,
       "unforced build re-ran the trainer instead of adopting the marker")
-    // The probe runs against the adopted index and returns the full
-    // top-k surface (10 probes × 5 neighbors at every SF).
-    assert(AnnIndex.ivfProbe(spark, sfDir).count() === 50L)
-    assert(AnnIndex.pqProbe(spark, sfDir).count() === 50L)
+    // The published artifact set is complete and conserved — the same
+    // law q110's oracle checks (every corpus vector exactly once in
+    // assignments and codes, trained tables at configured sizes).
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    assert(spark.read.parquet(s"$dir/ivf_assignments").count() === n)
+    assert(spark.read.parquet(s"$dir/pq_codes").count() === n)
+    assert(spark.read.parquet(s"$dir/ivf_centroids").count() === AnnIndex.K.toLong)
+    assert(spark.read.parquet(s"$dir/pq_codebook").count() ===
+      (AnnIndex.Mpq * AnnIndex.Kpq).toLong)
   }
-
-  test("q111 IVF probe-only recall >= 0.68 at sf0.1 (q23e's floor)") {
-    val r = {
-      val approx = topkSet(AnnIndex.ivfProbe(spark, benchSf))
-      (exactTopk & approx).size.toDouble / exactTopk.size
-    }
-    info(f"q111 recall $r%.3f")
-    assert(r >= 0.68, f"served-IVF recall regressed to $r%.3f (floor 0.68)")
-  }
-
-  test("q112 PQ probe-only recall >= 0.90 at sf0.1 (q23f's floor)") {
-    val r = {
-      val approx = topkSet(AnnIndex.pqProbe(spark, benchSf))
-      (exactTopk & approx).size.toDouble / exactTopk.size
-    }
-    info(f"q112 recall $r%.3f")
-    assert(r >= 0.90, f"served-PQ recall regressed to $r%.3f (floor 0.90)")
-  }
-
-  test("q111 plan: list scan is partition-pruned to the probed cids") {
-    AnnIndex.build(spark, sfDir)
-    val plan = AnnIndex.ivfProbe(spark, sfDir).queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [cid"),
-      s"IVF probe scan lost its static cid partition pruning:\n$plan")
-    // Probe-only: no kmeans stage — the plan reads the persisted lists,
-    // never the raw embeddings corpus for candidates.
-    assert(plan.contains("ivf_assignments"),
-      s"IVF probe must scan the persisted inverted lists:\n$plan")
-  }
-
-  test("q112 plan: corpus-sided input is the compressed codes table") {
-    AnnIndex.build(spark, sfDir)
-    val plan = AnnIndex.pqProbe(spark, sfDir).queryExecution.executedPlan.toString
-    assert(plan.contains("pq_codes"),
-      s"PQ probe must scan the persisted codes:\n$plan")
-  }
-
-  test("q113 append freezes the base: no artifact retrained, delta idempotent") {
-    val (baseDir, _) = AnnIndex.appendDelta(spark, sfDir)
-    def trainedBytes: Map[String, Long] =
-      Seq("ivf_centroids", "pq_codebook").flatMap { a =>
-        Option(new java.io.File(s"$baseDir/$a").listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .map(f => s"$a/${f.getName}" -> f.length())
-      }.toMap
-    val before = trainedBytes
-    // A second append must neither retrain (trained artifact files
-    // byte-identical) nor grow the appended index (delta overwritten,
-    // base untouched) — the run-idempotence q113's bench line relies on.
-    val census1 = AnnIndex.q113.fn(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val census2 = AnnIndex.q113.fn(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(trainedBytes === before, "append retrained a base artifact")
-    assert(census1 === census2, "append is not idempotent across runs")
-    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    assert(census1("ivf_assignments") === n && census1("pq_codes") === n,
-      s"appended index must cover the corpus exactly: $census1 vs $n")
-  }
-
-  test("q113 appended-index IVF recall matches the full-build floor at sf0.1") {
-    val approx = topkSet(AnnIndex.ivfProbeAppended(spark, benchSf))
-    val r = (exactTopk & approx).size.toDouble / exactTopk.size
-    info(f"appended-index recall $r%.3f")
-    assert(r >= 0.68, f"appended-index IVF recall regressed to $r%.3f (floor 0.68)")
-  }
-
-  // ---- external probe sets (r9 verdict item 2) ------------------------
-
-  /** Synthetic OUT-OF-CORPUS probes: thirty corpus vectors, slightly
-    * perturbed per-dimension and re-keyed far outside the corpus id
-    * space. Exercises the parameterized serve paths end-to-end with
-    * probes the index has never seen; the exact baseline is recomputed
-    * for these probes, and the recall floors must hold unchanged.
-    * (Thirty probes, not ten: IVF recall at nprobe=6/16 has real
-    * per-probe variance — a 10-probe sample swings ±0.1 around the
-    * ~0.7 expectation; 30 keeps the floor a property of the ALGORITHM,
-    * not of one sample's luck.)
-    */
-  private def syntheticProbes(sf: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    AnnIndex.corpus(spark, sf)
-      .filter(col("vec_id") >= 10 && col("vec_id") < 40)
-      .select((col("vec_id") + 1000000L).as("probe_id"),
-        transform(col("e"), (v, j) =>
-          v * (lit(1.0) + lit(0.002) * (pmod(j, lit(5)) - lit(2)))).as("pe"))
-  }
-
-  private def exactFor(probes: org.apache.spark.sql.DataFrame,
-      sf: String, live: Long => Boolean = _ => true): Set[(Long, Long)] = {
-    val corpus = AnnIndex.corpus(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .filter { case (vid, _) => live(vid) }
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
-    probes.collect().flatMap { r =>
-      val pid = r.getLong(0); val pe = r.getSeq[Double](1).toArray
-      corpus.filter(_._1 != pid)
-        .map { case (vid, e) => (-cos(pe, e), vid) }
-        .sorted.take(AnnIndex.TopK)
-        .map { case (_, vid) => (pid, vid) }
-    }.toSet
-  }
-
-  test("external out-of-corpus probe set holds the IVF recall floor at sf0.1") {
-    val probes = syntheticProbes(benchSf)
-    val exact = exactFor(probes, benchSf)
-    val approx = topkSet(AnnIndex.ivfProbe(spark, benchSf, probes))
-    val r = (exact & approx).size.toDouble / exact.size
-    info(f"external-probe IVF recall $r%.3f")
-    assert(r >= 0.68, f"external-probe IVF recall $r%.3f below floor 0.68")
-  }
-
-  test("external out-of-corpus probe set holds the PQ recall floor at sf0.1") {
-    val probes = syntheticProbes(benchSf)
-    val exact = exactFor(probes, benchSf)
-    val approx = topkSet(AnnIndex.pqProbe(spark, benchSf, probes))
-    val r = (exact & approx).size.toDouble / exact.size
-    info(f"external-probe PQ recall $r%.3f")
-    assert(r >= 0.90, f"external-probe PQ recall $r%.3f below floor 0.90")
-  }
-
-  test("batched serve: an over-cap probe frame splits into exact batches, results match") {
-    import org.apache.spark.sql.functions._
-    AnnIndex.build(spark, sfDir)
-    // 1500 probes (3 re-keyed copies of the 500-vector corpus) — over
-    // the 1024 cap, so the single-collect path refuses it while the
-    // batched path serves it in two ≤MaxProbes slices.
-    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
-    val probes = (0 until 3).map(k =>
-      base.select((col("vec_id") + lit(1000000L * (k + 1))).as("pid"), col("e")))
-      .reduce(_ unionAll _)
-    val n = probes.count()
-    assert(n > AnnIndex.MaxProbes, "fixture must exceed the single-batch cap")
-    intercept[IllegalArgumentException] { AnnIndex.ivfProbe(spark, sfDir, probes) }
-    val res = AnnIndex.ivfProbeBatched(spark, sfDir, probes)
-    assert(res.count() === n * AnnIndex.TopK, "batched serve must cover every probe")
-    // Per-batch work is identical to the single-batch path: the same
-    // probes served alone return exactly the same neighbor rows.
-    val ten = probes.filter(col("pid") < 1000010L)
-    val alone = AnnIndex.ivfProbe(spark, sfDir, ten).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val inBatch = res.filter(col("probe_id") < 1000010L).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(alone === inBatch, "batching changed a probe's served neighbors")
-  }
-
-  test("PQ batched serve: union path and spill loop both match solo serving") {
-    import org.apache.spark.sql.functions._
-    AnnIndex.build(spark, sfDir)
-    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
-    val probes = (0 until 3).map(k =>
-      base.select((col("vec_id") + lit(1000000L * (k + 1))).as("pid"), col("e")))
-      .reduce(_ unionAll _) // 1500 probes -> 2 batches
-    val n = probes.count()
-    assert(n > AnnIndex.MaxProbes, "fixture must exceed the single-batch cap")
-    val ten = probes.filter(col("pid") < 1000010L)
-    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val alone = rows(AnnIndex.pqProbe(spark, sfDir, ten))
-    val union = AnnIndex.pqProbeBatched(spark, sfDir, probes)
-    assert(union.count() === n * AnnIndex.TopK, "PQ batched serve lost surface")
-    assert(rows(union.filter(col("probe_id") < 1000010L)) === alone,
-      "PQ union-path batching changed a probe's neighbors")
-    // unionCap=1 forces the internal spill loop on the same 2-batch
-    // frame — the production-scale spill path is pinned on the IVF
-    // side at 67k probes; this pins the PQ wiring through it.
-    val spilled = AnnIndex.pqProbeBatchedCap(spark, sfDir, probes, 1)
-    assert(spilled.count() === n * AnnIndex.TopK, "PQ spill-loop serve lost surface")
-    assert(rows(spilled.filter(col("probe_id") < 1000010L)) === alone,
-      "PQ spill-loop serving changed a probe's neighbors")
-  }
-
-  test("filtered batched serving matches filtered solo serving on both families") {
-    import org.apache.spark.sql.functions._
-    AnnIndex.build(spark, sfDir)
-    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
-    val probes = (0 until 3).map(k =>
-      base.select((col("vec_id") + lit(1000000L * (k + 1))).as("pid"), col("e")))
-      .reduce(_ unionAll _) // multi-batch frame, same fixture as above
-    assert(probes.count() > AnnIndex.MaxProbes)
-    val ten = probes.filter(col("pid") < 1000010L)
-    val f: Option[org.apache.spark.sql.Column] = Some(col("label") === 7)
-    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val ivfSolo = rows(AnnIndex.ivfProbeFiltered(spark, sfDir, col("label") === 7, ten))
-    assert(rows(AnnIndex.ivfProbeBatched(spark, sfDir, probes, f)
-      .filter(col("probe_id") < 1000010L)) === ivfSolo,
-      "IVF filtered batching changed a probe's neighbors")
-    val pqSolo = rows(AnnIndex.pqProbeFiltered(spark, sfDir, col("label") === 7, ten))
-    assert(rows(AnnIndex.pqProbeBatched(spark, sfDir, probes, f)
-      .filter(col("probe_id") < 1000010L)) === pqSolo,
-      "PQ filtered batching changed a probe's neighbors")
-  }
-
-  test("over-MaxBatches probe frame serves via the internal spill loop, identical to solo") {
-    import org.apache.spark.sql.functions._
-    AnnIndex.build(spark, sfDir)
-    // 67000 probes (134 re-keyed copies of the 500-vector corpus) need
-    // 66 batches — past the MaxBatches=64 union-plan cap, so the call
-    // must loop internally at constant plan size (r10 verdict item 4),
-    // never a 64+-branch union and never a refusal.
-    val reps = 134
-    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
-    val probes = base
-      .crossJoin(broadcast(spark.range(reps).toDF("r")))
-      .select(((col("r") + 1) * lit(10000000L) + col("vec_id")).as("pid"),
-        col("e").as("pe"))
-    val n = probes.count()
-    assert(n > AnnIndex.MaxProbes.toLong * AnnIndex.MaxBatches,
-      "fixture must exceed the union-plan cap")
-    val res = AnnIndex.ivfProbeBatched(spark, sfDir, probes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      assert(res.count() === n * AnnIndex.TopK,
-        "spill-loop serve must cover every probe with a full surface")
-      assert(res.select("probe_id").distinct().count() === n)
-      // Identical to solo serving: the same probes served alone return
-      // exactly the same neighbor rows (sampled across distant batches).
-      val samplePids = Seq(10000003L, 250000007L, 510000001L, 1340000499L)
-      val sample = probes.filter(col("pid").isin(samplePids: _*))
-      assert(sample.count() === samplePids.size.toLong)
-      val alone = AnnIndex.ivfProbe(spark, sfDir, sample).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-      val inLoop = res.filter(col("probe_id").isin(samplePids: _*)).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-      assert(alone === inLoop, "spill-loop serving changed a probe's neighbors")
-    } finally res.unpersist(): Unit
-  }
-
-  test("an earlier over-cap result frame stays readable after a later over-cap call") {
-    // r11 ADVICE: the spill loop swept ALL prior call dirs at entry, so
-    // a lazily-consumed over-cap DataFrame silently read empty once any
-    // later over-cap call ran. The sweep is once-per-JVM now; per-call
-    // dirs survive the run.
-    import org.apache.spark.sql.functions._
-    AnnIndex.build(spark, sfDir)
-    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
-    val probes = (0 until 3).map(k =>
-      base.select((col("vec_id") + lit(1000000L * (k + 1))).as("pid"), col("e")))
-      .reduce(_ unionAll _)
-    val n = probes.count()
-    // Two over-cap calls (unionCap=1 forces the spill path on this
-    // 2-batch frame); the FIRST result is only consumed after the
-    // SECOND call has run.
-    val first = AnnIndex.pqProbeBatchedCap(spark, sfDir, probes, 1)
-    val second = AnnIndex.pqProbeBatchedCap(spark, sfDir, probes, 1)
-    assert(second.count() === n * AnnIndex.TopK)
-    assert(first.count() === n * AnnIndex.TopK,
-      "earlier over-cap result was emptied by a later over-cap call")
-  }
-
-  test("distributed serve ≡ batched serve on a 10k probe frame, with no driver collect of probes") {
-    // r11 verdict item 3: probes stay a DataFrame end-to-end — routing,
-    // candidate join and ranking in ONE lazy plan, no per-batch
-    // collectProbes round-trip anywhere on the path.
-    import org.apache.spark.sql.functions._
-    AnnIndex.build(spark, sfDir)
-    val reps = 21 // 21 x 500 corpus vectors = 10500 probes (11 batches)
-    val base = AnnIndex.corpus(spark, sfDir).select(col("vec_id"), col("e"))
-    val probes = base
-      .crossJoin(broadcast(spark.range(reps).toDF("r")))
-      .select(((col("r") + 1) * lit(10000000L) + col("vec_id")).as("pid"),
-        col("e").as("pe"))
-    val n = probes.count()
-    assert(n >= 10000L, "fixture must be a >=10k probe frame")
-    val dist = AnnIndex.ivfProbeDistributed(spark, sfDir, probes)
-    // Plan pin: the distributed plan contains NO locally-materialized
-    // probe relation — the batched path's collected probes plan as a
-    // LocalTableScan; here the probe side must come straight from its
-    // (distributed) source.
-    val plan = dist.queryExecution.executedPlan.toString
-    assert(!plan.contains("LocalTableScan"),
-      s"distributed serve materialized probes on the driver:\n$plan")
-    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
-      df.collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-    val got = rows(dist)
-    assert(got.size === n.toInt * AnnIndex.TopK,
-      "distributed serve lost surface")
-    assert(got === rows(AnnIndex.ivfProbeBatched(spark, sfDir, probes)),
-      "distributed and batched serving disagree")
-  }
-
-  test("distributed LSM serve ≡ collected segment serve: masks, boundaries and filters compose") {
-    // The full serve matrix on the end-to-end-DataFrame path: base +
-    // delta segments, a tombstone with a recency boundary, an attribute
-    // filter — identical results to ivfProbeSegments on the same state.
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
-    val local = new java.io.File(
-      if (new java.io.File("/dev/shm").canWrite) "/dev/shm"
-      else sys.props("java.io.tmpdir"), "graft-ann-distlsm")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(local)
-    val root = local.getAbsolutePath
-    try {
-      def mk(ids: Range): org.apache.spark.sql.DataFrame = ids
-        .map(i => (i.toLong, (0 until 64).map(j => math.sin(i * 31 + j * 17)), i % 10))
-        .toDF("vec_id", "e", "label")
-      val base = AnnIndex.buildFrom(spark, mk(0 until 200), s"$root/idx")
-      val seg = AnnIndex.appendSegment(spark, base, mk(200 until 260), s"$root/seg")
-      // Tombstone masking only the base (boundary 1 — the upsert shape).
-      val ts = AnnIndex.tombstonesFor(spark, base,
-        mk(0 until 200).filter(col("vec_id") % 7 === 0).select(col("vec_id"), col("e")),
-        s"$root/ts")
-      val probeDf = mk(0 until 30).select("vec_id", "e")
-      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
-        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-      for (f <- Seq(None, Some(col("label") === 3))) {
-        val collected = rows(AnnIndex.ivfProbeSegments(spark, sfDir,
-          Seq(base, seg), probeDf, Seq(ts -> 1), attrFilter = f))
-        val dist = rows(AnnIndex.ivfProbeDistributedSegments(spark,
-          Seq(base, seg), probeDf, Seq(ts -> 1), attrFilter = f))
-        assert(dist === collected,
-          s"distributed LSM serve diverged from segment serve (filter=$f)")
-      }
-    } finally rm(local)
-  }
-
-  test("distributed filtered serve: only matching labels, full surface") {
-    import org.apache.spark.sql.functions._
-    AnnIndex.build(spark, sfDir)
-    val probes = AnnIndex.corpus(spark, sfDir)
-      .filter(col("vec_id") < 10).select("vec_id", "e")
-    val res = AnnIndex.ivfProbeDistributed(spark, sfDir, probes,
-      Some(col("label") === 7))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      assert(res.count() === 10L * AnnIndex.TopK)
-      val labels = AnnIndex.corpus(spark, sfDir).select("vec_id", "label")
-      assert(res.join(labels, res("nbr_id") === labels("vec_id"))
-        .filter(col("label") =!= 7).count() === 0L,
-        "distributed filtered serve returned a non-matching neighbor")
-      // Same results as the collected filtered path on the same probes.
-      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
-        df.select("probe_id", "nbr_id", "rnk").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      assert(rows(res) === rows(
-        AnnIndex.ivfProbeFiltered(spark, sfDir, col("label") === 7, probes)),
-        "distributed and collected filtered serving disagree")
-    } finally res.unpersist(): Unit
-  }
-
-  test("oversized probe batch fails fast at the MaxProbes cap") {
-    import org.apache.spark.sql.functions._
-    val big = spark.range(AnnIndex.MaxProbes + 1)
-      .select(col("id"), array(lit(1.0), lit(2.0)).as("pe"))
-    val e = intercept[IllegalArgumentException] {
-      AnnIndex.ivfProbe(spark, sfDir, big)
-    }
-    assert(e.getMessage.contains("MaxProbes"))
-  }
-
-  // ---- versioned publication (r9 ADVICE: atomic rebuild) --------------
 
   test("forced rebuild publishes a NEW version; the prior version survives one publish") {
     // Grace 0: this test pins the deterministic retire-after-two
@@ -486,6 +120,8 @@ class AnnIndexSpec extends SparkTestBase {
     // addressed by URI (as an hdfs:// or s3a:// deployment would) goes
     // through publish, claim, CURRENT resolution, delta append,
     // tombstones and a full probe without one local-file assumption.
+    // Ported to the composed f4 lifecycle in r15 when the f3 serve
+    // paths were deleted — the protocol under test is unchanged.
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val local = new java.io.File(
@@ -501,23 +137,24 @@ class AnnIndexSpec extends SparkTestBase {
       val emb = (0L until 120L)
         .map(id => (id, (0 until 64).map(j => math.sin(id * 31 + j * 17)), (id % 10).toInt))
         .toDF("vec_id", "e", "label")
-      val v1 = AnnIndex.buildFrom(spark, emb, s"$root/idx")
+      val v1 = IvfPq.buildFrom(spark, emb, s"$root/idx")
       assert(v1.startsWith("file:"), s"published dir must stay scheme-qualified: $v1")
       assert(AnnIndex.resolveVersion(s"$root/idx") === Some(v1))
-      assert(spark.read.parquet(s"$v1/ivf_assignments").count() === 120L)
+      assert(spark.read.parquet(s"$v1/ivfpq_lists").count() === 120L)
       // Delta + tombstone segments publish and serve over the same URI
       // root: a probe of the composed LSM state returns a full surface
       // with the deleted id masked.
       val batch = (120L until 140L)
         .map(id => (id, (0 until 64).map(j => math.sin(id * 31 + j * 17)), (id % 10).toInt))
         .toDF("vec_id", "e", "label")
-      val seg = AnnIndex.appendSegment(spark, v1, batch, s"$root/seg")
+      val seg = IvfPq.appendSegment(spark, v1, batch, s"$root/seg")
       assert(seg.startsWith("file:"))
       val tsDir = AnnIndex.tombstonesFor(spark, v1,
         emb.filter(col("vec_id") === 5L).select(col("vec_id"), col("e")), s"$root/ts")
       val probeDf = emb.filter(col("vec_id") < 3L).select("vec_id", "e")
-      val served = AnnIndex.ivfProbeSegments(spark, sfDir, Seq(v1, seg),
-        probeDf, Seq(tsDir -> Int.MaxValue))
+      val served = IvfPq.probeSegments(spark, Seq(v1, seg), probeDf,
+        Seq(spark.read.parquet(s"$tsDir/tombstones").select("vec_id") ->
+          Int.MaxValue))
       assert(served.count() === 3L * AnnIndex.TopK,
         "URI-rooted serve lost surface")
       assert(served.filter(col("nbr_id") === 5L).count() === 0L,
@@ -600,301 +237,5 @@ class AnnIndexSpec extends SparkTestBase {
     finally { stop.set(true); reader.join(30000) }
     assert(failures.isEmpty, s"reader failed during rebuild: ${failures.peek()}")
     assert(resolutions.get() > 0, "reader never resolved a version while rebuilds ran")
-  }
-
-  // ---- continuous ingest (q128) ---------------------------------------
-
-  test("q128 stream ingest: one segment per micro-batch; checkpointed re-run is a no-op") {
-    val root = java.nio.file.Files.createTempDirectory("graft-annstream-spec-").toString
-    val (baseDir, segs) = AnnIndex.streamIngestInto(spark, sfDir, root)
-    assert(segs.size === AnnIndex.StreamFiles,
-      s"expected one delta segment per micro-batch (${AnnIndex.StreamFiles}), got ${segs.size}")
-    def n(p: String): Long = spark.read.parquet(p).count()
-    val corpusN = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    assert(n(s"$baseDir/ivf_assignments") + segs.map(g => n(s"$g/ivf_assignments")).sum
-      === corpusN, "streamed index must cover the corpus exactly")
-    assert(n(s"$baseDir/pq_codes") + segs.map(g => n(s"$g/pq_codes")).sum === corpusN,
-      "streamed codes must cover the corpus exactly")
-    // A finished checkpoint makes the ingest idempotent: a re-run over
-    // the same root processes no files and rewrites no segment.
-    def listing(dirs: Seq[String]): Map[String, Long] = dirs.flatMap { d =>
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-        else Seq(f)
-      walk(new java.io.File(d)).map(f => f.getPath -> f.lastModified())
-    }.toMap
-    val before = listing(segs)
-    val (_, segs2) = AnnIndex.streamIngestInto(spark, sfDir, root)
-    assert(segs2 === segs, "finished checkpoint must make a re-run a no-op")
-    assert(listing(segs2) === before, "re-run rewrote a segment despite the checkpoint")
-  }
-
-  test("streamed-index IVF recall holds the floor at sf0.1") {
-    val root = java.nio.file.Files.createTempDirectory("graft-annstream-recall-").toString
-    val (baseDir, segs) = AnnIndex.streamIngestInto(spark, benchSf, root)
-    val approx = topkSet(AnnIndex.ivfProbeSegments(spark, benchSf, baseDir +: segs))
-    val r = (exactTopk & approx).size.toDouble / exactTopk.size
-    info(f"streamed-index recall $r%.3f")
-    assert(r >= 0.68, f"streamed-index IVF recall regressed to $r%.3f (floor 0.68)")
-  }
-
-  test("accumulated streamed segments fold through compaction: one root, conserved, recall holds") {
-    // The full LSM loop: stream-ingest N micro-batch segments, then fold
-    // them ALL through the same compaction core the append lifecycle
-    // uses — one segment root again, corpus conserved, recall unchanged.
-    val root = java.nio.file.Files.createTempDirectory("graft-annstream-compact-").toString
-    val (baseDir, segs) = AnnIndex.streamIngestInto(spark, benchSf, root)
-    assert(segs.size > 1, "need several segments for a meaningful fold")
-    val vdir = AnnIndex.compactSegmentRoots(spark, baseDir, segs, s"$root/compacted")
-    val corpusN = spark.read.parquet(s"$benchSf/embeddings.parquet").count()
-    assert(spark.read.parquet(s"$vdir/ivf_assignments").count() === corpusN,
-      "stream-compacted lists must cover the corpus exactly")
-    assert(spark.read.parquet(s"$vdir/pq_codes").count() === corpusN,
-      "stream-compacted codes must cover the corpus exactly")
-    val approx = topkSet(AnnIndex.ivfProbeSegments(spark, benchSf, Seq(vdir)))
-    val r = (exactTopk & approx).size.toDouble / exactTopk.size
-    info(f"stream-compacted recall $r%.3f")
-    assert(r >= 0.68, f"stream-compacted IVF recall $r%.3f below floor 0.68")
-  }
-
-  // ---- metadata-filtered serve (q130) ----------------------------------
-
-  test("q130 filtered probe: only matching labels, full surface, pushed-down predicate") {
-    import org.apache.spark.sql.functions._
-    val label7: Set[Long] = AnnIndex.corpus(spark, benchSf)
-      .filter(col("label") === 7).select("vec_id")
-      .collect().map(_.getLong(0)).toSet
-    assert(label7.nonEmpty, "fixture needs label-7 vectors")
-    val res = AnnIndex.ivfProbeFiltered(spark, benchSf, col("label") === 7,
-      syntheticProbes(benchSf))
-    val approx = topkSet(res)
-    val strays = approx.collect { case (_, nbr) if !label7.contains(nbr) => nbr }
-    assert(strays.isEmpty, s"filtered probe returned non-matching ids: ${strays.take(5)}")
-    // PRE-filtering keeps the surface full: every probe still gets its
-    // k neighbors (post-filtering would under-fill at 10% selectivity).
-    assert(res.count() === 150L, "filtered probe under-filled the top-k surface")
-    // The predicate reaches the parquet scan of the pruned lists.
-    val plan = AnnIndex.ivfProbeFiltered(spark, sfDir, col("label") === 7)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,7)"),
-      s"label predicate must push into the list scan:\n$plan")
-    assert(plan.contains("PartitionFilters: [cid"),
-      "filtered probe lost its cid partition pruning")
-  }
-
-  test("q130 filtered recall holds vs the label-restricted exact truth at sf0.1") {
-    import org.apache.spark.sql.functions._
-    val label7: Set[Long] = AnnIndex.corpus(spark, benchSf)
-      .filter(col("label") === 7).select("vec_id")
-      .collect().map(_.getLong(0)).toSet
-    val probes = syntheticProbes(benchSf)
-    val exact = exactFor(probes, benchSf, label7.contains)
-    val approx = topkSet(AnnIndex.ivfProbeFiltered(spark, benchSf,
-      col("label") === 7, probes))
-    val r = (exact & approx).size.toDouble / exact.size
-    // 0.92 sealed with the widened FilteredNprobe (2× = 12 of 16 lists);
-    // at the base nprobe=6 the thinned candidate pool gave only 0.61.
-    info(f"filtered IVF recall $r%.3f")
-    assert(r >= 0.80, f"filtered IVF recall $r%.3f below floor 0.80")
-  }
-
-  test("q131 PQ filtered probe: only matching labels, full surface, pushed-down predicate") {
-    import org.apache.spark.sql.functions._
-    val label7: Set[Long] = AnnIndex.corpus(spark, benchSf)
-      .filter(col("label") === 7).select("vec_id")
-      .collect().map(_.getLong(0)).toSet
-    val res = AnnIndex.pqProbeFiltered(spark, benchSf, col("label") === 7,
-      syntheticProbes(benchSf))
-    val approx = topkSet(res)
-    val strays = approx.collect { case (_, nbr) if !label7.contains(nbr) => nbr }
-    assert(strays.isEmpty, s"PQ filtered probe returned non-matching ids: ${strays.take(5)}")
-    assert(res.count() === 150L, "PQ filtered probe under-filled the top-k surface")
-    val plan = AnnIndex.pqProbeFiltered(spark, sfDir, col("label") === 7)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,7)"),
-      s"label predicate must push into the codes scan:\n$plan")
-  }
-
-  test("q131 PQ filtered recall matches unfiltered PQ recall (lossless pre-filter) at sf0.1") {
-    import org.apache.spark.sql.functions._
-    val label7: Set[Long] = AnnIndex.corpus(spark, benchSf)
-      .filter(col("label") === 7).select("vec_id")
-      .collect().map(_.getLong(0)).toSet
-    val probes = syntheticProbes(benchSf)
-    val exact = exactFor(probes, benchSf, label7.contains)
-    val approx = topkSet(AnnIndex.pqProbeFiltered(spark, benchSf,
-      col("label") === 7, probes))
-    val r = (exact & approx).size.toDouble / exact.size
-    info(f"filtered PQ recall $r%.3f")
-    // ADC scans every matching row, so the filter costs NO recall: same
-    // 0.90 floor as the unfiltered q112 path (no widening knob exists).
-    assert(r >= 0.90, f"filtered PQ recall $r%.3f below floor 0.90")
-  }
-
-  test("q131 with an always-true filter is identical to the unfiltered PQ probe") {
-    import org.apache.spark.sql.functions._
-    val probes = syntheticProbes(sfDir)
-    val full = AnnIndex.pqProbe(spark, sfDir, probes).collect().map(_.toSeq)
-    val filt = AnnIndex.pqProbeFiltered(spark, sfDir, lit(true), probes)
-      .collect().map(_.toSeq)
-    assert(filt.toSeq === full.toSeq,
-      "an always-true pre-filter must not change PQ serving")
-  }
-
-  // ---- tombstone deletes (q129) ----------------------------------------
-
-  /** The deterministic q129 delete set: vec_id % 20 ∈ {3, 10}. */
-  private def isDeleted(id: Long): Boolean = { val m = id % 20; m == 3 || m == 10 }
-
-  test("q129 delete-compaction physically drops every tombstoned vector, conserves the rest") {
-    val census = AnnIndex.q129.fn(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val ids = AnnIndex.corpus(spark, sfDir).select("vec_id")
-      .collect().map(_.getLong(0))
-    val liveN = ids.count(!isDeleted(_)).toLong
-    assert(ids.exists(isDeleted), "fixture must actually delete something")
-    assert(census("ivf_assignments") === liveN && census("pq_codes") === liveN,
-      s"compacted index must hold exactly the live vectors: $census vs $liveN")
-    // The drop is PHYSICAL: no tombstoned id survives in any artifact.
-    val dir = AnnIndex.compactWithDeletes(spark, sfDir)
-    Seq("ivf_assignments", "pq_codes").foreach { a =>
-      val ghosts = spark.read.parquet(s"$dir/$a").select("vec_id")
-        .collect().map(_.getLong(0)).filter(isDeleted)
-      assert(ghosts.isEmpty, s"$a still stores deleted ids: ${ghosts.take(5).mkString(",")}")
-    }
-  }
-
-  /** The deleted-corpus ground truth is HARDER than the full-corpus one
-    * (every deletion promotes a rank-6..10 vector — farther from the
-    * probe, likelier to sit in an un-probed list — into the true
-    * top-5), so these tests use the 30-probe synthetic set for variance
-    * (the external-probe rationale above) and recompute the exact
-    * baseline over the LIVE corpus only.
-    */
-  private lazy val liveExact: Set[(Long, Long)] =
-    exactFor(syntheticProbes(benchSf), benchSf, !isDeleted(_))
-
-  test("live serve masks tombstones before ranking; recall holds vs the live truth at sf0.1") {
-    val res = AnnIndex.ivfProbeLive(spark, benchSf, syntheticProbes(benchSf))
-    val approx = topkSet(res)
-    val ghosts = approx.collect { case (_, nbr) if isDeleted(nbr) => nbr }
-    assert(ghosts.isEmpty,
-      s"masked serve returned deleted ids: ${ghosts.take(5).mkString(",")}")
-    assert(res.count() === 150L, "mask must not shrink the top-k surface")
-    val r = (liveExact & approx).size.toDouble / liveExact.size
-    info(f"live-masked IVF recall $r%.3f")
-    assert(r >= 0.68, f"live-masked IVF recall $r%.3f below floor 0.68")
-  }
-
-  test("live PQ serve masks tombstones before ADC scoring at sf0.1") {
-    val approx = topkSet(AnnIndex.pqProbeLive(spark, benchSf, syntheticProbes(benchSf)))
-    assert(!approx.exists { case (_, nbr) => isDeleted(nbr) },
-      "masked PQ serve returned a deleted id")
-    val r = (liveExact & approx).size.toDouble / liveExact.size
-    info(f"live-masked PQ recall $r%.3f")
-    assert(r >= 0.90, f"live-masked PQ recall $r%.3f below floor 0.90")
-  }
-
-  test("delete-compacted index holds the recall floor with NO mask at sf0.1") {
-    val approx = topkSet(
-      AnnIndex.ivfProbeDeleteCompacted(spark, benchSf, syntheticProbes(benchSf)))
-    assert(!approx.exists { case (_, nbr) => isDeleted(nbr) },
-      "unmasked serve over the compacted index returned a deleted id")
-    val r = (liveExact & approx).size.toDouble / liveExact.size
-    info(f"delete-compacted IVF recall $r%.3f")
-    assert(r >= 0.68, f"delete-compacted IVF recall $r%.3f below floor 0.68")
-  }
-
-  // ---- upsert = delete(old) + append(new) -------------------------------
-
-  test("upsert masks the stored copy and serves the new embedding, one copy per id") {
-    import org.apache.spark.sql.functions._
-    val root = java.nio.file.Files.createTempDirectory("graft-annupsert-").toString
-    // Update every vec_id % 20 == 7 to its REVERSED embedding — a
-    // deterministic, directionally-different new vector.
-    val updates = AnnIndex.corpus(spark, sfDir)
-      .filter(pmod(col("vec_id"), lit(20)) === 7)
-      .select(col("vec_id"), reverse(col("e")).as("e"), col("label"),
-        col("e").as("old_e"))
-    val nUp = updates.count()
-    assert(nUp > 0, "fixture needs upsert victims")
-    val (dir, segDir, tsDir) = AnnIndex.upsert(spark, sfDir, updates, root)
-    // Probe WITH the new embeddings (re-keyed out of the id space):
-    // rank-1 must be the upserted id at cosine exactly 1.0 — only the
-    // NEW copy can score 1.0 against its own direction, so this pins
-    // both freshness (new copy served) and masking (old copy gone).
-    val probes = updates.select((col("vec_id") + 1000000L).as("pid"), col("e"))
-    // Boundary 1: the tombstone masks the pre-existing index only,
-    // never the newer replacement segment (the LSM sequencing rule —
-    // an id-blind mask would delete BOTH copies).
-    val res = AnnIndex.ivfProbeSegments(spark, sfDir, Seq(dir, segDir),
-      probes, Seq(tsDir -> 1)).cache()
-    try {
-      assert(res.count() === nUp * AnnIndex.TopK, "upserted serve lost surface")
-      val top1 = res.filter(col("rnk") === 1).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
-      assert(top1.length === nUp)
-      top1.foreach { case (pid, nbr, cos) =>
-        assert(nbr === pid - 1000000L, s"probe $pid top-1 is $nbr, not its upserted id")
-        assert(cos === 1.0, s"probe $pid top-1 cosine $cos != 1.0 — served a stale copy?")
-      }
-      // Exactly one copy per (probe, id): the tombstone removed the old
-      // row, so no vec_id appears twice in any probe's neighbor list.
-      val dups = res.groupBy("probe_id", "nbr_id").count().filter(col("count") > 1).count()
-      assert(dups === 0L, "a probe saw both copies of an upserted vector")
-    } finally { res.unpersist(): Unit }
-    // Folding the upsert conserves the corpus exactly — one old copy
-    // out, one new copy in, per id — and freshness survives compaction.
-    val vdir = AnnIndex.compactUpsert(spark, dir, segDir, tsDir,
-      s"$root/compacted")
-    val corpusN = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    assert(spark.read.parquet(s"$vdir/ivf_assignments").count() === corpusN,
-      "upsert compaction must conserve the corpus (one copy per id)")
-    assert(spark.read.parquet(s"$vdir/pq_codes").count() === corpusN,
-      "upsert compaction must conserve the codes")
-    val cres = AnnIndex.ivfProbeSegments(spark, sfDir, Seq(vdir), probes)
-    val ctop1 = cres.filter(col("rnk") === 1).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
-    ctop1.foreach { case (pid, nbr, cos) =>
-      assert(nbr === pid - 1000000L && cos === 1.0,
-        s"compacted upsert lost freshness for probe $pid: top-1 $nbr @ $cos")
-    }
-  }
-
-  // ---- delta compaction (r9 verdict item 3) ---------------------------
-
-  test("q127 compaction conserves the corpus and the trained artifacts") {
-    val census = AnnIndex.q127.fn(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    assert(census("ivf_assignments") === n && census("pq_codes") === n,
-      s"compacted index must cover the corpus exactly: $census vs $n")
-    assert(census("ivf_centroids") === AnnIndex.K.toLong)
-    assert(census("pq_codebook") === (AnnIndex.Mpq * AnnIndex.Kpq).toLong)
-  }
-
-  test("compaction restores one file per inverted list in a single segment root") {
-    val dir = AnnIndex.compact(spark, sfDir)
-    val cidDirs = Option(new java.io.File(s"$dir/ivf_assignments").listFiles())
-      .getOrElse(Array.empty).filter(f => f.isDirectory && f.getName.startsWith("cid="))
-    assert(cidDirs.nonEmpty, "compacted index has no inverted lists")
-    cidDirs.foreach { cd =>
-      val files = Option(cd.listFiles()).getOrElse(Array.empty)
-        .count(f => f.isFile && f.getName.endsWith(".parquet"))
-      assert(files === 1, s"list ${cd.getName} has $files files after compaction (want 1)")
-    }
-    // The compacted probe reads ONE segment root — no delta union left.
-    AnnIndex.appendDelta(spark, sfDir)
-    val plan = AnnIndex.ivfProbeCompacted(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("append_compacted"), s"probe must scan the compacted root:\n$plan")
-    assert(!plan.contains("append_delta"), s"compacted probe still unions the delta:\n$plan")
-  }
-
-  test("compacted-index IVF recall holds the floor at sf0.1") {
-    val approx = topkSet(AnnIndex.ivfProbeCompacted(spark, benchSf))
-    val r = (exactTopk & approx).size.toDouble / exactTopk.size
-    info(f"compacted-index recall $r%.3f")
-    assert(r >= 0.68, f"compacted-index IVF recall regressed to $r%.3f (floor 0.68)")
   }
 }

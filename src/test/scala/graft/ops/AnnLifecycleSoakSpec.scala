@@ -5,39 +5,30 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-/** ANN lifecycle soak (r10 verdict item 3): random sequences of
-  * {append, stream-ingest, delete, upsert, compact, maintain} against
-  * one shared base index, checking after every step — artifact read-back, marker
-  * presence — and at every fold/serve: exact conservation (every live
-  * id once, no ghost, no dup), the LSM sequencing rule (a tombstone
-  * masks only segments older than itself), top-1 self-recovery at
-  * cosine 1.0 (the freshest copy is served), and a full top-k surface.
+/** ANN lifecycle soak (r10 verdict item 3; f3 arm deleted with the
+  * quarantine in r15 — this is now the COMPOSED f4 soak): random
+  * sequences of {append, delete, upsert, stream+in-stream-delete,
+  * compact, maintain} against one shared base index, checking after
+  * every step — artifact read-back, marker presence — and at every
+  * fold/serve: exact conservation (every live id once, no ghost, no
+  * dup), the LSM sequencing rule (a tombstone masks only segments
+  * older than itself), top-1 self-recovery at cosine 1.0 (the freshest
+  * copy is served), a full top-k surface, and the DISTRIBUTED composed
+  * serve row-for-row equal to the collected serve on every generated
+  * masked multi-segment state.
   *
   * Every composition bug found so far was caught by a hand-enumerated
-  * case; this property covers the interleavings nobody enumerated. The
-  * two known-bug shapes reproduce as shrunk counterexamples here —
-  * verified by re-breaking the code and running this property:
-  *
-  *   - id-blind tombstone masking (r10: an upsert's tombstone deleting
-  *     BOTH copies of the id) — forcing every mask boundary to
-  *     Int.MaxValue shrank to `List(Upsert(3,2))` failing "pre-fold
-  *     serve: probe 1000003 top-1 (5, 0.9934) — stale copy served or
-  *     fresh copy lost";
-  *   - positional union after a using-column anti-join (r10: masked and
-  *     unmasked segments swapping cid/vec_id against each other) —
-  *     dropping the canonical re-select in ivfServe shrank to
-  *     `List(Upsert(10,1))` failing "pre-fold serve: probe 1000010
-  *     top-1 (12, 0.9935)" (one upsert suffices: the masked base unions
-  *     against the unmasked replacement segment).
-  *
-  * Its first production catch came on the first run: a no-data
-  * micro-batch made stream-ingest publish a marked-complete segment
-  * with a fileless ivf_assignments dir, failing every later reader —
-  * shrunk to `List(Ingest(2,2))`, fixed in streamIngestFrames.
-  *
+  * case; this property covers the interleavings nobody enumerated.
+  * Historical catches (on the since-deleted f3 arm, whose fold/mask
+  * core the f4 path shares): id-blind tombstone masking (r10),
+  * positional union after a using-column anti-join (r10), the no-data
+  * micro-batch publishing a fileless marked-complete segment (first
+  * run of this property — the fix lives in the shared
+  * streamIngestCore), and the r14 lazy-localCheckpoint AB-BA deadlock
+  * in the distributed serve (caught by this suite's extended f4 soak).
   * The stale-`_COMPLETE`-on-replay hazard (e4ae495) is pinned by the
-  * dedicated idempotent-replay spec in AnnIndexSpec; ingest segments
-  * here go through the same `streamIngestFrames` body.
+  * idempotent-replay spec in IvfPqStreamSpec; ingest segments here go
+  * through the same `streamIngestCore` body.
   */
 class AnnLifecycleSoakSpec extends SparkTestBase {
 
@@ -73,18 +64,8 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
 
   private val baseIds: Seq[Long] = 0L until 64L
 
-  /** One shared base index for every generated sequence: sequences only
-    * ever ADD segments/tombstones under their own run root, never
-    * mutate the base — the same immutability the production lifecycle
-    * guarantees, so sharing is sound and keeps the soak affordable.
-    */
-  private lazy val baseDir0: String =
-    AnnIndex.buildFrom(spark, frame(baseIds.map(_ -> 0)), s"$soakRoot/base")
-
   sealed trait Op
   case class Append(n: Int) extends Op
-  case class Ingest(n: Int, files: Int) extends Op
-  case class IngestMaint(n: Int, files: Int) extends Op
   /** f4 only: auto-maintained stream-ingest with a DELETE enqueued
     * mid-stream through [[IvfPq.enqueueTombstones]] (r13 verdict item
     * 4) — files=1 leaves the tombstone pending (masked by the live
@@ -113,118 +94,6 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
   private def readIds(dir: String): Seq[Long] =
     spark.read.parquet(dir).select("vec_id").collect().map(_.getLong(0)).toSeq
 
-  private def step(st: St, op: Op, root: String, k: Int): St = op match {
-    case Append(n) =>
-      val ids = st.nextId until st.nextId + n
-      val seg = AnnIndex.appendSegment(spark, st.base,
-        frame(ids.map(_ -> 0)), s"$root/op$k")
-      val got = readIds(s"$seg/ivf_assignments")
-      assert(got.sorted == ids.toSeq.sorted, s"append wrote $got, expected $ids")
-      assert(new java.io.File(seg, "_SUCCESS").exists(),
-        "published segment missing its completeness marker")
-      St(st.base, st.segs :+ seg, st.tss, st.live ++ ids.map(_ -> 0), st.nextId + n)
-    case Ingest(n, files) =>
-      val ids = st.nextId until st.nextId + n
-      val segs = AnnIndex.streamIngestFrames(spark, st.base,
-        frame(ids.map(_ -> 0)), s"$root/op$k", files)
-      val got = segs.flatMap(g => readIds(s"$g/ivf_assignments"))
-      assert(got.sorted == ids.toSeq.sorted,
-        s"stream ingest wrote $got across ${segs.size} segments, expected $ids")
-      St(st.base, st.segs :++ segs, st.tss, st.live ++ ids.map(_ -> 0), st.nextId + n)
-    case IngestMaint(n, files) =>
-      // Stream-ingest WITH the auto-maintain loop (r12 verdict item 5).
-      // The auto-fold absorbs its base plus its own segments, so the
-      // accumulated state folds first — the fold's base must cover
-      // everything live, exactly as a production serving root would
-      // already be folded before a maintained stream feeds it.
-      val st2 = if (st.segs.nonEmpty || st.tss.nonEmpty)
-        step(st, Fold, root, 9000 + k) else st
-      val ids = st2.nextId until st2.nextId + n
-      val (b, leftover) = AnnIndex.streamIngestWithMaintain(spark, st2.base,
-        frame(ids.map(_ -> 0)), s"$root/op$k", files, every = 1)
-      val got = readIds(s"$b/ivf_assignments") ++
-        leftover.flatMap(g => readIds(s"$g/ivf_assignments"))
-      val expect = st2.live.keySet ++ ids
-      assert(got.size == got.distinct.size,
-        s"auto-maintained ingest duplicated ids: ${got.diff(got.distinct).take(5)}")
-      assert(got.toSet == expect,
-        s"auto-maintained ingest ghosts=${(got.toSet -- expect).take(5)} " +
-          s"lost=${(expect -- got.toSet).take(5)}")
-      St(b, leftover.toVector, Vector.empty,
-        st2.live ++ ids.map(_ -> 0), st2.nextId + n)
-    case Delete(seed, n) =>
-      val victims = pick(st.live, seed, n)
-      if (victims.isEmpty) st
-      else {
-        val vf = frame(victims.map(id => id -> st.live(id)))
-          .select(col("vec_id"), col("e"))
-        val ts = AnnIndex.tombstonesFor(spark, st.base, vf, s"$root/op$k")
-        assert(readIds(s"$ts/tombstones").sorted == victims.sorted,
-          "tombstone read-back mismatch")
-        // A delete is the newest write: it masks every existing root.
-        St(st.base, st.segs, st.tss :+ (ts -> (1 + st.segs.size)),
-          st.live -- victims, st.nextId)
-      }
-    case Upsert(seed, n) =>
-      val victims = pick(st.live, seed, n)
-      if (victims.isEmpty) st
-      else {
-        // The tombstone resolves cids from the STORED embeddings and
-        // masks only the roots that exist before the replacement
-        // segment lands — the LSM sequencing boundary.
-        val boundary = 1 + st.segs.size
-        val ts = AnnIndex.tombstonesFor(spark, st.base,
-          frame(victims.map(id => id -> st.live(id)))
-            .select(col("vec_id"), col("e")),
-          s"$root/op${k}ts")
-        val newVers = victims.map(id => id -> (st.live(id) + 1))
-        val seg = AnnIndex.appendSegment(spark, st.base, frame(newVers),
-          s"$root/op${k}seg")
-        St(st.base, st.segs :+ seg, st.tss :+ (ts -> boundary),
-          st.live ++ newVers, st.nextId)
-      }
-    case Fold =>
-      val dir = AnnIndex.compactAll(spark, st.base, st.segs, tsFrames(st), s"$root/op$k")
-      // EXACT conservation at every fold: one copy per live id, no
-      // ghost, no dup — in the lists AND the codes.
-      val got = readIds(s"$dir/ivf_assignments")
-      assert(got.size == got.distinct.size,
-        s"compaction duplicated ids: ${got.diff(got.distinct).distinct.take(5)}")
-      assert(got.toSet == st.live.keySet,
-        s"compaction ghosts=${(got.toSet -- st.live.keySet).take(5)} " +
-          s"lost=${(st.live.keySet -- got.toSet).take(5)}")
-      val codes = readIds(s"$dir/pq_codes")
-      assert(codes.size == codes.distinct.size && codes.toSet == st.live.keySet,
-        "codes table does not match the live set after compaction")
-      St(dir, Vector.empty, Vector.empty, st.live, st.nextId)
-    case _: IngestDelete => st // f4-only op (in-stream deletes need IvfPq's queue)
-    case Maintain =>
-      // The SELF-DECIDING fold: same conservation contract as Fold
-      // whichever way the drift verdict goes, plus the routing table
-      // must be untouched exactly when no retrain ran. Soak upserts
-      // replace embeddings with unrelated directions, so sequences with
-      // churn exercise the retrain branch too.
-      val r = AnnIndex.maintain(spark, st.base, st.segs, tsFrames(st), s"$root/op$k")
-      val got = readIds(s"${r.dir}/ivf_assignments")
-      assert(got.size == got.distinct.size && got.toSet == st.live.keySet,
-        s"maintain (retrained=${r.retrained}) broke conservation: " +
-          s"ghosts=${(got.toSet -- st.live.keySet).take(5)} " +
-          s"lost=${(st.live.keySet -- got.toSet).take(5)}")
-      val mcodes = readIds(s"${r.dir}/pq_codes")
-      assert(mcodes.size == mcodes.distinct.size && mcodes.toSet == st.live.keySet,
-        s"maintain (retrained=${r.retrained}) codes table does not match the live set")
-      if (!r.retrained)
-        assert(AnnIndex.readCentroids(spark, r.dir).sortBy(_._1)
-          == AnnIndex.readCentroids(spark, st.base).sortBy(_._1),
-          "un-retrained maintain touched the routing table")
-      St(r.dir, Vector.empty, Vector.empty, st.live, st.nextId)
-  }
-
-  /** Serve over the CURRENT state (multi-segment, masked — or a single
-    * folded root) and check: full top-k surface, top-1 self-recovery of
-    * the freshest copy at cosine 1.0, no ghost anywhere, one copy per
-    * (probe, neighbor).
-    */
   private def assertServed(res: Array[org.apache.spark.sql.Row], st: St,
       nProbes: Int, what: String): Unit = {
     assert(res.length == nProbes * AnnIndex.TopK,
@@ -240,78 +109,6 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
     assert(dups.isEmpty, s"$what: duplicate neighbors ${dups.keys.take(5)}")
   }
 
-  private def serveCheck(st: St, what: String, alsoPq: Boolean): Unit = {
-    val probeIds = pick(st.live, 3, 4)
-    assert(st.live.size > AnnIndex.TopK, "soak corpus shrank below the surface")
-    import spark.implicits._
-    val probes = probeIds.map(id => (id + 1000000L, vec(id, st.live(id))))
-      .toDF("pid", "pe")
-    val ivfRes = AnnIndex.ivfProbeSegments(spark, sfDir, st.base +: st.segs,
-      probes, st.tss).collect()
-    assertServed(ivfRes, st, probeIds.size, s"$what IVF")
-    // The PQ twin serves the same masked segment state: its ADC pool
-    // covers the whole tiny corpus, so the exact-refine stage must
-    // reproduce the identical freshness/no-ghost/no-dup surface.
-    if (alsoPq) {
-      assertServed(AnnIndex.pqProbeSegments(spark, sfDir, st.base +: st.segs,
-        probes, st.tss).collect(), st, probeIds.size, s"$what PQ")
-      // The DISTRIBUTED reader over the same LSM state must reproduce
-      // the collected serve row-for-row on every generated segment/
-      // tombstone interleaving (r12: the end-to-end-DataFrame path).
-      val distRes = AnnIndex.ivfProbeDistributedSegments(spark,
-        st.base +: st.segs, probes, st.tss).collect()
-      def key(rs: Array[org.apache.spark.sql.Row]) =
-        rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-      assert(key(distRes) == key(ivfRes),
-        s"$what: distributed serve diverged from the collected serve")
-    }
-    // Filtered serving composes with the same LSM state: restrict to
-    // the first probe's own label — its fresh self-copy matches the
-    // filter, so top-1 self at cosine exactly 1.0 must survive the
-    // masks, and every served neighbor must be live AND matching.
-    val fid = probeIds.head
-    val flab = (fid % 10).toInt
-    val fprobe = Seq((fid + 1000000L, vec(fid, st.live(fid)))).toDF("pid", "pe")
-    def checkFiltered(res: Array[org.apache.spark.sql.Row], fam: String): Unit = {
-      assert(res.nonEmpty && res.length <= AnnIndex.TopK,
-        s"$fam: filtered serve returned ${res.length} rows")
-      val top = res.find(_.getLong(2) == 1L).get
-      assert(top.getLong(1) == fid && top.getDouble(3) == 1.0,
-        s"$fam: filtered top-1 (${top.getLong(1)}, ${top.getDouble(3)}) " +
-          "— stale copy served or fresh copy lost under the filter")
-      res.foreach { r =>
-        val nbr = r.getLong(1)
-        assert(st.live.contains(nbr) && nbr % 10 == flab,
-          s"$fam: filtered serve returned $nbr (live=${st.live.contains(nbr)}, " +
-            s"label=${nbr % 10} vs $flab)")
-      }
-      assert(res.map(_.getLong(1)).distinct.length == res.length,
-        s"$fam: duplicate neighbors under the filter")
-    }
-    checkFiltered(AnnIndex.ivfProbeSegments(spark, sfDir, st.base +: st.segs,
-      fprobe, st.tss, attrFilter = Some(col("label") === flab)).collect(),
-      s"$what IVF-filtered")
-    if (alsoPq)
-      checkFiltered(AnnIndex.pqProbeSegments(spark, sfDir, st.base +: st.segs,
-        fprobe, st.tss, attrFilter = Some(col("label") === flab)).collect(),
-        s"$what PQ-filtered")
-  }
-
-  private def runSequence(ops: List[Op], pq: Boolean = false): Unit = {
-    val root = new java.io.File(soakRoot, s"run-${runIds.incrementAndGet()}")
-    try {
-      var st = St(baseDir0, Vector.empty, Vector.empty,
-        baseIds.map(_ -> 0).toMap, 1000L)
-      ops.zipWithIndex.foreach { case (op, k) => st = step(st, op, root.toString, k) }
-      // Serve the accumulated multi-segment state (the read path where
-      // both historical composition bugs lived), then fold EVERYTHING
-      // and re-serve the single compacted root.
-      serveCheck(st, "pre-fold serve", alsoPq = pq)
-      st = step(st, Fold, root.toString, ops.size)
-      serveCheck(st, "post-fold serve", alsoPq = pq)
-    } finally rmTree(root)
-  }
-
   private def check(prop: Prop, n: Int, workers: Int): Unit = {
     val res = SCTest.check(
       SCTest.Parameters.default
@@ -320,33 +117,6 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
         .withInitialSeed(org.scalacheck.rng.Seed(42L)),
       prop)
     assert(res.passed, s"soak property failed: ${res.status}")
-  }
-
-  test("100 random {append,delete,upsert,compact} sequences hold every invariant") {
-    baseDir0: Unit // build the shared fixture before the workers race for it
-    val genOp: Gen[Op] = Gen.frequency(
-      5 -> Gen.choose(1, 3).map(Append.apply),
-      3 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 3)).map(t => Delete(t._1, t._2)),
-      3 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Upsert(t._1, t._2)),
-      2 -> Gen.const(Fold),
-      1 -> Gen.const(Maintain))
-    val genOps = Gen.choose(2, 6).flatMap(Gen.listOfN(_, genOp))
-    check(Prop.forAll(genOps) { ops => runSequence(ops); true }, n = 100, workers = 8)
-  }
-
-  test("stream-ingest composes with the other lifecycle ops under the same invariants") {
-    baseDir0: Unit
-    val genOp: Gen[Op] = Gen.frequency(
-      3 -> Gen.zip(Gen.choose(2, 4), Gen.choose(1, 2)).map(t => Ingest(t._1, t._2)),
-      2 -> Gen.zip(Gen.choose(2, 4), Gen.choose(1, 2)).map(t => IngestMaint(t._1, t._2)),
-      2 -> Gen.choose(1, 3).map(Append.apply),
-      2 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Delete(t._1, t._2)),
-      2 -> Gen.zip(Gen.choose(0, 97), Gen.choose(1, 2)).map(t => Upsert(t._1, t._2)),
-      1 -> Gen.const(Fold),
-      1 -> Gen.const(Maintain))
-    val genOps = Gen.choose(2, 4).flatMap(Gen.listOfN(_, genOp))
-    check(Prop.forAll(genOps) { ops => runSequence(ops, pq = true); true },
-      n = 10, workers = 4)
   }
 
   // ---- format f4 (composed IVF+PQ) soak ----------------------------------
@@ -421,7 +191,6 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
           == AnnIndex.readCentroids(spark, st.base).sortBy(_._1),
           "un-retrained f4 maintain touched the routing table")
       St(r.dir, Vector.empty, Vector.empty, st.live, st.nextId)
-    case _: Ingest | _: IngestMaint => st // f3-only spellings; f4 streams via IngestDelete
     case IngestDelete(n, files, delSeed) =>
       // Auto-maintained stream-ingest with a mid-stream DELETE (r13
       // verdict item 4). Like f3's IngestMaint, the loop's folds absorb
@@ -447,7 +216,17 @@ class AnnLifecycleSoakSpec extends SparkTestBase {
           .filter(_.startsWith("ts:")).map(_.stripPrefix("ts:")).toSet)
         .getOrElse(Set.empty)
       val pend = IvfPq.pendingTombstones(spark, ingestRoot, foldedTs, None)
-        .map { case (nm, _, bnd, _) => (s"$ingestRoot/tsq/$nm", bnd) }
+        .map { t =>
+          // A pending tombstone here means no fold ran after its
+          // enqueue (files=1), so its recorded base IS the serving
+          // base and its covered segments are a prefix of the
+          // leftovers — the identity→position translation is direct.
+          assert(t.base == b,
+            "pending tombstone's base moved without a fold consuming it")
+          (s"$ingestRoot/tsq/${t.name}",
+            1 + leftover.takeWhile(p => t.segNames
+              .contains(new java.io.File(p).getName)).size)
+        }
       if (victims.nonEmpty && files >= 2)
         assert(pend.isEmpty,
           s"fold ran after the enqueue but left the tombstone pending")

@@ -4,7 +4,9 @@ import graft.SparkTestBase
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** The retrain trigger (r10 verdict item 5): compaction never retrains,
+/** The retrain trigger (r10 verdict item 5; ported to the composed f4
+  * lifecycle in r15 when the f3 serve quarantine was deleted):
+  * compaction never retrains,
   * so heavy upsert churn must SURFACE as a drift signal, and acting on
   * it must recover recall. Scenario: corpus A = 16 tight clusters (the
   * index trains on it); corpus B = the same ids fully upserted into
@@ -88,7 +90,7 @@ class AnnRetrainSpec extends SparkTestBase {
   }
 
   private lazy val frameA: DataFrame = frame(vecA)
-  private lazy val dirA: String = AnnIndex.buildFrom(spark, frameA, s"$root/a")
+  private lazy val dirA: String = IvfPq.buildFrom(spark, frameA, s"$root/a")
   private lazy val vecB: Long => Seq[Double] =
     vecBFrom(AnnIndex.readCentroids(spark, dirA).sortBy(_._1).map(_._2).toIndexedSeq)
   private lazy val frameB: DataFrame = frame(vecB)
@@ -138,12 +140,13 @@ class AnnRetrainSpec extends SparkTestBase {
     // Serve the fully-upserted corpus through the STALE index: B lands
     // as a replacement segment assigned against A's centroids, a
     // tombstone masks every A copy (boundary 1 — the upsert rule).
-    val segB = AnnIndex.appendSegment(spark, dirA, frameB, s"$root/bseg")
+    val segB = IvfPq.appendSegment(spark, dirA, frameB, s"$root/bseg")
     val tsDir = AnnIndex.tombstonesFor(spark, dirA,
       frameA.select(col("vec_id"), col("e")), s"$root/bts")
     val exactB = exactTopk(vecB)
-    val stale = AnnIndex.ivfProbeSegments(spark, sfDir, Seq(dirA, segB),
-      probes(vecB), Seq(tsDir -> 1), nprobe = 1)
+    val stale = IvfPq.probeSegments(spark, Seq(dirA, segB), probes(vecB),
+      Seq(spark.read.parquet(s"$tsDir/tombstones").select(col("vec_id")) -> 1),
+      nprobeOverride = Some(1))
     val recallStale = recall(stale, exactB)
     // The drift monitor fires on exactly this state...
     val rep = AnnIndex.retrainCheck(spark, dirA, frameB)
@@ -152,9 +155,9 @@ class AnnRetrainSpec extends SparkTestBase {
       f"drift ${rep.meanRelDrift}%.4f did not cross the threshold")
     assert(rep.recommend)
     // ...and acting on it recovers the recall the drift cost.
-    val dirB = AnnIndex.buildFrom(spark, frameB, s"$root/b")
-    val fresh = AnnIndex.ivfProbeSegments(spark, sfDir, Seq(dirB),
-      probes(vecB), nprobe = 1)
+    val dirB = IvfPq.buildFrom(spark, frameB, s"$root/b")
+    val fresh = IvfPq.probeSegments(spark, Seq(dirB), probes(vecB),
+      nprobeOverride = Some(1))
     val recallFresh = recall(fresh, exactB)
     info(f"recallFresh=$recallFresh%.3f")
     assert(recallStale <= 0.85,
@@ -169,14 +172,14 @@ class AnnRetrainSpec extends SparkTestBase {
     // A benign delta in A's own distribution: fresh ids joining the
     // same clusters the index was trained on.
     val delta = frame(vecA).withColumn("vec_id", col("vec_id") + lit(N))
-    val segDir = AnnIndex.appendSegment(spark, dirA, delta, s"$root/mseg")
-    val r = AnnIndex.maintain(spark, dirA, Seq(segDir), Nil, s"$root/mcalm")
+    val segDir = IvfPq.appendSegment(spark, dirA, delta, s"$root/mseg")
+    val r = IvfPq.maintain(spark, dirA, Seq(segDir), Nil, s"$root/mcalm")
     info(f"undrifted maintain meanRelDrift=${r.report.meanRelDrift}%.4f")
     assert(!r.retrained && !r.report.recommend,
       f"benign append must not retrain (drift ${r.report.meanRelDrift}%.4f)")
     // The fold IS the published result, holds everything, and the
     // routing table carried over byte-identically (nothing retrained).
-    assert(spark.read.parquet(s"${r.dir}/ivf_assignments").count() === 2 * N,
+    assert(spark.read.parquet(s"${r.dir}/ivfpq_lists").count() === 2 * N,
       "undrifted maintain lost rows in the fold")
     assert(AnnIndex.readCentroids(spark, r.dir).sortBy(_._1)
       === AnnIndex.readCentroids(spark, dirA).sortBy(_._1),
@@ -184,22 +187,22 @@ class AnnRetrainSpec extends SparkTestBase {
   }
 
   test("maintain() on full-churn upsert state retrains and recovers serve recall") {
-    val segB = AnnIndex.appendSegment(spark, dirA, frameB, s"$root/m2seg")
+    val segB = IvfPq.appendSegment(spark, dirA, frameB, s"$root/m2seg")
     val ts = AnnIndex.tombstonesFor(spark, dirA,
       frameA.select(col("vec_id"), col("e")), s"$root/m2ts")
     val tsDf = spark.read.parquet(s"$ts/tombstones")
-    val r = AnnIndex.maintain(spark, dirA, Seq(segB), Seq(tsDf -> 1), s"$root/mchurn")
+    val r = IvfPq.maintain(spark, dirA, Seq(segB), Seq(tsDf -> 1), s"$root/mchurn")
     info(f"churned maintain meanRelDrift=${r.report.meanRelDrift}%.4f retrained=${r.retrained}")
     assert(r.retrained && r.report.recommend,
       f"full churn must retrain (drift ${r.report.meanRelDrift}%.4f)")
     // The published CURRENT is the rebuild; serving it at the sharp
     // nprobe=1 setting hits the recovery floor of the manual path.
-    val served = AnnIndex.ivfProbeSegments(spark, sfDir, Seq(r.dir),
-      probes(vecB), nprobe = 1)
+    val served = IvfPq.probeSegments(spark, Seq(r.dir), probes(vecB),
+      nprobeOverride = Some(1))
     val rec = recall(served, exactTopk(vecB))
     info(f"maintained recall=$rec%.3f")
     assert(rec >= 0.90, f"maintained-index recall $rec%.3f below the recovery floor")
-    assert(spark.read.parquet(s"${r.dir}/ivf_assignments").count() === N,
+    assert(spark.read.parquet(s"${r.dir}/ivfpq_lists").count() === N,
       "churned maintain must hold exactly the live (replaced) copies")
   }
 
@@ -217,8 +220,8 @@ class AnnRetrainSpec extends SparkTestBase {
     assert(AnnIndex.RetireGraceMs > 0L,
       "this race closure depends on a positive default retirement grace")
     val mroot = s"$root/race"
-    val base = AnnIndex.buildFrom(spark, frameA, mroot)
-    val segB = AnnIndex.appendSegment(spark, base, frameB, s"$root/raceseg")
+    val base = IvfPq.buildFrom(spark, frameA, mroot)
+    val segB = IvfPq.appendSegment(spark, base, frameB, s"$root/raceseg")
     val ts = AnnIndex.tombstonesFor(spark, base,
       frameA.select(col("vec_id"), col("e")), s"$root/racets")
     val tsDf = spark.read.parquet(s"$ts/tombstones")
@@ -231,7 +234,7 @@ class AnnRetrainSpec extends SparkTestBase {
           AnnIndex.resolveVersion(mroot) match {
             case Some(dir) =>
               assert(spark.read.parquet(s"$dir/ivf_centroids").count() === AnnIndex.K.toLong)
-              assert(spark.read.parquet(s"$dir/ivf_assignments").count() > 0L)
+              assert(spark.read.parquet(s"$dir/ivfpq_lists").count() > 0L)
               resolutions.incrementAndGet(): Unit
             case None =>
               failures.add(new AssertionError(
@@ -246,7 +249,7 @@ class AnnRetrainSpec extends SparkTestBase {
       (0 until 2).map { _ =>
         pool.submit(new java.util.concurrent.Callable[AnnIndex.MaintainResult] {
           def call(): AnnIndex.MaintainResult =
-            AnnIndex.maintain(spark, base, Seq(segB), Seq(tsDf -> 1), mroot)
+            IvfPq.maintain(spark, base, Seq(segB), Seq(tsDf -> 1), mroot)
         })
       }.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
     } finally {

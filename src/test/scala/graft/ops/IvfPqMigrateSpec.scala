@@ -57,11 +57,16 @@ class IvfPqMigrateSpec extends SparkTestBase {
         s"migrated $a diverges from the f3 copy")
     }
 
-    // 2. Artifact-exact vs a FRESH f4 build of the same frame: the
-    //    shared deterministic trainers + the ONE pqEncode implementation
-    //    mean migration and fresh build land the same bytes-level
+    // 2. Artifact-exact vs a FRESH f4 build of the same frame IN THE
+    //    RAW SPACE (f3 codes are raw-vector codes, and the one-pass
+    //    migration must not re-encode — the migrated artifact carries
+    //    no _PQ_MODE marker, so serve paths score it raw): the shared
+    //    deterministic trainers + the ONE pqEncode implementation mean
+    //    migration and a raw-mode fresh build land the same bytes-level
     //    content — the formats cannot silently diverge.
-    val fresh = IvfPq.buildFrom(spark, emb, s"$root/fresh")
+    assert(!new java.io.File(s"$mig/_PQ_MODE").exists(),
+      "a migrated index must stay in the raw encoding space (no marker)")
+    val fresh = IvfPq.buildFrom(spark, emb, s"$root/fresh", residual = false)
     assert(setEqual(lists,
       spark.read.parquet(s"$fresh/ivfpq_lists").select(listCols.map(col): _*)),
       "migrated index diverges from a fresh f4 build of the same frame")

@@ -19,12 +19,18 @@ class IvfPqSpec extends SparkTestBase {
     df.select("probe_id", "nbr_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("q134 composed IVF+PQ recall >= 0.68 at sf0.1 (the IVF routing floor)") {
+  test("q134 composed IVF+PQ recall >= 0.80 at sf0.1 (residual encoding saturates the nprobe=8 routing ceiling)") {
+    // r15 (tools.RecallMeasure): IVFADC residual codes are recall-
+    // lossless vs exact-within-routed-lists at this scale — the serve
+    // sits ON the routing ceiling (measured 0.840 at nprobe=8). The
+    // floor leaves seed-luck margin but fails any de-tune: a dropped
+    // residual bias, a raw-space codebook, or a narrowed nprobe all land
+    // well below 0.80.
     val exact = topkSet(Similarity.q23.fn(spark, benchSf))
     val approx = topkSet(IvfPq.probe(spark, benchSf))
     val r = (exact & approx).size.toDouble / exact.size
-    info(f"q134 composed recall $r%.3f")
-    assert(r >= 0.68, f"composed IVF+PQ recall regressed to $r%.3f (floor 0.68)")
+    info(f"q134 composed recall $r%.3f (sealed 0.84)")
+    assert(r >= 0.80, f"composed IVF+PQ recall regressed to $r%.3f (floor 0.80)")
   }
 
   /** Per-FileScan (partition-pruned?, ReadSchema) facts for the composed
@@ -239,6 +245,52 @@ class IvfPqSpec extends SparkTestBase {
         "compacted serve diverged from the masked segment serve")
       assert(nbrs.nonEmpty)
     } finally AnnIndex.RetireGraceMs = prevGrace
+  }
+
+  test("distributed composed serve at k=1024 ≡ collected (aggregate routing + broadcast residual-bias branches)") {
+    // Past LiteralAssignMaxK both paths switch branch: routing joins
+    // the broadcast centroid table instead of baking a literal map, and
+    // residual mode computes the per-(probe,cid) ADC bias through a
+    // broadcast join instead of a literal element_at. This is the
+    // k=sqrt(n) posture's serve shape, end-to-end over real written
+    // artifacts; the probe frame carries a shuffle in its lineage (the
+    // recomputed-ordinal misjoin shape r12 caught). Pin = EQUALITY.
+    import spark.implicits._
+    val root = freshRoot("graft-ivfpq-distk1024")
+    val k = 1024
+    val cs: Seq[(Int, Seq[Double])] =
+      (1 to k).map(c => c -> (0 until 64).map(j => math.sin(c * 31 + j * 7)))
+    val corpus = vecsDf(0L until 3000L)
+    val assigned = AnnIndex.joinAssignCids(corpus, cs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val resid = AnnIndex.residualFrame(assigned, cs)
+      val cb = AnnIndex.trainPqCodebook(spark, resid, AnnIndex.pqSliced(resid))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val enc = AnnIndex.pqEncodeResidual(
+          assigned.select(col("vec_id"), col("e"), col("cid")), cs, cb)
+        assigned.join(enc, Seq("vec_id"))
+          .select(col("cid"), col("vec_id"), col("label"), col("codes"),
+            col("qnorm"), col("e"))
+          .repartition(col("cid"))
+          .write.partitionBy("cid").parquet(s"$root/ivfpq_lists")
+        cs.toDF("cid", "ce").coalesce(1).write.parquet(s"$root/ivf_centroids")
+        cb.coalesce(1).write.parquet(s"$root/pq_codebook")
+        graft.io.Afs.writeString(s"$root/_PQ_MODE", "residual")
+      } finally cb.unpersist(): Unit
+    } finally assigned.unpersist(): Unit
+    val probes = vecsDf(0L until 40L).repartition(3)
+      .select(col("vec_id").as("pid"), col("e").as("pe"))
+    def rows(df: DataFrame): Set[(Long, Long, Long, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val collected = rows(IvfPq.probeSegments(spark, Seq(root), probes))
+    val dist = rows(IvfPq.probeDistributedSegments(spark, Seq(root), probes))
+    assert(collected.size >= 30 * AnnIndex.TopK,
+      s"fixture starved the surface (${collected.size} rows)")
+    assert(dist == collected,
+      "distributed k=1024 composed serve diverged from the collected serve")
   }
 
   test("maintain on an undrifted composed state folds without retraining") {

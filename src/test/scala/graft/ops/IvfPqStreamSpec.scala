@@ -172,6 +172,159 @@ class IvfPqStreamSpec extends SparkTestBase {
     assert(!res.exists(_.getLong(1) == baseVictim), "deleted id served post-fold")
   }
 
+  test("q128 stream ingest: one composed segment per micro-batch; checkpointed re-run is a no-op") {
+    // Replay idempotence lives in the shared streamIngestCore; this pin
+    // moved from the f3 spec when the quarantine was deleted (r15).
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpqstream-spec-").toString
+    val (baseDir, segs) = IvfPq.streamIngestInto(spark, sfDir, root)
+    assert(segs.size === AnnIndex.StreamFiles,
+      s"expected one delta segment per micro-batch (${AnnIndex.StreamFiles}), got ${segs.size}")
+    def n(p: String): Long = spark.read.parquet(p).count()
+    val corpusN = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(n(s"$baseDir/ivfpq_lists") + segs.map(g => n(s"$g/ivfpq_lists")).sum
+      === corpusN, "streamed composed index must cover the corpus exactly")
+    // A finished checkpoint makes the ingest idempotent: a re-run over
+    // the same root processes no files and rewrites no segment.
+    def listing(dirs: Seq[String]): Map[String, Long] = dirs.flatMap { d =>
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(d)).map(f => f.getPath -> f.lastModified())
+    }.toMap
+    val before = listing(segs)
+    val (_, segs2) = IvfPq.streamIngestInto(spark, sfDir, root)
+    assert(segs2 === segs, "finished checkpoint must make a re-run a no-op")
+    assert(listing(segs2) === before, "re-run rewrote a segment despite the checkpoint")
+  }
+
+  test("tombstone racing an intervening fold: identity coverage spares the post-enqueue re-add, still deletes its victims") {
+    // The r14 ADVICE scenario: an out-of-loop enqueue records coverage
+    // (base, {b0}); a fold that never saw the tombstone absorbs b0 (its
+    // segment snapshot predates the enqueue — contract 1's legal race);
+    // THEN a new segment b1 re-adds a deleted vec_id with a NEW
+    // embedding. The pre-r15 positional boundary (2 = base + b0) masked
+    // positions 0 AND 1 of the NEW [fold, b1] ordering — physically
+    // dropping the fresher re-add. Identity coverage must mask only the
+    // moved base (b0's content is inside it), sparing b1 — in the
+    // reader view while pending AND in the consuming fold.
+    import spark.implicits._
+    val root = freshRoot("graft-ivfpq-ts-race")
+    val ingest = s"$root/ingest"
+    val maintRoot = s"$ingest/maint"
+    val baseIds = 0L until 64L
+    val baseDir = IvfPq.buildFrom(spark, frame(baseIds), s"$root/base")
+
+    val baseVictim = 7L
+    val segVictim = 1000L
+    val reAddVictim = 1001L
+    val newVec = vec(reAddVictim + 9000L) // the upsert's replacement embedding
+    val b0 = IvfPq.landSegment(spark, baseDir, ingest, "b0",
+      frame(1000L until 1008L))
+    // Enqueue: coverage = (base, {b0}) — logically precedes everything
+    // that lands after this point.
+    IvfPq.enqueueTombstones(spark, baseDir, ingest,
+      frame(Seq(baseVictim, segVictim, reAddVictim))): Unit
+    // The racing fold: absorbs ONLY b0 (its snapshot predates the
+    // enqueue) and never saw the tombstone (tsPending = Nil) — the base
+    // moves, the tombstone stays pending with a stale base.
+    IvfPq.maintainWithManifest(spark, baseDir, Seq(b0), maintRoot,
+      alreadyFolded = Nil, segRoot = s"$ingest/segments"): Unit
+    // b1 lands AFTER the enqueue (and after the tombstone's _COMPLETE —
+    // the pairing discipline) re-adding one victim with a NEW vector:
+    // that copy is fresher than the delete and must survive it.
+    IvfPq.landSegment(spark, baseDir, ingest, "b1",
+      (Seq((reAddVictim, newVec, (reAddVictim % 10).toInt)) ++
+        (1010L until 1014L).map(id => (id, vec(id), (id % 10).toInt)))
+        .toDF("vec_id", "e", "label")): Unit
+
+    val universe = baseIds.toSet ++ (1000L until 1008L) ++ (1010L until 1014L)
+    val expect = universe - baseVictim - segVictim // reAddVictim SURVIVES
+
+    // Reader view while pending: the mask must already be the exact
+    // translated one — victims gone, the unfolded re-add served.
+    val (b, unfolded, pend) = IvfPq.servingView(spark, baseDir, ingest)
+    assert(unfolded.size == 1, s"expected b1 unfolded, got: $unfolded")
+    assert(pend.size == 1, s"expected the one pending tombstone, got ${pend.size}")
+    val res = IvfPq.probeServing(spark, baseDir, ingest,
+      Seq((reAddVictim + 1000000L, newVec)).toDF("pid", "pe")).collect()
+    val top = res.find(_.getLong(2) == 1L).get
+    assert(top.getLong(1) == reAddVictim && top.getDouble(3) == 1.0,
+      "pending stale-base tombstone transiently masked the fresher re-add")
+    Seq(baseVictim, segVictim).foreach { v =>
+      val r = IvfPq.probeServing(spark, baseDir, ingest,
+        Seq((v + 1000000L, vec(v))).toDF("pid", "pe")).collect()
+      assert(!r.exists(_.getLong(1) == v), s"victim $v served while pending")
+    }
+
+    // The consuming fold: resolves the identity coverage against the
+    // MOVED base — drops the victims' old copies physically, keeps the
+    // re-add that now sits at position 1 of the new ordering.
+    val (_, segsNow, already) =
+      AnnIndex.servingStateOf(baseDir, s"$ingest/segments", maintRoot)
+    val pending = IvfPq.pendingTombstones(spark, ingest,
+      already.filter(_.startsWith("ts:")).map(_.stripPrefix("ts:")).toSet, None)
+    assert(pending.size == 1, "tombstone should still be pending pre-consume")
+    IvfPq.maintainWithManifest(spark, b, segsNow, maintRoot, already,
+      tsPending = pending, segRoot = s"$ingest/segments"): Unit
+    val (b2, _, _) =
+      AnnIndex.servingStateOf(baseDir, s"$ingest/segments", maintRoot)
+    val lists = spark.read.parquet(s"$b2/ivfpq_lists")
+    val got = lists.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got.size == got.distinct.size, "consuming fold duplicated ids")
+    assert(got.toSet == expect,
+      s"lost=${(expect -- got.toSet).take(5)} ghosts=${(got.toSet -- expect).take(5)}" +
+        (if (!got.contains(reAddVictim))
+           " — the stale-boundary bug: the fold dropped the newer re-add" else ""))
+    // The SURVIVING copy is the new one (the upsert's embedding), not a
+    // resurrected old row.
+    val e = lists.filter(col("vec_id") === reAddVictim)
+      .select("e").collect().head.getSeq[Double](0)
+    assert(e == newVec, "the consuming fold kept the OLD copy of the re-add")
+    val (_, _, pendAfter) = IvfPq.servingView(spark, baseDir, ingest)
+    assert(pendAfter.isEmpty, "tombstone still pending after consumption")
+  }
+
+  test("fold-point GC keeps a long-running ingest root bounded: folded segments and consumed tombstones are swept past grace") {
+    import spark.implicits._
+    val root = freshRoot("graft-ivfpq-stream-gc")
+    val ingestRoot = s"$root/ingest"
+    val baseIds = 0L until 64L
+    val ingestIds = 1000L until 1024L
+    val baseDir = IvfPq.buildFrom(spark, frame(baseIds), s"$root/base")
+    val victim = baseIds.head
+    val grace = AnnIndex.RetireGraceMs
+    AnnIndex.RetireGraceMs = 0L
+    val (finalBase, unfolded) = try {
+      IvfPq.streamIngestWithMaintain(spark, baseDir, frame(ingestIds),
+        ingestRoot, nFiles = 6, every = 2,
+        afterBatch = (ss, id) =>
+          if (id == 0L)
+            IvfPq.enqueueTombstones(ss, baseDir, ingestRoot,
+              frame(Seq(victim))): Unit)
+    } finally AnnIndex.RetireGraceMs = grace
+    assert(unfolded.isEmpty, s"expected all segments folded, left: $unfolded")
+    // Every fold is a GC point and grace is zero: nothing folded or
+    // consumed may remain on disk — the 6-batch, 3-fold, 1-delete run
+    // ends with EMPTY segments/ and tsq/ dirs (bounded-garbage
+    // invariant: dir counts never grow with batches consumed).
+    val segLeft = graft.io.Afs.listNames(s"$ingestRoot/segments")
+      .filterNot(_.endsWith("._CLAIM"))
+    assert(segLeft.isEmpty,
+      s"folded segment dirs survived the GC sweep: ${segLeft.mkString(",")}")
+    val tsLeft = graft.io.Afs.listNames(s"$ingestRoot/tsq")
+      .filterNot(_.endsWith("._CLAIM"))
+    assert(tsLeft.isEmpty,
+      s"consumed tombstone dirs survived the GC sweep: ${tsLeft.mkString(",")}")
+    // And the sweep cost nothing semantically: conservation holds on the
+    // final fold.
+    val expect = (baseIds.toSet - victim) ++ ingestIds
+    val got = spark.read.parquet(s"$finalBase/ivfpq_lists")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got.size == got.distinct.size, "GC run duplicated ids")
+    assert(got.toSet == expect,
+      s"lost=${(expect -- got.toSet).take(5)} ghosts=${(got.toSet -- expect).take(5)}")
+  }
+
   test("encrypted f4 stream-ingest: segments and folds land encrypted, serve under the token, denial gates") {
     import spark.implicits._
     val kms = TestKmsServer.shared
