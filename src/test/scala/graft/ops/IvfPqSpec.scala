@@ -33,6 +33,22 @@ class IvfPqSpec extends SparkTestBase {
     assert(r >= 0.80, f"composed IVF+PQ recall regressed to $r%.3f (floor 0.80)")
   }
 
+  test("q111 migrated (raw-space) serve holds its recall floor at sf0.1") {
+    // The migrated index carries no _PQ_MODE marker, so the serve MUST
+    // score it raw (bias 0, raw-trained codebook). This floor is the
+    // one check the migrate spec's collected≡distributed equality can't
+    // provide: a mode mix-up (residual bias applied to raw codes, or a
+    // residual artifact scored raw) breaks both paths TOGETHER and
+    // still passes equality — but collapses recall here. Raw codes at
+    // nprobe=8 measured 0.800 (the quantization loss vs the 0.840
+    // routing ceiling the residual encoding closes).
+    val exact = topkSet(Similarity.q23.fn(spark, benchSf))
+    val approx = topkSet(IvfPq.q111.fn(spark, benchSf))
+    val r = (exact & approx).size.toDouble / exact.size
+    info(f"q111 migrated raw-serve recall $r%.3f")
+    assert(r >= 0.75, f"migrated raw-space serve recall $r%.3f (floor 0.75)")
+  }
+
   /** Per-FileScan (partition-pruned?, ReadSchema) facts for the composed
     * lists in a plan string.
     */
