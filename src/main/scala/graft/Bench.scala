@@ -51,6 +51,23 @@ object Bench {
       slurp("/proc/pressure/cpu").linesIterator
         .find(_.startsWith("some")).getOrElse("?")
 
+    /** IO pressure-stall avg10 (`/proc/pressure/io`, "some" line). The
+      * r15 seal night's lesson: a co-tenant hammering the DISK inflates
+      * task deserialization (classpath reads) 2-5x while CPU PSI stays
+      * ≈0 — the cpu gate alone settles straight into an IO storm. −1
+      * when the kernel exposes no PSI.
+      */
+    def psiIo: Double =
+      try {
+        val txt = slurp("/proc/pressure/io")
+        "some .*?avg10=([0-9.]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+      } catch { case _: Throwable => -1.0 }
+
+    def psiIoRaw: String =
+      slurp("/proc/pressure/io").linesIterator
+        .find(_.startsWith("some")).getOrElse("?")
+
     /** Host conditions the bench cannot control but the numbers depend
       * on: printed once per run so a slow BENCH_r{N} is attributable.
       */
@@ -63,7 +80,8 @@ object Bench {
         val f = new java.io.File("/dev/shm")
         s"${f.getUsableSpace / (1L << 30)}G"
       } catch { case _: Throwable => "?" }
-      s"loadavg=${slurp("/proc/loadavg")} psi.cpu=[$psiRaw] $memAvail " +
+      s"loadavg=${slurp("/proc/loadavg")} psi.cpu=[$psiRaw] " +
+        s"psi.io=[$psiIoRaw] $memAvail " +
         s"cgroup.cpu.max=[$cpuMax] shmFree=$shmFree"
     }
   }
@@ -522,7 +540,7 @@ object Bench {
         System.err.println(f"[bench-diag] $name wall=$dt%.1fs " +
           f"jit=${(Diag.compileMs - comp0) / 1000.0}%.1fs " +
           f"gc=${(Diag.gcMs - gc0) / 1000.0}%.1fs ${qm.line} load=${Diag.load1} " +
-          f"psi=${Diag.psiCpu}%.1f")
+          f"psi=${Diag.psiCpu}%.1f psio=${Diag.psiIo}%.1f")
         // Task-time/CPU/GC sums plus the instantaneous 1-min loadavg and
         // CPU PSI ride into the final JSON so a one-shot BENCH_r{N} run
         // is attributable after the fact: wall >> taskSum/32 means
@@ -535,7 +553,7 @@ object Bench {
         val cpuS = qm.cpuMs.sum / 1000.0
         val diag = f""""$name":{"task":$taskS%.1f,""" +
           f""""cpu":$cpuS%.1f,"tgc":${qm.gcMs.sum / 1000.0}%.1f,""" +
-          f""""load":$ld%.2f,"psi":$psi%.1f}"""
+          f""""load":$ld%.2f,"psi":$psi%.1f,"psio":${Diag.psiIo}%.1f}"""
         // Drop persisted tables between queries — a leftover cache from a
         // dedup query measurably contaminates its successors.
         try spark.catalog.clearCache() catch { case _: Throwable => () }
@@ -587,14 +605,22 @@ object Bench {
       // seal-to-seal comparisons account for it.
       val loadGate = (try cpus.toDouble catch { case _: Throwable => 32.0 }) / 4.0
       val psiGate = 10.0 // percent: >10% of the last 10s stalled = contended
+      // The settle wait watches BOTH pressure stalls: cpu AND io
+      // (r15 — a co-tenant hammering the disk inflates task
+      // deserialization 2-5x while cpu PSI stays ≈0, so a cpu-only
+      // settle retries straight into the IO storm). Only the cpu PSI
+      // feeds the sample-adjudication verdict: an IO-stalled sample is
+      // already rejected by its own task≫cpu evidence.
       def settleContention(): (Double, Double) = {
         val deadlineNs = System.nanoTime() + 90L * 1000 * 1000 * 1000
-        def read(): (Double, Double) =
-          (try Diag.load1.toDouble catch { case _: Throwable => -1.0 }, Diag.psiCpu)
-        var (ld, psi) = read()
-        while ((ld >= loadGate || psi >= psiGate) && System.nanoTime() < deadlineNs) {
+        def read(): (Double, Double, Double) =
+          (try Diag.load1.toDouble catch { case _: Throwable => -1.0 },
+            Diag.psiCpu, Diag.psiIo)
+        var (ld, psi, psio) = read()
+        while ((ld >= loadGate || psi >= psiGate || psio >= psiGate) &&
+            System.nanoTime() < deadlineNs) {
           Thread.sleep(5000)
-          val r = read(); ld = r._1; psi = r._2
+          val r = read(); ld = r._1; psi = r._2; psio = r._3
         }
         (ld, psi)
       }
