@@ -63,7 +63,16 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // fixture (and builds the f3 source index when missing): ensure it
     // so the sweep prices the steady-state SERVE, not the migration's
     // corpus join + partitioned write.
-    "q111_ann_ivf_probe")
+    "q111_ann_ivf_probe",
+    // q130 is the FIRST query in sorted sweep order whose serve adopts
+    // the full-corpus composed build (q133's forced build sorts after
+    // it): on a cold artifact root (fresh boot, or a FormatLevel bump
+    // orphaning the previous format's dirs — exactly what the r15
+    // f4->f5 residual bump did) the one-time Lloyd/codebook build's
+    // ~1 MB of exchanges rode into q130's measured serve bytes (15x its
+    // steady-state ceiling). Ensure it like every other dataset-keyed
+    // fixture so the sweep prices the serve, not the build.
+    "q130_ann_filtered_probe")
 
   private def measure(sfDir: String, names: Seq[String]): Map[String, Long] = {
     val qs = SparkEntry.queries
