@@ -58,6 +58,10 @@ object GraftFunctions {
       exprs => CountInSet(exprs(0), exprs(1))),
     ("intersect_count", classOf[IntersectCount],
       exprs => IntersectCount(exprs(0), exprs(1))),
+    ("char_hist", classOf[CharHistExpr],
+      exprs => CharHistExpr(exprs(0))),
+    ("l1_diff", classOf[L1Diff],
+      exprs => L1Diff(exprs(0), exprs(1))),
     // Spark's own runtime-filter expressions, exposed by name so a query
     // can build the bloom-pruned anti-join shape EXPLICITLY where the
     // optimizer's InjectRuntimeFilter can't (it never fires for anti
@@ -142,6 +146,14 @@ object GraftFunctions {
   /** Column API: |A ∩ B| of two array<string> columns (set semantics). */
   def intersectCount(a: Column, b: Column): Column =
     call_function("intersect_count", a, b)
+
+  /** Column API: 64-bucket clamped lead-byte histogram of a string (the
+    * q49 edit-distance prefilter's per-row precompute).
+    */
+  def charHist(s: Column): Column = call_function("char_hist", s)
+
+  /** Column API: Σ|a_i − b_i| over two array<tinyint> histograms. */
+  def l1Diff(a: Column, b: Column): Column = call_function("l1_diff", a, b)
 }
 
 /** Injects every graft function (the full `builders` surface) into

@@ -340,6 +340,50 @@ object HashKernels {
     }
     acc
   }
+
+  /** 64-bucket character histogram over a string's UTF-8 LEAD bytes
+    * (continuation bytes 0b10xxxxxx are skipped; bucket = lead byte
+    * & 0x3f), each bucket clamped at 127 — the per-ROW precompute of
+    * the q49 edit-distance prefilter. Soundness of the filter built on
+    * it: one code-point edit (insert/delete/substitute — the unit
+    * Spark's `levenshtein` counts) changes the code-point multiset by
+    * at most one removal plus one addition; bucketing lead bytes is a
+    * COARSENING of code-point identity (merging categories can only
+    * shrink an L1 distance), and the clamp only ever under-estimates
+    * (|min(x,127)−min(y,127)| ≤ |x−y|). Hence
+    * `levenshtein(a,b) ≤ t  ⇒  l1Diff(charHist(a), charHist(b)) ≤ 2t`
+    * — pairs failing the L1 test can be dropped without ever running
+    * the O(len²/banded) DP, and no qualifying pair is lost.
+    */
+  def charHist(s: UTF8String): ArrayData = {
+    val out = new Array[Byte](64)
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b & 0xC0) != 0x80) {
+        val k = b & 0x3f
+        if (out(k) != 127) out(k) = (out(k) + 1).toByte
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Σ|a_i − b_i| over two tinyint histograms (shorter length bounds the
+    * loop; [[charHist]] outputs are always 64 long).
+    */
+  def l1Diff(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getByte(i) - b.getByte(i)
+      acc += (if (d < 0) -d else d)
+      i += 1
+    }
+    acc
+  }
 }
 
 private object TextHashes {
@@ -600,6 +644,56 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.dotProduct($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** char_hist(s: string) → array<tinyint> (64 clamped UTF-8 lead-byte
+  * buckets — the q49 edit-distance prefilter's per-row precompute; see
+  * [[HashKernels.charHist]] for the soundness argument).
+  */
+case class CharHistExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "char_hist"
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"char_hist requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.charHist(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charHist($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** l1_diff(a, b) → long, Σ|a_i − b_i| over two array<tinyint>
+  * histograms ([[CharHistExpr]] outputs).
+  */
+case class L1Diff(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l1_diff"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"l1_diff requires two array<tinyint> inputs, got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.l1Diff(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.l1Diff($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -571,8 +571,21 @@ object Dedup {
     // idles (measured: minutes of DeduplicateRelations on a 300-edge
     // graph). Checkpointing truncates the lineage to a LogicalRDD, the
     // standard Spark idiom for iterative graph algorithms.
-    var e = bi.filter(col("src") > col("dst")).distinct().localCheckpoint(true)
-    val verts = bi.select(col("src").as("id")).distinct().localCheckpoint(true)
+    //
+    // LAZY checkpoints inside the loop (r15 optimization): the loop is
+    // edge-sized but LATENCY-bound — its wall is rounds × (stages +
+    // jobs), not bytes — and an eager checkpoint is one full job whose
+    // only purpose is materialization. Marking the checkpoint lazy and
+    // letting the round's signature action materialize it halves the
+    // loop's job count with identical results (the signature aggregate
+    // reads every partition, so the checkpoint is always fully
+    // materialized before the next round — and before the previous
+    // round's blocks are released). Safe against the r14 eager-
+    // checkpoint deadlock rationale because this loop is strictly
+    // serial with shuffle-hash-pinned joins and AQE off: there is no
+    // concurrent action, so no concurrent doCheckpoint can exist.
+    var e = bi.filter(col("src") > col("dst")).distinct().localCheckpoint(false)
+    val verts = bi.select(col("src").as("id")).distinct().localCheckpoint(false)
     var prevSig: Option[(Long, Long)] = None
     var converged = false
     var rounds = 0
@@ -586,7 +599,12 @@ object Dedup {
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
+      // No distinct here (r15): the raw large-star output has exactly
+      // one row per oriented edge (|ls_raw| = |e|, no explosion), its
+      // duplicates ((dst, m) reached via several neighbors) are
+      // harmless to mins2's min aggregate, and the small-star output
+      // below ends in the distinct that convergence detection needs —
+      // the ls-side exchange+dedup stage bought nothing per round.
       // SMALL-STAR: over the now-oriented edges (src > dst), each vertex
       // u re-hooks its smaller neighbors (and itself) onto their minimum.
       val mins2 = ls.groupBy("src").agg(min("dst").as("mn"))
@@ -596,9 +614,10 @@ object Dedup {
         .union(mins2.select(col("src"), col("mn").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // bit_xor, not sum: order-independent like sum, but cannot overflow
-      // under ANSI arithmetic.
+      // under ANSI arithmetic. This action doubles as the round's
+      // checkpoint materialization (see the lazy-checkpoint note above).
       val sigRow = ss.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).collect()(0)
       val sig = (sigRow.getLong(0),
         if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))

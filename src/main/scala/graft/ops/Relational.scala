@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Canon, Q, Tables}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -697,21 +698,44 @@ object Relational {
   val q49: Q = Q(
     "q49_edit_distance",
     (s, d) => {
+      GraftFunctions.register(s)
+      // Char-frequency prefilter (r15): a 64-bucket clamped lead-byte
+      // histogram per ROW (computed once, ~64 bytes riding the brand
+      // shuffle), then an L1 test per PAIR in the join condition. One
+      // code-point edit moves the histogram L1 by at most 2 (see
+      // HashKernels.charHist for the full soundness argument), so
+      // l1_diff > 2·3 disqualifies a pair from levenshtein ≤ 3 with
+      // zero false drops — and the 64-add L1 loop is ~10× cheaper than
+      // the banded DP it short-circuits. Same family as the length
+      // prune; together they leave the DP only the near-anagram sliver.
       val p = Tables.spread(
         Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name")),
         col("p_partkey"))
+        .withColumn("ch", GraftFunctions.charHist(col("p_name")))
       val a = p.as("a")
       val b = p.as("b")
+      // The DP rides the JOIN CONDITION as its LAST conjunct, and there
+      // is deliberately NO post-join `filter(dist >= 0)`: the old
+      // formulation's filter was pushed into the join by
+      // PushPredicateThroughJoin, which PREPENDS pushed predicates — so
+      // the plan evaluated `levenshtein >= 0` FIRST, before the cheap
+      // length test (r15 before-plan: the DP led the conjunct chain and
+      // every within-brand pair paid it). Authoring the condition keeps
+      // left-to-right evaluation cheap → expensive; the projection
+      // recomputes the distance only for the joined survivors (the
+      // final result rows — noise).
+      //
+      // Bounded variant (Spark 3.5+): banded DP that abandons a pair the
+      // moment its running distance exceeds the threshold, returning -1
+      // — identical distances for every surviving pair, a fraction of
+      // the O(|a|·|b|) work for the overwhelming majority that miss.
       a.join(b.hint("shuffle_hash"),
           col("a.p_brand") === col("b.p_brand") &&
           col("a.p_partkey") < col("b.p_partkey") &&
-          abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3)
-        // Bounded variant (Spark 3.5+): banded DP that abandons a pair the
-        // moment its running distance exceeds the threshold, returning -1
-        // — identical distances for every surviving pair, a fraction of
-        // the O(|a|·|b|) work for the overwhelming majority that miss.
+          abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3 &&
+          GraftFunctions.l1Diff(col("a.ch"), col("b.ch")) <= 6 &&
+          levenshtein(col("a.p_name"), col("b.p_name"), 3) >= 0)
         .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 3).cast("long"))
-        .filter(col("dist") >= 0)
         .select(col("a.p_partkey").as("pk_a"), col("b.p_partkey").as("pk_b"),
           col("a.p_brand").as("brand"), col("dist"))
         .orderBy("pk_a", "pk_b")

@@ -17,18 +17,80 @@ class HashKernelsSpec extends SparkTestBase {
       .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
   }
 
-  test("builder table exposes the full fifteen-function surface") {
+  test("builder table exposes the full seventeen-function surface") {
     // GraftSparkExtensions injects verbatim from this table, so pinning
     // it here pins the deployment (spark.sql.extensions) surface too —
     // the round-2 advisor caught the extension drifting to 3 of 6.
     // bloom_agg / bloom_might_contain joined in round 5 (q65's explicit
     // bloom-routed anti-join shape); adc_dot / pq_lut in round 13 (the
-    // codegen'd ADC kernels behind every PQ serve path).
+    // codegen'd ADC kernels behind every PQ serve path); char_hist /
+    // l1_diff in round 15 (q49's lossless edit-distance prefilter).
     assert(GraftFunctions.builders.map(_._1).toSet === Set(
       "cosine_sim", "dot_product", "simhash64", "minhash_signature",
       "minhash_bands", "ngram_shingles", "ngram_shingle_hashes",
       "ngram_repetition", "token_hashes", "count_in_set", "intersect_count",
-      "adc_dot", "pq_lut", "bloom_agg", "bloom_might_contain"))
+      "adc_dot", "pq_lut", "bloom_agg", "bloom_might_contain",
+      "char_hist", "l1_diff"))
+  }
+
+  test("char_hist/l1_diff: the L1 bound never drops a levenshtein<=3 pair") {
+    // The q49 prefilter's soundness contract: levenshtein(a,b) <= t
+    // implies l1_diff(char_hist(a), char_hist(b)) <= 2t. Exercise it on
+    // every within-brand part-name pair of the real sf0.001 corpus (the
+    // exact population q49 filters) — any qualifying pair the L1 test
+    // would drop fails this spec before it can corrupt q49's output.
+    val p = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        GraftFunctions.charHist(col("p_name")).as("ch"))
+    val a = p.as("a"); val b = p.as("b")
+    val dropped = a.join(b,
+        col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_partkey") < col("b.p_partkey"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 3))
+      .where(col("dist") >= 0 &&
+        GraftFunctions.l1Diff(col("a.ch"), col("b.ch")) > 6)
+      .count()
+    assert(dropped === 0L,
+      "L1 prefilter dropped a pair with levenshtein <= 3 — the bound is broken")
+    // And crafted adversarial edits around the clamp/multibyte edges:
+    // multibyte substitution, transposition (2 edits), clamp saturation.
+    val rows = Seq(
+      ("abcabcabc", "abcabxabc"),      // 1 substitution
+      ("héllo wörld", "hello world"),  // 2 multibyte substitutions
+      ("abcdef", "abdcef"),            // transposition = 2 edits
+      ("a" * 200, "a" * 199 + "b"),    // clamp saturation + 1 sub
+      ("", "xyz"))                     // 3 inserts from empty
+    import spark.implicits._
+    val crafted = rows.toDF("x", "y")
+      .select(levenshtein(col("x"), col("y")).as("dist"),
+        GraftFunctions.l1Diff(
+          GraftFunctions.charHist(col("x")),
+          GraftFunctions.charHist(col("y"))).as("l1"))
+      .where(col("l1") > lit(2) * col("dist"))
+      .count()
+    assert(crafted === 0L, "crafted edit pair violated l1 <= 2*dist")
+  }
+
+  test("q49 with the L1 prefilter == the same join without it") {
+    // Result-identity pin for the r15 optimization: the prefilter is a
+    // pure candidate prune, so removing it from the join condition must
+    // change nothing downstream.
+    val d = sfDir
+    val p = spark.read.parquet(s"$d/part.parquet")
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.as("a"); val b = p.as("b")
+    val ref = a.join(b,
+        col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_partkey") < col("b.p_partkey") &&
+        abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 3)
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name"), 3).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("a.p_partkey").as("pk_a"), col("b.p_partkey").as("pk_b"),
+        col("a.p_brand").as("brand"), col("dist"))
+    val opt = graft.SparkEntry.queries("q49_edit_distance")(spark, d)
+    assert(opt.exceptAll(ref).isEmpty && ref.exceptAll(opt).isEmpty,
+      "prefiltered q49 diverged from the unprefiltered formulation")
+    assert(opt.count() === ref.count())
   }
 
   test("adc_dot == the aggregate/element_at HOF spelling, bit-exact") {
